@@ -1,0 +1,48 @@
+"""Data model: the engine's tables and loaders.
+
+The reference's entire data model is one ``(char key[8], int val)``
+pair (reference tasks.h:12-15); the engine's data model is the Spark
+DataFrame, which strictly generalizes it. The canonical key-value
+result schema used by every MapReduce-parity query is
+``(key string, val long)`` — unbounded keys and 64-bit values on
+purpose: the 7-char key cap and int32 values in the reference are
+fixed-size-MPI-message artifacts, not semantics (SURVEY.md §1.2).
+
+Tables (driver-generated parquet, FIXTURES.md §B):
+    region nation customer supplier part orders lineitem events
+    documents embeddings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The canonical result schema for MapReduce-parity queries.
+KV_SCHEMA = "key string, val long"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one engine table. Parquet scan → columnar, vectorized,
+    predicate-pushdown-capable; Catalyst prunes columns per query."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API path)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,42 @@
+"""Named-query registry — the engine's job-submission surface.
+
+Generalizes the reference's ``map_reduce_task_num`` CLI dispatch
+(reference main.cpp:74, main.cpp:84-95): a task number picking one of
+three hardcoded map UDFs becomes a string-keyed registry of query
+callables, each ``(spark, sf_dir) -> DataFrame``. ``ORACLE`` holds the
+DuckDB-equivalent SQL per query for the correctness gate; queries
+whose semantics SQL can't express (LSH buckets, streaming state) have
+no oracle entry and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _install(module) -> None:
+    overlap = set(module.QUERIES) & set(QUERIES)
+    if overlap:
+        raise ValueError(f"duplicate query names: {overlap}")
+    QUERIES.update(module.QUERIES)
+    ORACLE.update(getattr(module, "ORACLE", {}))
+    missing = set(getattr(module, "ORACLE", {})) - set(module.QUERIES)
+    if missing:
+        raise ValueError(f"oracle without query: {missing}")
+
+
+def _build() -> None:
+    from mpi_mapreduce_spark.operators import mapreduce, relational
+
+    for mod in (mapreduce, relational):
+        _install(mod)
+
+
+_build()

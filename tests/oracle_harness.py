@@ -1,0 +1,80 @@
+"""Local rehearsal of the driver's DuckDB-oracle correctness gate.
+
+Mirrors the driver contract: run the Spark query and the oracle SQL on
+the same parquet tables, compare row count + sorted column names +
+order-insensitive values (driver sorts columns by name then value-
+hashes; we sort rows canonically and compare cell-by-cell with a tiny
+float tolerance so genuine mismatches fail loudly while benign
+last-ulp differences don't).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from mpi_mapreduce_spark.datamodel import TABLES
+
+REL_TOL = 1e-9
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str))
+    return df.reset_index(drop=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=REL_TOL, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
+    assert len(spark_df) == len(oracle_df), (
+        f"{name}: row count {len(spark_df)} (spark) != {len(oracle_df)} (oracle)"
+    )
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    s, o = _canon(spark_df), _canon(oracle_df)
+    for col in s.columns:
+        sv, ov = list(s[col]), list(o[col])
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, ov))
+            if not _cells_equal(a, b)
+        ]
+        assert not bad, (
+            f"{name}: column {col!r} mismatches (first 5 of {len(bad)}): {bad[:5]}"
+        )
+
+
+def check_query(spark, name: str, sf_dir: str) -> None:
+    from mpi_mapreduce_spark.plans.registry import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLE:
+        assert len(sdf) >= 0  # rows-only check, mirrors the driver
+        return
+    odf = run_oracle(ORACLE[name], sf_dir)
+    assert_frames_match(sdf, odf, name)

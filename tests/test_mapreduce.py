@@ -1,0 +1,114 @@
+"""MapReduce-parity unit tests, including the reference golden tests.
+
+The golden fixtures are the reference's own sample inputs/outputs
+(/root/reference/sample_{input,output}_files, verified in SURVEY.md §5);
+tests skip cleanly if the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.operators.mapreduce import (
+    map1_charclass,
+    map2_letterfreq,
+    map3_synthetic,
+    map_reduce,
+)
+
+REF_INPUTS = "/root/reference/sample_input_files"
+REF_OUTPUTS = "/root/reference/sample_output_files"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF_INPUTS), reason="reference corpus not available"
+)
+
+
+def _ref_corpus(spark, n_files: int):
+    """One row per sample file — the reference's whole-file record
+    granularity (main.cpp:36-47, 141-155). Read as latin-1 so byte
+    counts equal char counts (strlen semantics, tasks.c:14)."""
+    rows = []
+    for i in range(n_files):
+        with open(os.path.join(REF_INPUTS, f"{i}.txt"), "rb") as f:
+            rows.append((i, f.read().decode("latin-1")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _golden(name: str) -> dict[str, int]:
+    out = {}
+    with open(os.path.join(REF_OUTPUTS, name)) as f:
+        for line in f:
+            if line.strip():
+                k, v = line.split()
+                out[k] = int(v)
+    return out
+
+
+def _kv(df) -> dict[str, int]:
+    return {r["key"]: r["val"] for r in df.collect()}
+
+
+@needs_reference
+def test_map1_golden_file0(spark):
+    # 1.output is task 1 over file 0 only (SURVEY.md §5)
+    got = _kv(map1_charclass(_ref_corpus(spark, 1)))
+    assert got == _golden("1.output") == {"letters": 170, "numbers": 0, "others": 23}
+
+
+@needs_reference
+def test_map2_golden_files_0_to_4(spark):
+    got = _kv(map2_letterfreq(_ref_corpus(spark, 5)))
+    golden = _golden("2.output")
+    assert got == golden
+    assert len(got) == 26 and sum(got.values()) == 107244
+
+
+@needs_reference
+def test_map3_golden_all_files(spark):
+    got = _kv(map3_synthetic(_ref_corpus(spark, 6)))
+    assert got == _golden("3.output") == {k: 180 for k in ("we", "love", "cs", "3210")}
+
+
+def test_map2_keeps_zero_counts(spark):
+    df = spark.createDataFrame([("aaa bbb",)], "text string")
+    got = _kv(map2_letterfreq(df))
+    assert len(got) == 26
+    assert got["a"] == 3 and got["b"] == 3 and got["z"] == 0
+
+
+def test_map1_empty_and_mixed(spark):
+    df = spark.createDataFrame([("ab12 !",), ("",)], "text string")
+    got = _kv(map1_charclass(df))
+    assert got == {"letters": 2, "numbers": 2, "others": 2}
+
+
+def test_generic_map_reduce_matches_native_map1(spark):
+    """The Arrow-batched generic combinator reproduces the native path
+    — the exact (map, reduce) plug-in contract of the reference."""
+    df = spark.createDataFrame(
+        [("Hello, World 42!",), ("x9y",), ("",)], "text string"
+    )
+
+    def ref_map1(doc: str):
+        letters = sum(c.isascii() and c.isalpha() for c in doc)
+        numbers = sum(c.isascii() and c.isdigit() for c in doc)
+        return [
+            ("letters", letters),
+            ("numbers", numbers),
+            ("others", len(doc) - letters - numbers),
+        ]
+
+    got = _kv(map_reduce(df, ref_map1))
+    assert got == _kv(map1_charclass(df))
+
+
+def test_generic_map_reduce_custom_reducer(spark):
+    df = spark.createDataFrame([("a a b",), ("b",)], "text string")
+    got = _kv(
+        map_reduce(df, lambda doc: [(w, 1) for w in doc.split()], reduce_fn=F.max)
+    )
+    assert got == {"a": 1, "b": 1}
