@@ -36,10 +36,26 @@ KV_SCHEMA = "key string, val long"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one engine table. Parquet scan → columnar, vectorized,
-    predicate-pushdown-capable; Catalyst prunes columns per query."""
+    predicate-pushdown-capable; Catalyst prunes columns per query.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long and
+    rebuild the timestamp with integer µs division — exact (no double
+    round-trip: 2024 epoch-nanos ≈ 1.7e18 > 2^53) and lossless for
+    this data's µs-precision values.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

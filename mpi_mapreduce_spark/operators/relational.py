@@ -8,14 +8,19 @@ to its DuckDB oracle (driver hash-compares by sorted column name).
 
 Float discipline: aggregate doubles are ROUNDed in both engines so the
 order-of-addition nondeterminism of distributed sums can't flip the
-value hash.
+value hash (verified: Spark and DuckDB both round half-away-from-zero
+on doubles). Top-k orderings always carry a unique-key tiebreak so the
+selected set is deterministic.
 
-Scale notes are per-query docstrings; the common themes:
-- dimension tables (region/nation/supplier/part/customer) broadcast —
-  no shuffle of the fact table for those joins;
-- fact-fact joins (lineitem x orders) shuffle on the join key once and
-  reuse that partitioning through the downstream agg where possible;
-- top-k is TakeOrderedAndProject (no global sort materialization).
+Scale notes per query; common themes at 100 TB:
+- dimension tables (region/nation/supplier/part, and customer vs the
+  fact tables) are broadcast — the fact table never shuffles for them;
+- fact-fact joins (lineitem x orders) shuffle both sides on the join
+  key once; the downstream agg on the same key reuses that exchange;
+- top-k is TakeOrderedAndProject (per-partition heap + driver merge of
+  k rows), never a global sort;
+- window functions shuffle once on partitionBy keys; frames evaluate
+  streaming within each partition.
 """
 
 from __future__ import annotations
@@ -31,24 +36,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _revenue():
+    """extendedprice * (1 - discount) — built lazily: Column exprs need
+    an active SparkContext, which module import time doesn't have."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 # ---------------------------------------------------------------------------
-# q1 — pricing summary (TPC-H Q1 shape): scan → filter → 8-agg groupBy.
+# Aggregation core
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter pushes to the parquet scan; grouped agg runs partial →
-    shuffle(2 keys x 3 flags = 6 groups) → final. At 100 TB the shuffle
-    carries only per-partition partials (6 rows each)."""
+    """TPC-H Q1 shape: scan → pushed filter → 8-agg groupBy.
+    Shuffle carries only per-partition partials (6 groups)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    charge = _revenue() * (1 + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -58,26 +67,588 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q1 = """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-"""
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id — subtotal
+    hierarchy in one pass (Spark expands grouping sets before the agg,
+    still a single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
 
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "total_price",
+            "n",
+        )
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per linestatus value. Values enumerated
+    explicitly so Spark skips the distinct-value discovery job."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_open"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (Catalyst plans expand + two-stage agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path (no expand, mergeable
+    sketches). No oracle: HLL estimates are engine-specific; the test
+    suite bounds its error against the exact counts instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer(broadcast) ⋈ orders ⋈ lineitem, top 10
+    unshipped orders by revenue. customer broadcasts (15k rows at
+    sf0.1; a real deployment bucket-joins if customer outgrows the
+    broadcast threshold); orders⋈lineitem shuffles on orderkey and the
+    revenue agg reuses that partitioning. Top-k via
+    TakeOrderedAndProject with l_orderkey tiebreak."""
+    cutoff = F.lit("1997-06-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; every dimension side broadcasts, so
+    the only shuffles are lineitem⋈orders on orderkey and the final
+    25-group agg. The c_nationkey = s_nationkey predicate is applied
+    post-join as a filter (same as TPC-H)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: part is a classic small dim —
+    ships to every executor once, zero shuffle of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(F.col("p_brand").alias("brand"), "sum_qty", "revenue", "n_items")
+    )
+
+
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with ≥1 urgent order, counted per
+    segment. Semi join dedups the probe side inside the join — no
+    distinct pass, no row explosion for multi-order customers."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.col("c_mktsegment").alias("mktsegment"), "n_customers")
+    )
+
+
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all, per
+    nation, nation name via broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_idle"))
+        .select(F.col("n_name").alias("nation"), "n_idle")
+    )
+
+
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: orders binned into price bands defined as
+    rows. The band table is tiny → BroadcastNestedLoopJoin, which is
+    the *right* plan: each order row tests 4 intervals in place, no
+    shuffle. (A big-big range join would instead bucketize the range
+    key and equi-join on bucket — see similarity.py for that shape.)"""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 50_000.0),
+            ("mid", 50_000.0, 150_000.0),
+            ("high", 150_000.0, 300_000.0),
+            ("lux", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+def window_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by revenue within each nation: the canonical
+    row_number-over-window top-k-per-group. One shuffle on the
+    partition key; rank evaluates streaming per partition. Revenue is
+    rounded *before* ranking so both engines rank identical values;
+    s_suppkey breaks ties deterministically."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_name").alias("supplier"),
+            "revenue",
+            "rank",
+        )
+    )
+
+
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of each customer's order spend in order-date
+    sequence (o_orderkey tiebreak → deterministic frame). ROWS frame,
+    streaming evaluation, single shuffle on custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def window_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user over the event sequence. Ordered by
+    event_id (arrival sequence): deterministic in both engines and
+    immune to the ns-vs-µs timestamp precision gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops
+# ---------------------------------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price: Spark plans TakeOrderedAndProject —
+    per-partition heaps, driver merges 100 rows; no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over yearly purchaser cohorts,
+    returned as one summary row. Spark rewrites intersect/except to
+    semi/anti joins under the hood."""
+
+    def cohort(year: int) -> DataFrame:
+        o = _t(spark, sf_dir, "orders")
+        return o.where(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    c95, c96 = cohort(1995), cohort(1996)
+    both = c95.intersect(c96).count()
+    either = c95.union(c96).distinct().count()
+    only95 = c95.exceptAll(c96).count()
+    return spark.createDataFrame(
+        [(both, either, only95)],
+        "in_both long, in_either long, only_1995 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: JSON / date / string over events & orders
+# ---------------------------------------------------------------------------
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (props is a JSON string column) + grouped stats.
+    get_json_object evaluates JVM-side; no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc histogram — month granularity over the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kitchen-sink over part: concat/substr/upper/regexp —
+    all codegen'd expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("/", F.upper("p_brand"), F.lower("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        (F.length(F.col("p_name")) - F.length(F.regexp_replace("p_name", " ", "")))
+        .cast("long")
+        .alias("n_spaces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "rollup_pricing": rollup_pricing,
+    "cube_order_stats": cube_order_stats,
+    "pivot_linestatus": pivot_linestatus,
+    "distinct_counts": distinct_counts,
+    "approx_distinct_counts": approx_distinct_counts,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "join_broadcast_part": join_broadcast_part,
+    "join_semi_active_customers": join_semi_active_customers,
+    "join_anti_idle_customers": join_anti_idle_customers,
+    "join_range_price_band": join_range_price_band,
+    "window_topk_suppliers": window_topk_suppliers,
+    "window_running_customer_spend": window_running_customer_spend,
+    "window_event_deltas": window_event_deltas,
+    "topk_orders": topk_orders,
+    "setops_customer_cohorts": setops_customer_cohorts,
+    "events_json_stats": events_json_stats,
+    "orders_by_month": orders_by_month,
+    "string_functions_showcase": string_functions_showcase,
 }
 
 ORACLE = {
-    "q1_pricing_summary": ORACLE_Q1,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "rollup_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_order_stats": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "pivot_linestatus": """
+        SELECT l_returnflag,
+               COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0.0) AS qty_open,
+               COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0.0) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "distinct_counts": """
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority AS orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-15'
+          AND l_shipdate > TIMESTAMP '1997-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name AS nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "join_broadcast_part": """
+        SELECT p_brand AS brand,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_semi_active_customers": """
+        SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+    """,
+    "join_anti_idle_customers": """
+        SELECT n_name AS nation, COUNT(*) AS n_idle
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name
+    """,
+    "join_range_price_band": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                   ('high', 150000.0, 300000.0), ('lux', 300000.0, 1e18)
+        )
+        SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "window_topk_suppliers": """
+        WITH rev AS (
+            SELECT n_name, s_suppkey, s_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, s_suppkey, s_name
+        ), ranked AS (
+            SELECT n_name, s_name, revenue,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY revenue DESC, s_suppkey ASC) AS rank
+            FROM rev
+        )
+        SELECT n_name AS nation, s_name AS supplier, revenue,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
+    "window_running_customer_spend": """
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS INTEGER) AS order_seq
+        FROM orders
+    """,
+    "window_event_deltas": """
+        SELECT user_id, event_id,
+               ROUND(value - LAG(value, 1) OVER w, 4) AS delta_prev,
+               LEAD(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+               o_orderpriority AS priority
+        FROM orders
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "setops_customer_cohorts": """
+        WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT (SELECT COUNT(*) FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)) AS in_both,
+               (SELECT COUNT(*) FROM (SELECT * FROM c95 UNION SELECT * FROM c96)) AS in_either,
+               (SELECT COUNT(*) FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)) AS only_1995
+    """,
+    "events_json_stats": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "orders_by_month": """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+    "string_functions_showcase": """
+        SELECT p_partkey,
+               upper(p_brand) || '/' || lower(p_type) AS brand_type,
+               substring(p_name, 1, 8) AS name_prefix,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               CAST(length(p_name) - length(replace(p_name, ' ', '')) AS BIGINT) AS n_spaces
+        FROM part
+    """,
 }
