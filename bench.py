@@ -24,6 +24,12 @@ HEADLINE = [
     "map2_letterfreq",
     "wordcount",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_suppliers",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality_score",
 ]
 
 

@@ -1,0 +1,371 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables — the core of an LLM training-data pipeline.
+
+Four families, each picked for a different scale/accuracy point:
+
+- **exact** — hash/group on content; one shuffle, no false positives.
+- **n-gram Jaccard (exact verify)** — pairwise Jaccard over word-3-gram
+  shingle sets, *blocked* by length band so the candidate space is
+  O(n·band) not O(n²). This is the exact counterpart the approximate
+  methods are validated against (and it has a DuckDB oracle).
+- **MinHash + LSH** — the 100 TB path: constant-size signatures,
+  band-bucket equi-join for candidates, verify step confirms true
+  Jaccard. No O(n²) anywhere; every stage is a shuffle-join on
+  small keys.
+- **SimHash** — 64-bit TF-weighted signature, 16-bit band blocking,
+  Hamming-distance verify; cheapest signature, coarsest recall.
+- **embedding cosine** — near-dup by semantic vector, length-band-free
+  (bucketed by LSH in similarity.py; here exact within broadcast range).
+
+Signature hashes are xxhash64 (engine-specific), so MinHash/SimHash
+register rows-only with the driver; their recall vs. the exact
+Jaccard op is pinned by tests instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import text as TXT
+from mpi_mapreduce_spark.functions import vectors as VEC
+
+#: word-3-gram shingles; Jaccard ≥ 0.5 is "near-duplicate"
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+#: length-band width for exact-verify blocking (chars); near-dup docs
+#: differ by only a few edits (≤8 chars observed), so band ±1 is a safe
+#: blocking key while cutting the candidate space ~bands²-fold
+LEN_BAND = 50
+
+#: MinHash: 32 hash functions in 8 bands x 4 rows → P(candidate) at
+#: j=0.5 per band = 0.5^4 = 6.25%, over 8 bands ≈ 40%... too low; use
+#: 16 bands x 2 rows: P = 1-(1-0.25)^16 ≈ 99% at j=0.5.
+MINHASH_HASHES = 32
+MINHASH_BANDS = 16
+
+#: SimHash: hamming ≤ 3 with 4 x 16-bit bands (pigeonhole-complete)
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        TXT.word_shingles(TXT.tokens(F.col("text")), SHINGLE_N).alias("sh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup: every doc flagged as the canonical copy
+    or a duplicate of an earlier one. Single shuffle on the content
+    (at scale: on xxhash64(content) with an equality re-check, so the
+    shuffle key is 8 bytes, not the document)."""
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("text").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary — the aggregate a pipeline reports."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (blocked) — the verify baseline
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5.
+
+    Blocking: each doc emits its length band and the next one; pairs
+    join on band equality (shuffle equi-join — no cross join), then the
+    exact Jaccard filter runs only inside bands. Verified to preserve
+    all true pairs for edit-distance-style near-dups (they differ by a
+    few chars, never a whole band)."""
+    sh = _shingled(_docs(spark, sf_dir))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / LEN_BAND).cast("long"),
+                (F.col("n_chars") / LEN_BAND).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(TXT.jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
+    )
+    return pairs
+
+
+ORACLE_NGRAM_JACCARD = f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM toks
+    ), banded AS (
+      SELECT doc_id, sh, unnest([n_chars // {LEN_BAND}, n_chars // {LEN_BAND} + 1]) AS band
+      FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — the scale path
+# ---------------------------------------------------------------------------
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    signature (32 minhashes) → 16 bands of 2 → explode to (band_id,
+    band_hash) keys → groupBy bucket, emit intra-bucket pairs. Bucket
+    pair expansion is quadratic *per bucket*, which LSH keeps tiny; a
+    production guard caps bucket width (hot buckets = degenerate
+    near-identical content; cap + log, don't explode)."""
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    sh = _shingled(docs)
+    sig = sh.select(
+        "doc_id", TXT.minhash_signature(F.col("sh"), MINHASH_HASHES).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_hash")
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        # cap pathological buckets (see docstring); 64 wide is already
+        # degenerate for 2-row bands
+        .where(F.size("ids") <= 64)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(least(x, y) as a, greatest(x, y) as b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
+    return pairs
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify ≥ 0.5. Output equals the
+    exact blocked op modulo LSH recall (pinned ≈ 1.0 in tests).
+    Rows-only with the driver (xxhash64 signatures aren't SQL)."""
+    docs = _docs(spark, sf_dir)
+    cands = minhash_candidates(docs)
+    sh = _shingled(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(TXT.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit TF-weighted SimHash per doc: explode tokens → term
+    counts → 64 signed bit-sums in ONE grouped aggregate → assemble.
+    Two shuffles total (token counts, doc regroup), both on compact
+    keys."""
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("w"))
+    tf = tf.withColumn("h", F.xxhash64("tok"))
+    bit_sums = tf.groupBy("doc_id").agg(
+        *TXT.simhash64(F.col("h"), F.col("w"))
+    )
+    return bit_sums.select("doc_id", TXT.assemble_simhash().alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ 3. Banding into
+    4 x 16-bit chunks is pigeonhole-complete for ≤3 bit flips: at
+    least one chunk is identical, so candidates come from equi-joins
+    on (chunk_id, chunk_value) — never a cross join. Rows-only."""
+    docs = _docs(spark, sf_dir)
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            TXT.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+EMBED_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
+# real text embeddings would use ~0.95
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector near-dup pairs: cosine ≥ threshold over pre-normalized
+    doubles, so the pair test is a plain dot product. Exact pairwise
+    here (embeddings is dimension-table-sized and broadcast); the
+    100 TB path buckets by hyperplane LSH first — see
+    similarity.ann_lsh_topk."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.normalize(VEC.as_double(F.col("embedding"))).alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(VEC.dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT doc_id,
+               (ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)) > 1 AS is_dup
+        FROM documents
+    """,
+    "dedup_exact_stats": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT text) AS n_dups
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
+    # aren't expressible in the oracle); recall pinned in tests.
+}

@@ -1,0 +1,174 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+Two tiers:
+
+- **brute-force top-k** — exact cosine against every vector; the
+  correctness baseline (DuckDB oracle) and the right plan whenever the
+  query set is small: queries broadcast, the corpus scan is
+  embarrassingly parallel, top-k per query is a window over
+  (query, corpus-partition) partials.
+- **hyperplane-LSH ANN** — the 100 TB path: 8 random-hyperplane sign
+  bits bucket the corpus once (a write-side job in production);
+  queries probe their own bucket plus all 1-bit-flip neighbors
+  (multiprobe), so the scan touches ~9/256 of the corpus. Hyperplanes
+  come from a seeded RNG → deterministic across runs. Rows-only with
+  the driver (bucketing isn't SQL-expressible); recall is pinned in
+  tests on *planted clustered* data — the driver's synthetic
+  embeddings are near-orthogonal noise, which no ANN structure can
+  (or should) accelerate.
+
+Both tiers share the DataFrame-in/DataFrame-out core, so tests can
+run them over any corpus, not just the registry table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import vectors as VEC
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 serve as the query set in registry queries
+LSH_BITS = 8
+LSH_SEED = 42
+
+
+def normalized_corpus(emb: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double> unit-norm) from (vec_id, embedding)."""
+    return emb.select(
+        "vec_id", VEC.normalize(VEC.as_double(F.col("embedding"))).alias("v")
+    )
+
+
+def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors per query over a normalized corpus.
+
+    ``queries``: (query_id, qv) — small, broadcast. Cosine is a plain
+    dot of unit vectors; ranking uses the *rounded* score plus vec_id
+    tiebreak so results are reproducible against the oracle."""
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """LSH_BITS x dim Gaussian hyperplanes from a fixed seed — pure
+    data, embedded as plan literals (a broadcast variable at scale)."""
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.randn(LSH_BITS, dim).tolist()
+
+
+def bucket_expr(vec_col: F.Column, dim: int) -> F.Column:
+    """Sign-bit bucket id: bit j = 1 iff v · h_j > 0 — native
+    zip_with/aggregate expressions, no Python per row."""
+    out = F.lit(0)
+    for j, h in enumerate(_hyperplanes(dim)):
+        hv = F.array(*[F.lit(float(x)) for x in h])
+        bit = F.when(VEC.dot(vec_col, hv) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + F.shiftleft(bit, j)
+    return out
+
+
+def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: bucket the corpus once, probe each query's
+    bucket plus every 1-bit neighbor (multiprobe), exact-rescore only
+    the touched candidates via a shuffle equi-join on bucket id."""
+    bucketed = corpus.withColumn("bucket", bucket_expr(F.col("v"), dim))
+    qb = queries.withColumn("qbucket", bucket_expr(F.col("qv"), dim))
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)],
+    )
+    probing = qb.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    cands = probing.join(bucketed, "bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries over the embeddings table
+# ---------------------------------------------------------------------------
+
+def _table_corpus_queries(spark: SparkSession, sf_dir: str):
+    corpus = normalized_corpus(load_table(spark, sf_dir, "embeddings"))
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return corpus, queries
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _table_corpus_queries(spark, sf_dir)
+    return knn_topk(corpus, queries)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _table_corpus_queries(spark, sf_dir)
+    dim = len(
+        load_table(spark, sf_dir, "embeddings").select("embedding").first()[0]
+    )
+    return ann_lsh(corpus, queries, dim)
+
+
+ORACLE_KNN = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_dot_product(q.v, c.v), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLE = {
+    "knn_bruteforce": ORACLE_KNN,
+    # ann_lsh_topk: rows-only; recall pinned in tests on clustered data
+}

@@ -1,0 +1,220 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token statistics, fingerprinting. All native expressions
+(regex + length arithmetic + explode/agg); nothing leaves the JVM.
+Every op here has a DuckDB oracle — the heuristics are deliberately
+SQL-expressible arithmetic so the gate covers them end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions.text import FP_MOD, tokens
+
+#: tiny per-language stopword lexicons for the n-gram/stopword
+#: language-ID heuristic; deterministic argmax order = lexicon order
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "de", "las"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _count_token(toks: Column, word: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts via one split pass,
+    average token length via length arithmetic (no per-token rows)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks"), "text"
+    )
+    n_tok = F.size("toks").cast("long")
+    total_tok_chars = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.round(
+            F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: score = stopword hits per
+    language; prediction = argmax with deterministic lexicon-order
+    tiebreak ('en' wins ties). Returns prediction + agreement with the
+    table's lang column."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    scores = {
+        lang: sum(
+            (_count_token(F.col("toks"), w) for w in words), F.lit(0)
+        ).alias(f"score_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    d = d.select("doc_id", "lang", *scores.values())
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{x}") for x in langs])
+    pred = F.lit(None).cast("string")
+    # build argmax right-to-left so earlier lexicon order wins ties
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: mix of length score, alpha
+    ratio, stopword ratio, and mean-word-length plausibility — the
+    standard cheap pre-filter in front of an LLM data pipeline."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    n = F.length("text").cast("double")
+    n_tok = F.size("toks").cast("double")
+    alpha = (
+        n - F.length(F.regexp_replace("text", "[A-Za-z ]", "")).cast("double")
+    ) / F.when(n > 0, n).otherwise(F.lit(1.0))
+    en_hits = sum(
+        (_count_token(F.col("toks"), w) for w in STOPWORDS["en"]), F.lit(0)
+    ).cast("double")
+    stop_ratio = F.when(n_tok > 0, en_hits / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = 0.25 * len_score + 0.35 * alpha + 0.2 * stop_ratio + 0.2 * wlen_score
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional fingerprint:
+    Σ (pos+1) * ascii(char) mod 2^31-1. Computed distributed via
+    posexplode + grouped sum — each char row is (doc_id, pos, code),
+    the modulo keeps both engines in exact integer range. Detects
+    reorderings that bag-of-chars hashes miss."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("pos", "ch")
+    )
+    contrib = (F.col("pos") + 1).cast("long") * F.ascii("ch").cast("long")
+    return (
+        d.groupBy("doc_id")
+        .agg((F.sum(contrib) % FP_MOD).alias("fingerprint"))
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+def _oracle_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+ORACLE = {
+    "text_token_stats": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
+                     ELSE 0.0 END, 4) AS avg_token_len
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang,
+                 {_oracle_hits('en')} AS score_en,
+                 {_oracle_hits('fr')} AS score_fr,
+                 {_oracle_hits('es')} AS score_es,
+                 {_oracle_hits('de')} AS score_de
+          FROM t
+        ), p AS (
+          SELECT doc_id, lang,
+                 CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'unknown'
+                      WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                      WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                      WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                      ELSE 'de' END AS pred_lang
+          FROM s
+        )
+        SELECT doc_id, pred_lang, pred_lang = lang AS agrees FROM p
+    """,
+    "text_quality_score": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+                 length(text)::DOUBLE AS n
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(toks)::DOUBLE AS n_tok,
+                 (n - length(regexp_replace(text, '[A-Za-z ]', '', 'g'))) / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS alpha,
+                 len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::DOUBLE AS en_hits,
+                 least(n / 500.0, 1.0) AS len_score,
+                 length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS tok_chars
+          FROM t
+        ), q AS (
+          SELECT doc_id, alpha, len_score,
+                 CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_tok > 0 AND tok_chars / n_tok BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END AS wlen_score
+          FROM m
+        )
+        SELECT doc_id,
+               ROUND(0.25 * len_score + 0.35 * alpha + 0.2 * stop_ratio + 0.2 * wlen_score, 4) AS quality,
+               ROUND(stop_ratio, 4) AS stopword_ratio,
+               ROUND(alpha, 4) AS alpha_ratio
+        FROM q
+    """,
+    "text_fingerprint": f"""
+        WITH chars AS (
+          SELECT doc_id, text,
+                 CAST(unnest(range(length(text))) AS BIGINT) + 1 AS pos
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(SUM(pos * ascii(substring(text, pos::INTEGER, 1))) % {FP_MOD} AS BIGINT) AS fingerprint
+        FROM chars
+        GROUP BY doc_id
+    """,
+}

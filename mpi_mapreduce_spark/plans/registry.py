@@ -33,9 +33,16 @@ def _install(module) -> None:
 
 
 def _build() -> None:
-    from mpi_mapreduce_spark.operators import mapreduce, relational
+    from mpi_mapreduce_spark.operators import (
+        dedup,
+        mapreduce,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
 
-    for mod in (mapreduce, relational):
+    for mod in (mapreduce, relational, dedup, similarity, textops, multimodal):
         _install(mod)
 
 

@@ -1,0 +1,59 @@
+"""Dedup semantics + the recall contracts for the approximate paths
+(these replace the oracle for rows-only ops: MinHash-LSH and SimHash
+must find what the exact blocked-Jaccard op finds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.operators import dedup as D
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    exact = _pairs(D.dedup_ngram_jaccard(spark, sf_dir))
+    lsh = _pairs(D.dedup_minhash_lsh(spark, sf_dir))
+    # verify step removes false positives entirely...
+    assert lsh <= exact or not exact
+    # ...and banded-LSH recall at j>=0.5 with 16x2 bands should be ~99%
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_exact_dedup_flags_later_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("text").orderBy("doc_id")
+    flags = {
+        r.doc_id: r.is_dup
+        for r in df.select(
+            "doc_id", (F.row_number().over(w) > 1).alias("is_dup")
+        ).collect()
+    }
+    assert flags == {1: False, 2: True, 3: False}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_embedding_neardup_symmetric_clean(spark, sf_dir):
+    pairs = D.dedup_embedding(spark, sf_dir).collect()
+    for r in pairs:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= D.EMBED_DUP_THRESHOLD

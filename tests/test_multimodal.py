@@ -1,0 +1,28 @@
+"""Multimodal plumbing: binary schema, Arrow batch shapes, stub
+determinism."""
+
+from __future__ import annotations
+
+from mpi_mapreduce_spark.operators import multimodal as M
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = M.media_table(spark, sf_dir)
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta_type = dict(media.dtypes)["meta"]
+    assert "mime" in meta_type and "n_bytes" in meta_type
+
+
+def test_features_deterministic_and_dense(spark, sf_dir):
+    f1 = M.multimodal_features(spark, sf_dir).collect()
+    f2 = M.multimodal_features(spark, sf_dir).collect()
+    assert sorted(map(tuple, f1)) == sorted(map(tuple, f2))
+    n_media = M.media_table(spark, sf_dir).count()
+    assert len(f1) == n_media * M.FEATURE_DIM
+
+
+def test_frame_sampling_keeps_every_4th(spark, sf_dir):
+    rows = M.frame_sample(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_sampled == (r.n_frames - 1) // 4 + 1 if r.n_frames else 1
+        assert 0 < r.bytes_kept <= r.n_sampled * 64

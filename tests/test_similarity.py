@@ -1,0 +1,78 @@
+"""Similarity-search contracts. Brute force is the truth. The ANN
+recall contract runs on *planted clustered* vectors — the driver's
+synthetic embeddings are i.i.d. noise (max pairwise cosine ≈ 0.5),
+which carries no neighborhood structure for any ANN index; clustered
+data is what the operator exists for."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from mpi_mapreduce_spark.operators import similarity as S
+from pyspark.sql import functions as F
+
+
+def _topk(df) -> dict[int, list[int]]:
+    out: dict[int, list[int]] = {}
+    for r in df.orderBy("query_id", "rank").collect():
+        out.setdefault(r.query_id, []).append(r.vec_id)
+    return out
+
+
+def test_knn_shape_and_selfexclusion(spark, sf_dir):
+    rows = S.knn_bruteforce(spark, sf_dir).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
+    assert all(r.vec_id != r.query_id for r in rows)
+    assert all(1 <= r.rank <= S.TOP_K for r in rows)
+
+
+def test_ann_returns_valid_neighbors_on_table(spark, sf_dir):
+    rows = S.ann_lsh_topk(spark, sf_dir).collect()
+    assert all(r.vec_id != r.query_id for r in rows)
+    assert all(r.rank <= S.TOP_K for r in rows)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """20 clusters x 30 vectors, within-cluster cosine ≈ 0.95 (σ=0.06
+    noise over 16 dims → ||noise|| ≈ 0.24 vs unit centers) — the
+    near-duplicate regime ANN retrieval exists for."""
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(20):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        cn = math.sqrt(sum(x * x for x in center))
+        center = [x / cn for x in center]
+        for _ in range(30):
+            noise = [rng.gauss(0, 0.06) for _ in range(dim)]
+            rows.append((vid, [c + n for c, n in zip(center, noise)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return S.normalized_corpus(df), dim
+
+
+def test_ann_recall_on_clustered_data(clustered, spark):
+    corpus, dim = clustered
+    queries = corpus.where(F.col("vec_id") % 30 == 0).limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    truth = _topk(S.knn_topk(corpus, queries))
+    approx = _topk(S.ann_lsh(corpus, queries, dim))
+    recalls = [
+        len(set(truth[q]) & set(approx.get(q, []))) / len(truth[q]) for q in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ANN recall {mean_recall:.2f} ({recalls})"
+    # every ANN result must be exact-rescored truthfully: its cosine
+    # must match the brute-force score for the same pair
+    pairs_bf = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in S.knn_topk(corpus, queries, k=600).collect()
+    }
+    for r in S.ann_lsh(corpus, queries, dim).collect():
+        assert pairs_bf[(r.query_id, r.vec_id)] == r.cosine
