@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
 from mpi_mapreduce_spark.functions import text as TXT
 from mpi_mapreduce_spark.functions import vectors as VEC
 
@@ -124,7 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(TXT.jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            ex.quantize(TXT.jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .distinct()
@@ -149,12 +150,13 @@ ORACLE_NGRAM_JACCARD = f"""
       FROM sh
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+           ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0 AS jaccard
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+    WHERE ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0
+          >= {JACCARD_THRESHOLD}
 """
 
 
@@ -229,7 +231,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(TXT.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            ex.quantize(TXT.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -320,7 +322,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(VEC.dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            ex.quantize(VEC.dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
     )
@@ -337,9 +339,10 @@ ORACLE_DEDUP_EMBEDDING = f"""
       FROM v
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+           ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0 AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
+    WHERE ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0
+          >= {EMBED_DUP_THRESHOLD}
 """
 
 

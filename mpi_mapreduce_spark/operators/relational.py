@@ -6,10 +6,14 @@ Catalyst does predicate pushdown, column pruning, join selection and
 AQE re-planning. Every query aliases its computed columns identically
 to its DuckDB oracle (driver hash-compares by sorted column name).
 
-Float discipline: aggregate doubles are ROUNDed in both engines so the
-order-of-addition nondeterminism of distributed sums can't flip the
-value hash (verified: Spark and DuckDB both round half-away-from-zero
-on doubles). Top-k orderings always carry a unique-key tiebreak so the
+Float discipline: every aggregate over doubles goes through
+functions.exact — each row is quantized to a lossless fixed scale
+(all money columns in the test data are exact 2-decimal values, so
+revenue products are exact at 4, charge at 6), summed exactly as
+integers, and divided back. That makes the result bit-identical
+regardless of addition order — ROUND(SUM(..)) is NOT enough, the
+last-ulp wobble of a distributed float sum flips the rounded value on
+boundaries. Top-k orderings always carry a unique-key tiebreak so the
 selected set is deterministic.
 
 Scale notes per query; common themes at 100 TB:
@@ -30,6 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
+
+#: lossless quantization scales for the star-schema doubles
+_REV = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,13 +64,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            ex.quantized_sum("l_quantity", 2).alias("sum_qty"),
+            ex.quantized_sum("l_extendedprice", 2).alias("sum_base_price"),
+            ex.quantized_sum(_revenue(), 4).alias("sum_disc_price"),
+            ex.quantized_sum(charge, 6).alias("sum_charge"),
+            ex.quantized_avg("l_quantity", 2).alias("avg_qty"),
+            ex.quantized_avg("l_extendedprice", 2).alias("avg_price"),
+            ex.quantized_avg("l_discount", 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -76,7 +85,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            ex.quantized_sum("l_quantity", 2).alias("sum_qty"),
             F.count("*").alias("n"),
         )
         .select(
@@ -96,7 +105,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            ex.quantized_sum("o_totalprice", 2).alias("total_price"),
             F.count("*").alias("n"),
         )
         .select(
@@ -116,7 +125,7 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(ex.quantized_sum("l_quantity", 2))
         .select(
             "l_returnflag",
             F.coalesce("O", F.lit(0.0)).alias("qty_open"),
@@ -167,7 +176,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(ex.quantized_sum(_revenue(), 4).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -204,7 +213,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(ex.quantized_sum(_revenue(), 4).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")
     )
 
@@ -218,8 +227,8 @@ def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            ex.quantized_sum("l_quantity", 2).alias("sum_qty"),
+            ex.quantized_sum(_revenue(), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .select(F.col("p_brand").alias("brand"), "sum_qty", "revenue", "n_items")
@@ -281,7 +290,7 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            ex.quantized_sum("o_totalprice", 2).alias("total"),
         )
     )
 
@@ -303,7 +312,7 @@ def window_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "s_suppkey", "s_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(ex.quantized_sum(_revenue(), 4).alias("revenue"))
     )
     w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
     return (
@@ -331,7 +340,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     return orders.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        ex.quantized_sum_over("o_totalprice", 2, w).alias("running_spend"),
         F.row_number().over(
             W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         ).alias("order_seq"),
@@ -347,7 +356,7 @@ def window_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        ex.quantize(F.col("value") - F.lag("value", 1).over(w), 2).alias("delta_prev"),
         F.lead("event_type", 1).over(w).alias("next_type"),
     )
 
@@ -363,7 +372,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            ex.quantize("o_totalprice", 2).alias("totalprice"),
             F.col("o_orderpriority").alias("priority"),
         )
         .orderBy(F.desc("totalprice"), "o_orderkey")
@@ -406,7 +415,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).alias("sum_k"),
             F.min(k).alias("min_k"),
             F.max(k).alias("max_k"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            ex.quantized_avg("value", 2).alias("avg_value"),
         )
     )
 
@@ -422,7 +431,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            ex.quantized_sum("o_totalprice", 2).alias("total"),
         )
     )
 
@@ -470,42 +479,46 @@ QUERIES = {
 }
 
 ORACLE = {
-    "q1_pricing_summary": """
+    "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               {ex.sql_sum('l_quantity', 2)} AS sum_qty,
+               {ex.sql_sum('l_extendedprice', 2)} AS sum_base_price,
+               {ex.sql_sum(_REV, 4)} AS sum_disc_price,
+               {ex.sql_sum(_CHARGE, 6)} AS sum_charge,
+               {ex.sql_avg('l_quantity', 2)} AS avg_qty,
+               {ex.sql_avg('l_extendedprice', 2)} AS avg_price,
+               {ex.sql_avg('l_discount', 2)} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "rollup_pricing": """
+    "rollup_pricing": f"""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               {ex.sql_sum('l_quantity', 2)} AS sum_qty,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    "cube_order_stats": """
+    "cube_order_stats": f"""
         SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
                COALESCE(o_orderpriority, 'ALL') AS orderpriority,
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-               ROUND(SUM(o_totalprice), 2) AS total_price,
+               {ex.sql_sum('o_totalprice', 2)} AS total_price,
                COUNT(*) AS n
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "pivot_linestatus": """
         SELECT l_returnflag,
-               COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0.0) AS qty_open,
-               COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0.0) AS qty_filled
+               COALESCE(CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS HUGEINT))
+                             FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 100.0,
+                        0.0) AS qty_open,
+               COALESCE(CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS HUGEINT))
+                             FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 100.0,
+                        0.0) AS qty_filled
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -515,11 +528,11 @@ ORACLE = {
                COUNT(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority AS orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {ex.sql_sum(_REV, 4)} AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -530,9 +543,9 @@ ORACLE = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    "q5_local_supplier_volume": """
+    "q5_local_supplier_volume": f"""
         SELECT n_name AS nation,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {ex.sql_sum(_REV, 4)} AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -544,10 +557,10 @@ ORACLE = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
-    "join_broadcast_part": """
+    "join_broadcast_part": f"""
         SELECT p_brand AS brand,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {ex.sql_sum('l_quantity', 2)} AS sum_qty,
+               {ex.sql_sum(_REV, 4)} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -567,19 +580,20 @@ ORACLE = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY n_name
     """,
-    "join_range_price_band": """
+    "join_range_price_band": f"""
         WITH bands(band, lo, hi) AS (
             VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
                    ('high', 150000.0, 300000.0), ('lux', 300000.0, 1e18)
         )
-        SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        SELECT band, COUNT(*) AS n_orders,
+               {ex.sql_sum('o_totalprice', 2)} AS total
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
     """,
-    "window_topk_suppliers": """
+    "window_topk_suppliers": f"""
         WITH rev AS (
             SELECT n_name, s_suppkey, s_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {ex.sql_sum(_REV, 4)} AS revenue
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -594,11 +608,12 @@ ORACLE = {
                CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
-    "window_running_customer_spend": """
+    "window_running_customer_spend": f"""
         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-               ROUND(SUM(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               {ex.sql_sum_over(
+                   'o_totalprice', 2,
+                   'PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey '
+                   'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')}
                    AS running_spend,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -607,13 +622,13 @@ ORACLE = {
     """,
     "window_event_deltas": """
         SELECT user_id, event_id,
-               ROUND(value - LAG(value, 1) OVER w, 4) AS delta_prev,
+               ROUND((value - LAG(value, 1) OVER w) * 100.0) / 100.0 AS delta_prev,
                LEAD(event_type, 1) OVER w AS next_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
     "topk_orders": """
-        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+        SELECT o_orderkey, ROUND(o_totalprice * 100.0) / 100.0 AS totalprice,
                o_orderpriority AS priority
         FROM orders
         ORDER BY totalprice DESC, o_orderkey
@@ -626,20 +641,20 @@ ORACLE = {
                (SELECT COUNT(*) FROM (SELECT * FROM c95 UNION SELECT * FROM c96)) AS in_either,
                (SELECT COUNT(*) FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)) AS only_1995
     """,
-    "events_json_stats": """
+    "events_json_stats": f"""
         SELECT event_type,
                COUNT(*) AS n,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               ROUND(AVG(value), 4) AS avg_value
+               {ex.sql_avg('value', 2)} AS avg_value
         FROM events
         GROUP BY event_type
     """,
-    "orders_by_month": """
+    "orders_by_month": f"""
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total
+               {ex.sql_sum('o_totalprice', 2)} AS total
         FROM orders
         GROUP BY 1
     """,

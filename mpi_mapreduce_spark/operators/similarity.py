@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
 from mpi_mapreduce_spark.functions import vectors as VEC
 
 TOP_K = 10
@@ -54,7 +55,7 @@ def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
     ).select(
         "query_id",
         "vec_id",
-        F.round(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        ex.quantize(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -107,7 +108,7 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> 
     scored = cands.select(
         "query_id",
         "vec_id",
-        F.round(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        ex.quantize(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -151,7 +152,7 @@ ORACLE_KNN = f"""
       FROM v
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             ROUND(list_dot_product(q.v, c.v), 6) AS cosine
+             ROUND(list_dot_product(q.v, c.v) * 1000000.0) / 1000000.0 AS cosine
       FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
     ), ranked AS (
       SELECT query_id, vec_id, cosine,

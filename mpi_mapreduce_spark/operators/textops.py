@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
 from mpi_mapreduce_spark.functions.text import FP_MOD, tokens
 
 #: tiny per-language stopword lexicons for the n-gram/stopword
@@ -45,7 +46,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
-        F.round(
+        ex.quantize(
             F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0)), 4
         ).alias("avg_token_len"),
     )
@@ -107,9 +108,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.25 * len_score + 0.35 * alpha + 0.2 * stop_ratio + 0.2 * wlen_score
     return d.select(
         "doc_id",
-        F.round(score, 4).alias("quality"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha, 4).alias("alpha_ratio"),
+        ex.quantize(score, 4).alias("quality"),
+        ex.quantize(stop_ratio, 4).alias("stopword_ratio"),
+        ex.quantize(alpha, 4).alias("alpha_ratio"),
     )
 
 
@@ -152,9 +153,9 @@ ORACLE = {
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-               ROUND(CASE WHEN len(toks) > 0
-                     THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
-                     ELSE 0.0 END, 4) AS avg_token_len
+               ROUND((CASE WHEN len(toks) > 0
+                      THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
+                      ELSE 0.0 END) * 10000.0) / 10000.0 AS avg_token_len
         FROM t
     """,
     "text_lang_id": f"""
@@ -201,9 +202,9 @@ ORACLE = {
           FROM m
         )
         SELECT doc_id,
-               ROUND(0.25 * len_score + 0.35 * alpha + 0.2 * stop_ratio + 0.2 * wlen_score, 4) AS quality,
-               ROUND(stop_ratio, 4) AS stopword_ratio,
-               ROUND(alpha, 4) AS alpha_ratio
+               ROUND((0.25 * len_score + 0.35 * alpha + 0.2 * stop_ratio + 0.2 * wlen_score) * 10000.0) / 10000.0 AS quality,
+               ROUND(stop_ratio * 10000.0) / 10000.0 AS stopword_ratio,
+               ROUND(alpha * 10000.0) / 10000.0 AS alpha_ratio
         FROM q
     """,
     "text_fingerprint": f"""

@@ -41,8 +41,17 @@ def _build() -> None:
         similarity,
         textops,
     )
+    from mpi_mapreduce_spark.streaming import windows
 
-    for mod in (mapreduce, relational, dedup, similarity, textops, multimodal):
+    for mod in (
+        mapreduce,
+        relational,
+        dedup,
+        similarity,
+        textops,
+        multimodal,
+        windows,
+    ):
         _install(mod)
 
 

@@ -1,0 +1,217 @@
+"""Event-time windowing over the ``events`` table — Structured
+Streaming operators with batch-mode twins.
+
+The reference has no streaming at all; its closest artifact is the
+EOS-sentinel termination protocol (reference main.cpp:236-243,
+254-266), which is punctuation, not event time (SURVEY.md §2.9). The
+engine provides real event-time processing: tumbling / sliding /
+session windows, watermark late-data policy, and streaming dedup.
+
+Design: every transformation here is written against a plain DataFrame
+so the SAME function body serves both `spark.read` (batch, used by the
+driver's DuckDB oracle gate) and `spark.readStream` (incremental,
+exercised in tests with a memory sink). That's the point of Structured
+Streaming — one declarative plan, two execution modes.
+
+Scale: windowed aggregations shuffle on (window, key) — bounded state
+per window x key; watermarks bound total state for unbounded streams.
+Session windows keep per-key open-session state; the 5-minute gap +
+watermark caps it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
+
+TUMBLE = "10 minutes"
+SLIDE_WIN = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "5 minutes"
+WATERMARK = "10 minutes"
+
+
+def _fmt(ts_col) -> F.Column:
+    return F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Transformations (batch OR stream input)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling windows per event_type."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), ex.quantized_sum("value", 2).alias("sum_value"))
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"))
+        .agg(F.count("*").alias("n"), ex.quantized_avg("value", 2).alias("avg_value"))
+        .select(_fmt("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap."""
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), ex.quantized_sum("value", 2).alias("sum_value"))
+        .select(
+            "user_id",
+            _fmt("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def first_event_per_user_type(events: DataFrame) -> DataFrame:
+    """Streaming-dedup twin: keep each user's first event of each type.
+    Batch form = row_number window; streaming form = dropDuplicates
+    (tested equivalent in tests/test_streaming.py)."""
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming entry points (readStream → transformation)
+# ---------------------------------------------------------------------------
+
+#: events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as
+#: long, rebuilt below — same handling as datamodel.load_table)
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (stand-in for Kafka etc.);
+    one file = one micro-batch driver for tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        # glob, not bare file path: a streaming source's basePath must
+        # be a directory
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming variant of tumbling_counts — append-mode
+    capable: state for a window is dropped once the watermark passes."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return tumbling_counts(ev)
+
+
+# ---------------------------------------------------------------------------
+# Registry (batch mode, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_ev(spark, sf_dir))
+
+
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(_ev(spark, sf_dir))
+
+
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(_ev(spark, sf_dir))
+
+
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_event_per_user_type(_ev(spark, sf_dir))
+
+
+QUERIES = {
+    "events_tumbling_counts": events_tumbling_counts,
+    "events_sliding_counts": events_sliding_counts,
+    "events_session_stats": events_session_stats,
+    "events_first_per_user_type": events_first_per_user_type,
+}
+
+ORACLE = {
+    "events_tumbling_counts": f"""
+        SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               {ex.sql_sum('value', 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # sliding windows: each event belongs to buckets b and b-5min where
+    # b = floor(ts, 5 minutes)
+    "events_sliding_counts": f"""
+        WITH expanded AS (
+          SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                         time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+                 value
+          FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n,
+               {ex.sql_avg('value', 2)} AS avg_value
+        FROM expanded
+        GROUP BY 1
+    """,
+    # gaps-and-islands sessionization: Spark's session_window(ts, gap)
+    # semantics — a session extends while successive events are < gap
+    # apart; window start = first event ts
+    "events_session_stats": f"""
+        WITH seq AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL '5 minutes'
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM seq
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               {ex.sql_sum('value', 2)} AS sum_value
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    "events_first_per_user_type": """
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+}

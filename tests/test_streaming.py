@@ -1,0 +1,108 @@
+"""Structured Streaming: the same transformations that pass the batch
+oracle must produce identical results when executed incrementally
+(micro-batches + watermark + memory sink), and streaming dedup must
+match its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.streaming import windows as SW
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = SW.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = SW.tumbling_counts(SW.stream_events(spark, sf_dir))
+    _run_stream(stream, "tumbling_out")
+    got = spark.sql("SELECT * FROM tumbling_out")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_streaming_watermark_append_mode(spark, sf_dir):
+    """Watermarked append-mode query: windows are emitted once closed;
+    over a finite input every window except the tail closes."""
+    agg = SW.streaming_tumbling_counts(spark, sf_dir)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT * FROM wm_out")
+    batch = SW.tumbling_counts(load_table(spark, sf_dir, "events"))
+    # append-mode output must be a subset of the batch truth, missing
+    # only windows still open at the watermark when input ended
+    b = {tuple(r): True for r in batch.collect()}
+    rows = emitted.collect()
+    assert rows, "append mode emitted nothing — watermark never advanced?"
+    for r in rows:
+        assert tuple(r) in b
+
+
+def test_streaming_dedup_matches_batch_twin(spark, sf_dir):
+    ev = SW.stream_events(spark, sf_dir)
+    stream = (
+        ev.select("user_id", "event_type", "event_id")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT user_id, event_type FROM dedup_out")
+    batch = SW.first_event_per_user_type(load_table(spark, sf_dir, "events"))
+    # streaming dropDuplicates keeps the first *arrival* (file order);
+    # the batch twin keeps min event_id — the (user, type) key sets
+    # must agree even if the chosen representative differs
+    assert _sorted_rows(got) == _sorted_rows(batch.select("user_id", "event_type"))
+
+
+def test_session_window_semantics_tiny(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:04:00"),   # < 5 min gap → same session
+        (1, "2024-01-01 00:08:30"),   # 4.5 min gap → still chained
+        (1, "2024-01-01 00:20:00"),   # > 5 min gap → new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), F.lit(1.0).alias("value")
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in SW.session_stats(ev).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 3,
+        (1, "2024-01-01 00:20:00"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
