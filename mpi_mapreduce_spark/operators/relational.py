@@ -118,6 +118,57 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary subtotal selection (the
+    general form behind rollup/cube), still one shuffle: Spark expands
+    the sets before the agg exactly like rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            ex.quantized_sum("l_quantity", 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+#: identical ANSI text runs on Spark (temp views) AND DuckDB — the
+#: engine's SQL API surface, with a correlated EXISTS (TPC-H Q4 shape;
+#: Catalyst rewrites it to a left-semi join on l_orderkey).
+_SQL_Q4_PRIORITY = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) API path: same text as the oracle, byte for
+    byte — proves the SQL surface, the view catalog, and correlated
+    subquery planning in one query."""
+    from mpi_mapreduce_spark.datamodel import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q4_PRIORITY)
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per linestatus value. Values enumerated
     explicitly so Spark skips the distinct-value discovery job."""
@@ -459,6 +510,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "rollup_pricing": rollup_pricing,
     "cube_order_stats": cube_order_stats,
+    "grouping_sets_pricing": grouping_sets_pricing,
+    "sql_q4_order_priority": sql_q4_order_priority,
     "pivot_linestatus": pivot_linestatus,
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
@@ -511,6 +564,17 @@ ORACLE = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    "grouping_sets_pricing": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               {ex.sql_sum('l_quantity', 2)} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """,
+    "sql_q4_order_priority": _SQL_Q4_PRIORITY,
     "pivot_linestatus": """
         SELECT l_returnflag,
                COALESCE(CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS HUGEINT))

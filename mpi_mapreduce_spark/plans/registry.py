@@ -41,16 +41,20 @@ def _build() -> None:
         similarity,
         textops,
     )
-    from mpi_mapreduce_spark.streaming import windows
+    from mpi_mapreduce_spark.streaming import stateful, windows
+
+    from mpi_mapreduce_spark.operators import asof
 
     for mod in (
         mapreduce,
         relational,
+        asof,
         dedup,
         similarity,
         textops,
         multimodal,
         windows,
+        stateful,
     ):
         _install(mod)
 

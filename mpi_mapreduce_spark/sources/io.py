@@ -1,0 +1,101 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference reads a directory of numbered text files — one whole
+file per record (reference main.cpp:28-47, resolveFilePath +
+readFileIntoCharBuffer) — and writes results as ``key<space>val``
+lines to a single text file (reference main.cpp:157-174). Both are
+reproduced here Spark-first, plus the general columnar formats the
+reference lacks (parquet/csv/json, partitioned layouts).
+
+Scale notes:
+- the text-corpus source uses Spark's file-based DataSource (splits,
+  locality, parallel listing) — NOT a driver-side loop like the
+  reference's master, which held every file in memory at once
+  (main.cpp:133-155);
+- `write_table(..., partition_by=...)` is the 100 TB layout tool:
+  partition pruning turns date/tenant filters into directory pruning;
+- `write_kv_text` intentionally coalesces to ONE file only because
+  the reference's contract is a single output file — at scale you'd
+  drop the coalesce and keep one file per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.datamodel import KV_SCHEMA
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file-per-row corpus scan — the reference's input
+    granularity (one map call per file, main.cpp:141-155, 205).
+    Returns (doc_path, text); doc_path is the stable identifier."""
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .select(
+            F.input_file_name().alias("doc_path"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def write_kv_text(df: DataFrame, path: str) -> None:
+    """Reference-format result sink: ``key<space>val`` lines, one
+    file, key-sorted (the golden outputs are key-sorted; the reference
+    itself writes in arrival order — order is not semantic,
+    SURVEY.md §2.6)."""
+    (
+        df.orderBy("key")
+        .select(F.concat_ws(" ", F.col("key"), F.col("val")).alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse of write_kv_text → (key string, val long)."""
+    line = spark.read.text(path)
+    return line.select(
+        F.regexp_extract("value", r"^(.*) (-?\d+)$", 1).alias("key"),
+        F.regexp_extract("value", r"^(.*) (-?\d+)$", 2).cast("long").alias("val"),
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar/row sink: parquet (canonical), csv, json; optional
+    hive-style partitioning for pruning at scale."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Source twin of write_table. Pass an explicit DDL schema for
+    csv/json (schema-on-read inference is a full extra pass — never
+    rely on it at scale)."""
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    if schema:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    return r.load(path)
+
+
+KV_TEXT_SCHEMA = KV_SCHEMA  # re-export: the sink/source pair's schema

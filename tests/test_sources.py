@@ -1,0 +1,71 @@
+"""Sources & sinks: reference-granularity text corpus in, reference-
+format key/val text out, and columnar round-trips (parquet partitioned,
+csv, json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.operators.mapreduce import map1_charclass
+from mpi_mapreduce_spark.sources import (
+    read_kv_text,
+    read_table,
+    read_text_corpus,
+    write_kv_text,
+    write_table,
+)
+
+
+def test_text_corpus_whole_file_granularity(spark, tmp_path):
+    """One row per FILE (the reference's map-call unit), not per line."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "0.txt").write_text("Hello 123\nworld!")
+    (d / "1.txt").write_text("abc")
+    docs = read_text_corpus(spark, str(d))
+    rows = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert rows == {"0.txt": "Hello 123\nworld!", "1.txt": "abc"}
+    # reference map1 semantics over the corpus: letters/numbers/others
+    got = {r.key: r.val for r in map1_charclass(docs).collect()}
+    assert got == {"letters": 13, "numbers": 3, "others": 3}
+
+
+def test_kv_text_round_trip_and_format(spark, tmp_path):
+    kv = spark.createDataFrame(
+        [("letters", 170), ("numbers", 0), ("others", 23)], "key string, val long"
+    )
+    out = tmp_path / "kv_out"
+    write_kv_text(kv, str(out))
+    # exact reference line format: "key<space>val", key-sorted
+    part = next(p for p in out.iterdir() if p.name.startswith("part-"))
+    assert part.read_text() == "letters 170\nnumbers 0\nothers 23\n"
+    back = read_kv_text(spark, str(out))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, kv.collect()))
+
+
+def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_table(orders, out, partition_by=["year"])
+    back = read_table(spark, out)
+    assert back.count() == orders.count()
+    sub = back.where(F.col("year") == 1996)
+    # partition pruning: the physical plan must carry the partition
+    # filter (directory-level pruning, no full scan)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+    assert sub.count() == orders.where(F.year("o_orderdate") == 1996).count()
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, x double"
+    )
+    for fmt in ("csv", "json"):
+        out = str(tmp_path / f"t_{fmt}")
+        write_table(df, out, fmt=fmt)
+        back = read_table(spark, out, fmt=fmt, schema="id long, s string, x double")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
