@@ -46,20 +46,11 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` min-hash values. Hash family i is
-    xxhash64(shingle, i) — xxhash64 folds extra arguments into the
-    hash, so each literal i yields an independent 64-bit function.
-    Evaluates JVM-side; one pass per hash over the (small) distinct
-    shingle array already in memory per row."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+# NOTE: no array-based minhash_signature combinator here on purpose.
+# Computing N minhashes as array_min(transform(...)) runs in Spark's
+# interpreted higher-order-function path (~30x slower than codegen);
+# operators/dedup.py builds signatures via explode + N native min()
+# aggregates instead, which also gets map-side combine at scale.
 
 
 def simhash64(token_hash: Column, weight: Column) -> list[Column]:

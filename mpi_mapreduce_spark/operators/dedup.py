@@ -164,6 +164,43 @@ ORACLE_NGRAM_JACCARD = f"""
 # MinHash + LSH — the scale path
 # ---------------------------------------------------------------------------
 
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, s) word-3-gram shingle ROWS — the codegen'd
+    scale path for shingling.
+
+    The array combinator (functions.text.word_shingles) runs in
+    Spark's interpreted higher-order-function path, which measured
+    ~2 ms/row here — 30x the cost of the actual work. This variant is
+    row-shaped: posexplode tokens → lead(1)/lead(2) over a doc window
+    → concat. Everything stays in whole-stage codegen and the window
+    shuffle partitions by doc_id, which is exactly how shingling
+    parallelizes over a 100 TB corpus.
+
+    Semantics parity with word_shingles: docs with 1-2 tokens
+    contribute their whole token string (concat_ws skips the null
+    leads); token-less docs contribute nothing (nothing to near-dup)."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p", "tok"),
+    ).where(F.col("tok") != "")
+    w = W.partitionBy("doc_id").orderBy("p")
+    t = tok.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_tok"),
+        F.row_number().over(w).alias("i"),
+    )
+    tri = t.where((F.col("n_tok") >= SHINGLE_N) & F.col("t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s")
+    )
+    short = t.where((F.col("n_tok") < SHINGLE_N) & (F.col("i") == 1)).select(
+        "doc_id", F.concat_ws(" ", "tok", "t1").alias("s")
+    )
+    return tri.unionByName(short).distinct()
+
+
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash.
 
@@ -172,10 +209,22 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     pair expansion is quadratic *per bucket*, which LSH keeps tiny; a
     production guard caps bucket width (hot buckets = degenerate
     near-identical content; cap + log, don't explode)."""
+    return _minhash_candidates(shingle_rows(docs))
+
+
+def _minhash_candidates(srows: DataFrame) -> DataFrame:
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    sh = _shingled(docs)
-    sig = sh.select(
-        "doc_id", TXT.minhash_signature(F.col("sh"), MINHASH_HASHES).alias("sig")
+    # Signature via 32 native min-aggregates over shingle rows, NOT 32
+    # array_min(transform(...)) passes (interpreted, no codegen). Each
+    # shingle is string-hashed exactly once; hash family i is
+    # xxhash64(h, i) over the 8-byte base hash; the groupBy gets
+    # map-side combine — the shuffle carries 32 longs per doc.
+    shingle_hash = srows.select("doc_id", F.xxhash64("s").alias("h"))
+    sig = shingle_hash.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_HASHES)
+        ]
     )
     bands = sig.select(
         "doc_id",
@@ -186,7 +235,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
                         F.lit(i).alias("band_id"),
                         F.xxhash64(
                             *[
-                                F.col("sig")[i * rows_per_band + j]
+                                F.col(f"mh{i * rows_per_band + j}")
                                 for j in range(rows_per_band)
                             ]
                         ).alias("band_hash"),
@@ -219,19 +268,35 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact-Jaccard verify ≥ 0.5. Output equals the
     exact blocked op modulo LSH recall (pinned ≈ 1.0 in tests).
-    Rows-only with the driver (xxhash64 signatures aren't SQL)."""
-    docs = _docs(spark, sf_dir)
-    cands = minhash_candidates(docs)
-    sh = _shingled(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    Rows-only with the driver (xxhash64 signatures aren't SQL).
+
+    The verify step computes Jaccard from shingle ROWS, not arrays:
+    |A∩B| is a pair-join + count on (doc, shingle), |A∪B| =
+    |A|+|B|-|A∩B|. All equi-joins on compact keys — at scale the
+    candidate set is tiny relative to the corpus, so the semi-joined
+    shingle rows stay small."""
+    srows = shingle_rows(_docs(spark, sf_dir))
+    cands = _minhash_candidates(srows)
+    sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ra = srows.select(F.col("doc_id").alias("doc_a"), "s")
+    rb = srows.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(ra, "doc_a")
+        .join(rb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0)).cast("double")
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            ex.quantize(TXT.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            ex.quantize(ni / (F.col("na") + F.col("nb") - ni), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
