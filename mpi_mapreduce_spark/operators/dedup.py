@@ -183,19 +183,22 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p", "tok"),
     ).where(F.col("tok") != "")
+    # ONE window spec — lag/leads share a single sort+WindowExec; a
+    # separate unordered count() window would add a second pass.
     w = W.partitionBy("doc_id").orderBy("p")
     t = tok.select(
         "doc_id",
         "tok",
+        F.lag("tok", 1).over(w).alias("prev"),
         F.lead("tok", 1).over(w).alias("t1"),
         F.lead("tok", 2).over(w).alias("t2"),
-        F.count("*").over(W.partitionBy("doc_id")).alias("n_tok"),
-        F.row_number().over(w).alias("i"),
     )
-    tri = t.where((F.col("n_tok") >= SHINGLE_N) & F.col("t2").isNotNull()).select(
+    tri = t.where(F.col("t2").isNotNull()).select(
         "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s")
     )
-    short = t.where((F.col("n_tok") < SHINGLE_N) & (F.col("i") == 1)).select(
+    # first row (prev null) with no 3rd token -> doc has < 3 tokens:
+    # whole token string is the single shingle (concat_ws skips nulls)
+    short = t.where(F.col("prev").isNull() & F.col("t2").isNull()).select(
         "doc_id", F.concat_ws(" ", "tok", "t1").alias("s")
     )
     return tri.unionByName(short).distinct()

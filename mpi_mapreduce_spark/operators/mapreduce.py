@@ -176,6 +176,25 @@ def map_reduce(
     return grouped.agg(reduce_fn(F.col("val")).cast("long").alias("val"))
 
 
+def ref_compat(kv: DataFrame) -> DataFrame:
+    """Opt-in exact-compat mode for (key, val) results: truncate keys
+    to 7 chars + NUL like the reference's fixed `char key[8]` wire
+    struct (reference tasks.h:13, strncpy at tasks.c:157-158) and
+    narrow values to int32 (tasks.h:14). These are MPI message-format
+    artifacts, NOT semantics — the engine's native path keeps
+    unbounded string keys and 64-bit values (SURVEY.md §1.2); this
+    wrapper exists only to byte-match reference output. Truncation can
+    merge distinct keys (as it would in the reference), so re-sum."""
+    return (
+        kv.select(
+            F.substring("key", 1, 7).alias("key"),
+            F.col("val").cast("int").alias("val"),
+        )
+        .groupBy("key")
+        .agg(F.sum("val").cast("int").alias("val"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry entries: (spark, sf_dir) -> DataFrame over the documents table
 # ---------------------------------------------------------------------------

@@ -112,3 +112,15 @@ def test_generic_map_reduce_custom_reducer(spark):
         map_reduce(df, lambda doc: [(w, 1) for w in doc.split()], reduce_fn=F.max)
     )
     assert got == {"a": 1, "b": 1}
+
+
+def test_ref_compat_truncates_and_resums(spark):
+    from mpi_mapreduce_spark.operators.mapreduce import ref_compat
+
+    kv = spark.createDataFrame(
+        [("longkeyA", 1), ("longkeyB", 2), ("short", 3)], "key string, val long"
+    )
+    got = _kv(ref_compat(kv))
+    # 7-char truncation merges longkeyA/longkeyB (reference tasks.c:157-158)
+    assert got == {"longkey": 3, "short": 3}
+    assert dict(ref_compat(kv).dtypes)["val"] == "int"
