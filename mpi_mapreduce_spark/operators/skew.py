@@ -1,0 +1,115 @@
+"""Skew mitigation — salting utilities for hot keys at 100 TB.
+
+The reference's only skew story is a bad one: static round-robin file
+assignment lets one 453 KB file stall a mapper while others idle
+(reference main.cpp:103-106; 2,348x input-size skew in its own sample
+data). Spark's AQE handles moderate skew automatically
+(spark.sql.adaptive.skewJoin, enabled in session.py); these helpers
+cover the cases AQE can't fix:
+
+- salted_agg: a single hot GROUP BY key overwhelms one reducer. Split
+  every key into `salt_n` subkeys, aggregate partials, then re-agg the
+  salted partials — two small shuffles instead of one skewed one.
+  Correct for any commutative+associative aggregate (sum/count/min/
+  max); exactly Spark's own partial-aggregation trick applied one
+  level deeper.
+- salted_broadcast_left: a shuffle join where a few left keys are hot
+  and the right side is broadcastable — broadcast kills join skew
+  entirely (no shuffle of the skewed side at all). Provided as the
+  explicit recommended rewrite.
+
+The salted path costs one extra (tiny) shuffle, so it's opt-in per
+query, not a default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[Column, Column]],
+    salt_n: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output column name -> (partial_agg_expr,
+    final_agg_expr-over-partial). E.g. a count is
+    ``(F.count("*"), F.sum(...))``; a sum is ``(F.sum(c), F.sum(...))``.
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    `salt_n` reducers; phase 2 groups the `salt_n` partials per key.
+    """
+    salt = (F.spark_partition_id() * 31 + F.monotonically_increasing_id()) % salt_n
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(*[p.alias(f"_p_{name}") for name, (p, _) in aggs.items()])
+    )
+    return partial.groupBy(key).agg(
+        *[
+            f(F.col(f"_p_{name}")).alias(name)
+            for name, (_, f) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_left(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Join rewrite for a skewed left side: broadcast the right side so
+    the hot left keys never shuffle. (If the right side is too big to
+    broadcast, the classic rewrite salts left keys and explodes the
+    right side `salt_n`-fold; with AQE skew-join on, Spark plans that
+    split automatically — keep that as the default.)"""
+    return left.join(F.broadcast(right), on, how)
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: skew-proof aggregation over the (skewed) events table
+# ---------------------------------------------------------------------------
+
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats via salted two-phase aggregation — same
+    result as a direct groupBy (the oracle), immune to one event type
+    dominating the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = ev.withColumn("_v", F.round(F.col("value") * 100).cast("decimal(38,0)"))
+    out = salted_agg(
+        pre,
+        key="event_type",
+        aggs={
+            "n": (F.count("*"), F.sum),
+            "sum_scaled": (F.sum("_v"), F.sum),
+            "max_value": (F.max("value"), F.max),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.col("sum_scaled").cast("double") / F.lit(100.0)).alias("sum_value"),
+        "max_value",
+    )
+
+
+QUERIES = {
+    "events_salted_type_stats": events_salted_type_stats,
+}
+
+ORACLE = {
+    "events_salted_type_stats": f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {ex.sql_sum('value', 2)} AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -43,12 +43,13 @@ def _build() -> None:
     )
     from mpi_mapreduce_spark.streaming import stateful, windows
 
-    from mpi_mapreduce_spark.operators import asof
+    from mpi_mapreduce_spark.operators import asof, skew
 
     for mod in (
         mapreduce,
         relational,
         asof,
+        skew,
         dedup,
         similarity,
         textops,
