@@ -81,7 +81,7 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result as a direct groupBy (the oracle), immune to one event type
     dominating the stream."""
     ev = load_table(spark, sf_dir, "events")
-    pre = ev.withColumn("_v", F.round(F.col("value") * 100).cast("decimal(38,0)"))
+    pre = ev.withColumn("_v", F.round(F.col("value") * 100).cast("long"))
     out = salted_agg(
         pre,
         key="event_type",
