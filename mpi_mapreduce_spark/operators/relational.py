@@ -169,6 +169,47 @@ def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q4_PRIORITY)
 
 
+#: correlated scalar subquery (each customer's max-price order) —
+#: identical text on both engines; Catalyst decorrelates to an
+#: aggregate + join
+_SQL_MAX_ORDER = """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(o_totalprice * 100.0) / 100.0 AS totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def sql_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface."""
+    from mpi_mapreduce_spark.datamodel import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_MAX_ORDER)
+
+
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) of order price per segment.
+    percentile() sorts within each group — fine for per-group
+    cardinalities; the approximate sketch path (percentile_approx /
+    t-digest) is the 100 TB default when groups get huge. Both engines
+    use the same 1-based linear interpolation, and the interpolation
+    arithmetic runs on identical doubles, so the result is exact."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("c_mktsegment").alias("mktsegment"), "p50", "p90", "n")
+    )
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per linestatus value. Values enumerated
     explicitly so Spark skips the distinct-value discovery job."""
@@ -512,6 +553,8 @@ QUERIES = {
     "cube_order_stats": cube_order_stats,
     "grouping_sets_pricing": grouping_sets_pricing,
     "sql_q4_order_priority": sql_q4_order_priority,
+    "sql_customer_max_order": sql_customer_max_order,
+    "percentile_order_prices": percentile_order_prices,
     "pivot_linestatus": pivot_linestatus,
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
@@ -575,6 +618,15 @@ ORACLE = {
                                 (l_linestatus), ())
     """,
     "sql_q4_order_priority": _SQL_Q4_PRIORITY,
+    "sql_customer_max_order": _SQL_MAX_ORDER,
+    "percentile_order_prices": """
+        SELECT c_mktsegment AS mktsegment,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "pivot_linestatus": """
         SELECT l_returnflag,
                COALESCE(CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS HUGEINT))
