@@ -106,3 +106,30 @@ def test_session_window_semantics_tiny(spark):
         (1, "2024-01-01 00:20:00"): 1,
         (2, "2024-01-01 00:00:00"): 1,
     }
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: state for a key is dropped once
+    the watermark passes it — bounded state, same key set as batch
+    distinct over this finite input."""
+    ev = SW.stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
+    stream = ev.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT DISTINCT user_id, event_type FROM wm_dedup_out")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert _sorted_rows(got) == _sorted_rows(batch)
