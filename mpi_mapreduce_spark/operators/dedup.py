@@ -96,41 +96,57 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5.
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, within ±1 length
+    band (|floor(n_chars/50) difference| ≤ 1 — same blocking as the
+    oracle's band expansion).
 
-    Blocking: each doc emits its length band and the next one; pairs
-    join on band equality (shuffle equi-join — no cross join), then the
-    exact Jaccard filter runs only inside bands. Verified to preserve
-    all true pairs for edit-distance-style near-dups (they differ by a
-    few chars, never a whole band)."""
-    sh = _shingled(_docs(spark, sf_dir))
-    banded = sh.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                (F.col("n_chars") / LEN_BAND).cast("long"),
-                (F.col("n_chars") / LEN_BAND).cast("long") + 1,
-            )
-        ).alias("band"),
+    Implementation is an inverted-index join on shingle ROWS: docs
+    sharing a shingle pair up, intersections are a grouped count, and
+    |A∪B| = |A|+|B|-|A∩B|. Work is proportional to Σ_shingle
+    (docs sharing it)² — tiny for real corpora — instead of the
+    band-pair cross product; and everything stays codegen'd. The
+    previous array-intersect version evaluated interpreted
+    higher-order jaccard over every banded pair: measured 425 s at
+    sf0.1 vs ~3 s for this plan — exactly the quadratic trap §8 warns
+    about. Pairs with zero shared shingles can't reach the 0.5
+    threshold, so skipping them is semantics-preserving. At 100 TB a
+    stopword-like hot shingle would quadratically blow one bucket —
+    production guard: drop shingles whose doc-frequency exceeds a cap
+    (they carry no near-dup signal)."""
+    docs = _docs(spark, sf_dir)
+    bands = docs.select(
+        "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    srows = shingle_rows(docs).join(bands, "doc_id")
+    sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = srows.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), "s"
+    )
+    b = srows.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("band_a") - F.col("band_b")) <= 1)
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ni = F.col("ni").cast("double")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ex.quantize(TXT.jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            ex.quantize(ni / (F.col("na") + F.col("nb") - ni), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .distinct()
     )
-    return pairs
 
 
 ORACLE_NGRAM_JACCARD = f"""
