@@ -398,7 +398,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path buckets by hyperplane LSH first — see
     similarity.ann_lsh_topk."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VEC.normalize(VEC.as_double(F.col("embedding"))).alias("v")
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -406,7 +407,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            ex.quantize(VEC.dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            ex.quantize(VEC.dot_arrow(F.col("a.v"), F.col("b.v")), 6).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
     )

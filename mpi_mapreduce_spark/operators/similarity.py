@@ -38,9 +38,13 @@ LSH_SEED = 42
 
 
 def normalized_corpus(emb: DataFrame) -> DataFrame:
-    """(vec_id, v: array<double> unit-norm) from (vec_id, embedding)."""
+    """(vec_id, v: array<double> unit-norm) from (vec_id, embedding).
+
+    Arrow-batched normalization — bit-identical to the HOF version but
+    vectorized (see functions.vectors docstring for why)."""
     return emb.select(
-        "vec_id", VEC.normalize(VEC.as_double(F.col("embedding"))).alias("v")
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
     )
 
 
@@ -48,14 +52,16 @@ def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
     """Exact top-k cosine neighbors per query over a normalized corpus.
 
     ``queries``: (query_id, qv) — small, broadcast. Cosine is a plain
-    dot of unit vectors; ranking uses the *rounded* score plus vec_id
-    tiebreak so results are reproducible against the oracle."""
+    dot of unit vectors (Arrow-batched, bit-identical to the oracle's
+    left fold); ranking uses the *rounded* score plus vec_id tiebreak
+    so results are reproducible against the oracle."""
+    dot = VEC.dot_arrow(F.col("qv"), F.col("v"))
     scored = corpus.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         "vec_id",
-        ex.quantize(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        ex.quantize(dot, 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -79,20 +85,36 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 
 def bucket_expr(vec_col: F.Column, dim: int) -> F.Column:
-    """Sign-bit bucket id: bit j = 1 iff v · h_j > 0 — native
-    zip_with/aggregate expressions, no Python per row."""
-    out = F.lit(0)
-    for j, h in enumerate(_hyperplanes(dim)):
-        hv = F.array(*[F.lit(float(x)) for x in h])
-        bit = F.when(VEC.dot(vec_col, hv) > 0, F.lit(1)).otherwise(F.lit(0))
-        out = out + F.shiftleft(bit, j)
-    return out
+    """Sign-bit bucket id: bit j = 1 iff v · h_j > 0 — Arrow-batched;
+    per-hyperplane cumsum keeps the dot's left-fold order bit-identical
+    to the HOF version, so bucket assignments are stable across the
+    rewrite and across runs (seeded hyperplanes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    hps = _hyperplanes(dim)
+
+    @pandas_udf("int")
+    def _bucket(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(xs.to_numpy())
+        out = np.zeros(len(xs), dtype=np.int32)
+        for j, h in enumerate(hps):
+            dots = np.cumsum(m * np.asarray(h), axis=1)[:, -1]
+            out |= (dots > 0).astype(np.int32) << j
+        return pd.Series(out)
+
+    return _bucket(vec_col)
 
 
 def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: bucket the corpus once, probe each query's
     bucket plus every 1-bit neighbor (multiprobe), exact-rescore only
     the touched candidates via a shuffle equi-join on bucket id."""
+    dot = VEC.dot_arrow(F.col("qv"), F.col("v"))
     bucketed = corpus.withColumn("bucket", bucket_expr(F.col("v"), dim))
     qb = queries.withColumn("qbucket", bucket_expr(F.col("qv"), dim))
     probes = F.array(
@@ -108,7 +130,7 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> 
     scored = cands.select(
         "query_id",
         "vec_id",
-        ex.quantize(VEC.dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        ex.quantize(dot, 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -123,23 +145,22 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> 
 # ---------------------------------------------------------------------------
 
 def _table_corpus_queries(spark: SparkSession, sf_dir: str):
-    corpus = normalized_corpus(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    corpus = normalized_corpus(emb)
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return corpus, queries
+    return corpus, queries, dim
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, queries = _table_corpus_queries(spark, sf_dir)
+    corpus, queries, dim = _table_corpus_queries(spark, sf_dir)
     return knn_topk(corpus, queries)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, queries = _table_corpus_queries(spark, sf_dir)
-    dim = len(
-        load_table(spark, sf_dir, "embeddings").select("embedding").first()[0]
-    )
+    corpus, queries, dim = _table_corpus_queries(spark, sf_dir)
     return ann_lsh(corpus, queries, dim)
 
 
