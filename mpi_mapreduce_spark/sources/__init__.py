@@ -1,7 +1,9 @@
 from mpi_mapreduce_spark.sources.io import (
+    read_bucketed,
     read_kv_text,
     read_table,
     read_text_corpus,
+    write_bucketed,
     write_kv_text,
     write_table,
 )
@@ -12,4 +14,6 @@ __all__ = [
     "write_kv_text",
     "read_table",
     "write_table",
+    "write_bucketed",
+    "read_bucketed",
 ]

@@ -98,4 +98,44 @@ def read_table(
     return r.load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink — the co-located-join layout.
+
+    At 100 TB the dominant cost of a fact-fact join (lineitem ⋈ orders)
+    is shuffling both sides on the key. Writing both tables bucketed on
+    that key with the SAME bucket count pins matching keys to matching
+    files; Spark's scan then reports a ``HashPartitioning`` output and
+    the sort-merge join plans with NO Exchange on either side — the
+    shuffle is paid once at write time and amortized over every
+    subsequent join/aggregation on the key. ``sort_cols`` additionally
+    pre-sorts within buckets so the join can skip its sort.
+
+    Bucketed layout requires the catalog (`saveAsTable`) — bucket
+    metadata lives in table properties, not the parquet files — so this
+    sink takes a table name; pass ``path`` to pin the data location.
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a bucketed table (bucket metadata applies only
+    through the catalog; `spark.read.parquet(path)` on the same files
+    would silently lose the co-location guarantee)."""
+    return spark.table(table)
+
+
 KV_TEXT_SCHEMA = KV_SCHEMA  # re-export: the sink/source pair's schema

@@ -56,6 +56,42 @@ def clustered(spark):
     return S.normalized_corpus(df), dim
 
 
+def test_ivf_returns_valid_neighbors_on_table(spark, sf_dir):
+    rows = S.ann_ivf_topk(spark, sf_dir).collect()
+    assert all(r.vec_id != r.query_id for r in rows)
+    assert all(r.rank <= S.TOP_K for r in rows)
+
+
+def test_ivf_recall_on_clustered_data(clustered, spark):
+    """IVF with nprobe=3 over 16 cells on 20 planted clusters: the
+    query's own cluster lands in one cell, so recall should be high —
+    and far above the 3/16 random-scan fraction."""
+    corpus, dim = clustered
+    queries = corpus.where(F.col("vec_id") % 30 == 0).limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    truth = _topk(S.knn_topk(corpus, queries))
+    cents = S.ivf_centroids(corpus)
+    approx = _topk(S.ann_ivf(corpus, queries, cents))
+    recalls = [
+        len(set(truth[q]) & set(approx.get(q, []))) / len(truth[q]) for q in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, f"IVF recall {mean_recall:.2f} ({recalls})"
+    # exact-rescore truthfulness: IVF cosines must equal brute force
+    pairs_bf = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in S.knn_topk(corpus, queries, k=600).collect()
+    }
+    for r in S.ann_ivf(corpus, queries, cents).collect():
+        assert pairs_bf[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_ivf_centroids_deterministic(clustered):
+    corpus, dim = clustered
+    assert S.ivf_centroids(corpus) == S.ivf_centroids(corpus)
+
+
 def test_ann_recall_on_clustered_data(clustered, spark):
     corpus, dim = clustered
     queries = corpus.where(F.col("vec_id") % 30 == 0).limit(8).select(

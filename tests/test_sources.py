@@ -60,6 +60,42 @@ def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert sub.count() == orders.where(F.year("o_orderdate") == 1996).count()
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the sort-merge join must plan with NO Exchange on either side (the
+    100 TB fact-fact join layout; shuffle paid once at write time)."""
+    from mpi_mapreduce_spark.sources import read_bucketed, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=str(tmp_path / "b_lineitem"),
+    )
+    try:
+        # disable broadcast so the join exercises the bucketed SMJ path
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "b_orders").join(
+                read_bucketed(spark, "b_lineitem"), "o_orderkey"
+            )
+            assert joined.count() == li.count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_csv_json_round_trip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, x double"
