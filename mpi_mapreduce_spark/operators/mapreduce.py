@@ -176,6 +176,45 @@ def map_reduce(
     return grouped.agg(reduce_fn(F.col("val")).cast("long").alias("val"))
 
 
+def map_reduce_udtf(
+    spark: SparkSession,
+    df: DataFrame,
+    map_fn: Callable[[str], Iterable[tuple[str, int]]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Same (map UDTF, sum reduce) contract as :func:`map_reduce`, but
+    through Spark's first-class Python UDTF surface (SURVEY.md §2.10):
+    the emitter runs as a ``LATERAL`` table function in SQL — the
+    literal relational spelling of the reference's 1-doc→N-pairs map
+    shape (tasks.h:22-24).
+
+    ``mapInPandas`` (the default path) moves whole Arrow batches and is
+    the faster choice for bulk jobs; this path exists for API parity —
+    a UDTF composes with arbitrary SQL (joins, filters around the
+    lateral) without leaving the query language. The class is defined
+    in-function so cloudpickle ships it by value (driver workers can't
+    import this package)."""
+    from pyspark.sql.functions import udtf
+
+    class _Mapper:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for k, v in map_fn(text):
+                yield str(k), int(v)
+
+    mapper = udtf(_Mapper, returnType="key string, val long")
+    spark.udtf.register("mr_map_udtf", mapper)
+    df.select(F.col(text_col).alias("__doc")).createOrReplaceTempView("mr_udtf_in")
+    return spark.sql(
+        """
+        SELECT m.key, CAST(SUM(m.val) AS LONG) AS val
+        FROM mr_udtf_in, LATERAL mr_map_udtf(__doc) AS m
+        GROUP BY m.key
+        """
+    )
+
+
 def ref_compat(kv: DataFrame) -> DataFrame:
     """Opt-in exact-compat mode for (key, val) results: truncate keys
     to 7 chars + NUL like the reference's fixed `char key[8]` wire

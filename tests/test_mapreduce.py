@@ -106,6 +106,24 @@ def test_generic_map_reduce_matches_native_map1(spark):
     assert got == _kv(map1_charclass(df))
 
 
+def test_generic_map_reduce_udtf_matches_mapinpandas(spark):
+    """The SQL-lateral UDTF path and the Arrow mapInPandas path agree
+    on the same emitter (map3-style: data-dependent fan-out per doc)."""
+    from mpi_mapreduce_spark.operators.mapreduce import map_reduce_udtf
+
+    df = spark.createDataFrame(
+        [("abcdef",), ("xy",), ("",), (None,)], "text string"
+    )
+
+    def ref_map3(doc: str):
+        count = len(doc) % 5
+        return [(k, 1) for _ in range(count) for k in ("we", "love", "cs", "3210")]
+
+    got = _kv(map_reduce_udtf(spark, df, ref_map3))
+    assert got == _kv(map_reduce(df.where(F.col("text").isNotNull()), ref_map3))
+    assert got == {"we": 3, "love": 3, "cs": 3, "3210": 3}
+
+
 def test_generic_map_reduce_custom_reducer(spark):
     df = spark.createDataFrame([("a a b",), ("b",)], "text string")
     got = _kv(
