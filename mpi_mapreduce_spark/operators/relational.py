@@ -543,6 +543,29 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kitchen-sink (SURVEY.md §2.8): build per-order arrays with
+    collect_list/collect_set, then element/size/containment/join ops.
+    Outputs are scalars (the hash-compare stays type-stable); arrays are
+    sorted before any element access so results are partitioning-
+    invariant — collect_list order is NOT deterministic under a shuffle,
+    array_sort makes it so."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.size("flags").alias("n_flags"),
+        F.array_contains("flags", "R").alias("has_return"),
+        F.concat_ws(",", "flags").alias("flags_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -572,6 +595,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "orders_by_month": orders_by_month,
     "string_functions_showcase": string_functions_showcase,
+    "array_functions_showcase": array_functions_showcase,
 }
 
 ORACLE = {
@@ -619,6 +643,22 @@ ORACLE = {
     """,
     "sql_q4_order_priority": _SQL_Q4_PRIORITY,
     "sql_customer_max_order": _SQL_MAX_ORDER,
+    "array_functions_showcase": """
+        WITH agg AS (
+          SELECT l_orderkey,
+                 list_sort(list(l_linenumber)) AS lines,
+                 list_sort(list(DISTINCT l_returnflag)) AS flags
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(lines) AS INTEGER) AS n_lines,
+               lines[1] AS first_line,
+               lines[-1] AS last_line,
+               CAST(len(flags) AS INTEGER) AS n_flags,
+               list_contains(flags, 'R') AS has_return,
+               array_to_string(flags, ',') AS flags_csv
+        FROM agg
+    """,
     "percentile_order_prices": """
         SELECT c_mktsegment AS mktsegment,
                quantile_cont(o_totalprice, 0.5) AS p50,

@@ -28,3 +28,42 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = R.topk_orders(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_array_showcase_partitioning_invariant(spark, sf_dir):
+    """collect_list order is shuffle-dependent; array_sort must make the
+    showcase's outputs identical at different parallelism."""
+    a = {r.l_orderkey: tuple(r[1:]) for r in R.array_functions_showcase(spark, sf_dir).collect()}
+    one = R._t(spark, sf_dir, "lineitem").coalesce(1)
+    import mpi_mapreduce_spark.operators.relational as rel
+    from pyspark.sql import functions as F
+    per_order = one.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    ).select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.size("flags").alias("n_flags"),
+        F.array_contains("flags", "R").alias("has_return"),
+        F.concat_ws(",", "flags").alias("flags_csv"),
+    )
+    b = {r.l_orderkey: tuple(r[1:]) for r in per_order.collect()}
+    assert a == b
+
+
+def test_map_functions(spark):
+    """Map-type surface (SURVEY.md §2.8): construct, access, introspect."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "b"], [1, 2])], "ks array<string>, vs array<int>"
+    ).select(F.map_from_arrays("ks", "vs").alias("m"))
+    row = df.select(
+        F.element_at("m", "b").alias("b"),
+        F.size("m").alias("n"),
+        F.array_sort(F.map_keys("m")).alias("keys"),
+        F.array_sort(F.map_values("m")).alias("vals"),
+    ).collect()[0]
+    assert (row.b, row.n, row.keys, row.vals) == (2, 2, ["a", "b"], [1, 2])
