@@ -127,9 +127,56 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_STRIDE = 4
+
+
+def make_resize(stride: int = RESIZE_STRIDE):
+    """Build the STUB resize mapInPandas function: 1-D nearest-neighbor
+    downsample — keep every ``stride``-th byte of the payload, emitting
+    the resized payload (real binary-out plumbing) plus audit stats.
+    A real deployment swaps the inner body for PIL resize / audio
+    resample; batch shapes and schema stay identical. Closure for the
+    same cloudpickle reason as make_decode_features."""
+
+    def resize(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [bytes(b[::stride]) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_out": out,
+                    "orig_bytes": [len(b) for b in pdf["payload"]],
+                    "resized_bytes": [len(b) for b in out],
+                    "checksum": [sum(b) for b in out],
+                }
+            )
+
+    return resize
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → resized binary via Arrow-batched mapInPandas. The
+    registry query projects the audit stats (scalar, oracle-checkable:
+    the stub keeps bytes at 0-based positions 0, stride, 2*stride, …
+    of ASCII text, so DuckDB can recompute the checksum); the resized
+    payload itself is asserted byte-exact in pytest."""
+    media = media_table(spark, sf_dir)
+    resized = media.select("media_id", "payload").mapInPandas(
+        make_resize(),
+        schema=(
+            "media_id long, payload_out binary, orig_bytes long, "
+            "resized_bytes long, checksum long"
+        ),
+    )
+    return resized.select("media_id", "orig_bytes", "resized_bytes", "checksum")
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLE = {
@@ -162,5 +209,22 @@ ORACLE = {
                CAST(len(sampled) AS BIGINT) AS n_sampled,
                CAST(COALESCE(list_sum(list_transform(sampled, i -> least(nb - i * 64, 64))), 0) AS BIGINT) AS bytes_kept
         FROM s
+    """,
+    # Stub resize keeps bytes at 0-based positions 0, stride, 2*stride…
+    # of the UTF-8 payload; documents.text is ASCII in the test corpus,
+    # so DuckDB character positions equal byte positions.
+    "multimodal_resize": """
+        WITH r AS (
+          SELECT doc_id AS media_id,
+                 strlen(text) AS orig_bytes,
+                 list_transform(range(1, strlen(text) + 1, 4),
+                                i -> ascii(substring(text, i, 1))) AS kept
+          FROM documents
+        )
+        SELECT media_id,
+               CAST(orig_bytes AS BIGINT) AS orig_bytes,
+               CAST(len(kept) AS BIGINT) AS resized_bytes,
+               CAST(COALESCE(list_sum(kept), 0) AS BIGINT) AS checksum
+        FROM r
     """,
 }

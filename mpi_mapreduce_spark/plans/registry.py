@@ -41,7 +41,7 @@ def _build() -> None:
         similarity,
         textops,
     )
-    from mpi_mapreduce_spark.streaming import stateful, windows
+    from mpi_mapreduce_spark.streaming import joins, stateful, windows
 
     from mpi_mapreduce_spark.operators import asof, skew
 
@@ -56,6 +56,7 @@ def _build() -> None:
         multimodal,
         windows,
         stateful,
+        joins,
     ):
         _install(mod)
 

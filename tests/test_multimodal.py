@@ -21,6 +21,25 @@ def test_features_deterministic_and_dense(spark, sf_dir):
     assert len(f1) == n_media * M.FEATURE_DIM
 
 
+def test_resize_payload_byte_exact(spark, sf_dir):
+    """The binary-out path really carries the resized payload: byte-for-
+    byte equal to payload[::stride], with matching audit stats."""
+    media = M.media_table(spark, sf_dir)
+    resized = media.select("media_id", "payload").mapInPandas(
+        M.make_resize(),
+        schema=(
+            "media_id long, payload_out binary, orig_bytes long, "
+            "resized_bytes long, checksum long"
+        ),
+    )
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in resized.collect():
+        want = orig[r.media_id][:: M.RESIZE_STRIDE]
+        assert bytes(r.payload_out) == want
+        assert r.resized_bytes == len(want)
+        assert r.checksum == sum(want)
+
+
 def test_frame_sampling_keeps_every_4th(spark, sf_dir):
     rows = M.frame_sample(spark, sf_dir).collect()
     for r in rows:

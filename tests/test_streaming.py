@@ -133,3 +133,25 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
         .distinct()
     )
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join with two-sided watermarks + interval
+    condition (append mode) must emit exactly the batch twin's pairs."""
+    from mpi_mapreduce_spark.streaming import joins as SJ
+
+    stream = SJ.streaming_click_purchase_pairs(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ss_join_out")
+    batch = SJ.events_click_purchase_join(spark, sf_dir)
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    assert got.count() > 0
