@@ -567,6 +567,155 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth (q6/q10/q14/q18/q19 shapes on the reduced star schema)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side query — every predicate pushes
+    into the parquet reader, no join, no shuffle beyond the final
+    single-group partial merge. The canonical 'is pushdown working'
+    probe: .explain shows PushedFilters on shipdate/discount/quantity
+    and a 3-column ReadSchema."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            ex.quantized_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. lineitem⋈orders shuffles on orderkey once; customer
+    and nation broadcast; final top-k is TakeOrderedAndProject with a
+    custkey tiebreak so the selected set is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(ex.quantized_sum(_revenue(), 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            ex.quantize("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio. part broadcasts;
+    the ratio divides two exact quantized sums (one IEEE division on
+    bit-identical inputs → deterministic cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            ex.quantized_sum(promo_rev, 4).alias("promo_revenue"),
+            ex.quantized_sum(_revenue(), 4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-table groupBy feeding a
+    join. The qty-per-order aggregate shuffles lineitem on orderkey
+    once; the surviving ~1% of orders then join orders (same key — AQE
+    reuses the exchange side) and broadcast customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(ex.quantized_sum("l_quantity", 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("o_orderkey").alias("orderkey"),
+            ex.quantize("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive bands over a join.
+    Catalyst extracts the common l_partkey = p_partkey equi-condition
+    (hash join, part broadcast) and evaluates the OR-of-ANDs as a
+    post-join filter — exactly how the spec query is best planned."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(band)
+        .agg(
+            ex.quantized_sum(_revenue(), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -583,6 +732,11 @@ QUERIES = {
     "approx_distinct_counts": approx_distinct_counts,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "join_broadcast_part": join_broadcast_part,
     "join_semi_active_customers": join_semi_active_customers,
     "join_anti_idle_customers": join_anti_idle_customers,
@@ -712,6 +866,70 @@ ORACLE = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {ex.sql_sum('l_extendedprice * l_discount', 4)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name AS nation,
+               {ex.sql_quantize('c_acctbal', 2)} AS acctbal,
+               {ex.sql_sum(_REV, 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": f"""
+        WITH agg AS (
+          SELECT {ex.sql_sum(
+              "CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0.0 END", 4
+          )} AS promo_revenue,
+                 {ex.sql_sum(_REV, 4)} AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+        )
+        SELECT promo_revenue, total_revenue,
+               100.0 * promo_revenue / total_revenue AS promo_pct
+        FROM agg
+    """,
+    "q18_large_volume_customers": f"""
+        WITH big AS (
+          SELECT l_orderkey, {ex.sql_sum('l_quantity', 2)} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {ex.sql_sum('l_quantity', 2)} > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey AS orderkey,
+               {ex.sql_quantize('o_totalprice', 2)} AS totalprice,
+               sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice DESC, orderkey
+        LIMIT 100
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT {ex.sql_sum(_REV, 4)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#3' AND l_quantity BETWEEN 1 AND 11
+               AND p_size <= 5)
+           OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20
+               AND p_size <= 10)
+           OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 20 AND 30
+               AND p_size <= 15)
     """,
     "join_broadcast_part": f"""
         SELECT p_brand AS brand,

@@ -25,6 +25,25 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_q6_all_predicates_push_and_prune(spark, sf_dir):
+    """Q6 is the pushdown probe: every predicate reaches the parquet
+    scan and only the 4 referenced columns are read."""
+    plan = R.q6_forecast_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_q18_having_matches_manual_filter(spark, sf_dir):
+    rows = R.q18_large_volume_customers(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.sum_qty > 250 for r in rows)
+    prices = [r.totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = R.topk_orders(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
