@@ -1,0 +1,194 @@
+"""Training-data pipeline operators: deterministic dataset splits,
+sequence packing, and train/test contamination detection.
+
+The reference has nothing in this category (its whole surface is
+(string,int) MapReduce aggregates, SURVEY.md §1); these are [NS]
+extensions in the spirit of BASELINE.json's north star — the
+operations an LLM-data pipeline runs over a 100 TB corpus after
+dedup/quality filtering (operators/dedup.py, operators/textops.py).
+
+Design rules shared by all three operators:
+- **Determinism is the product.** A training split must be stable
+  across reruns, engines, and parallelism. Randomness comes from
+  arithmetic on the row key (Knuth multiplicative hashing) — never
+  rand()/sample(), whose results are partitioning-dependent.
+- **Everything is native expressions** (whole-stage codegen); token
+  counts and prefix sums are exact integer math, so results are
+  bit-identical at any parallelism.
+
+Scale at 100 TB:
+- split assignment is a stateless per-row projection — no shuffle;
+- packing shuffles once on the shard key, then one windowed prefix
+  sum per shard (streaming frame, no per-group materialization);
+  shards bound window-state and give packing its parallelism;
+- contamination joins test shingle ROWS against the distinct train
+  shingle set on the shingle key — work is linear in shingle rows,
+  never pairwise in documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions.text import tokens
+from mpi_mapreduce_spark.operators.dedup import shingle_rows
+
+#: Knuth multiplicative constant (2^32 / golden ratio) — spreads
+#: sequential doc_ids uniformly over buckets, deterministically.
+SPLIT_MULTIPLIER = 2_654_435_761
+SPLIT_BUCKETS = 100
+TRAIN_LT, VAL_LT = 80, 90  # train <80, val <90, test otherwise
+
+#: sequence packing: token budget per packed sequence, shard fan-out
+PACK_BUDGET = 2048
+PACK_SHARDS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def split_bucket(key) -> "F.Column":
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from an integer key.
+    Pure int64 arithmetic (key * multiplier stays under 2^63 for any
+    key < 3.4e9; at larger id spaces switch to xxhash64 — loses the
+    DuckDB-checkable property but not determinism)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (k * F.lit(SPLIT_MULTIPLIER)) % F.lit(SPLIT_BUCKETS)
+
+
+def with_split(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Adds `bucket` and `split` ∈ {train,val,test} columns."""
+    b = split_bucket(key)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < TRAIN_LT, "train")
+        .when(F.col("bucket") < VAL_LT, "val")
+        .otherwise("test"),
+    )
+
+
+def training_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level split assignment over documents — the full mapping is
+    the result, so the oracle checks every single placement."""
+    return with_split(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "bucket", "split"
+    )
+
+
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end-to-end
+    in doc_id order within a shard and chopped into PACK_BUDGET-token
+    bins; each document is assigned the bin its first token lands in.
+
+    The prefix sum is an exact integer windowed SUM per shard — the
+    shard is both the parallelism unit and the window-state bound (a
+    global orderBy would serialize the corpus through one partition)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("bin"),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test leakage: for every test document, how many of its
+    word-3-gram shingles also occur anywhere in the train split.
+
+    Distinct train shingles (not per-doc) keep the join linear: test
+    shingle rows equi-join the train shingle set on the shingle string
+    and a grouped count per test doc follows. `contaminated` uses an
+    integer comparison (2·shared ≥ total), no float threshold."""
+    docs = with_split(_docs(spark, sf_dir))
+    srows = shingle_rows(docs)  # (doc_id, s) distinct
+    splits = docs.select("doc_id", "split")
+    srows = srows.join(splits, "doc_id")
+    train_sh = (
+        srows.where(F.col("split") == "train").select("s").distinct()
+    )
+    test_sh = srows.where(F.col("split") == "test").select("doc_id", "s")
+    shared = (
+        test_sh.join(train_sh.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+    )
+    return shared.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared") * 2 >= F.col("n_shingles")).alias("contaminated"),
+    )
+
+
+QUERIES = {
+    "training_split_assign": training_split_assign,
+    "training_pack_sequences": training_pack_sequences,
+    "training_contamination_check": contamination_check,
+}
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# word-3-gram distinct shingles, matching functions.text.word_shingles:
+# <3 tokens → the whole token string is the single shingle
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_distinct(list_transform(
+                range(1, len({_TOKS}) - 1),
+                i -> concat_ws(' ', ({_TOKS})[i], ({_TOKS})[i+1],
+                               ({_TOKS})[i+2])))
+         ELSE [array_to_string({_TOKS}, ' ')]
+    END
+"""
+_SPLIT = f"""
+    CASE WHEN (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} < {TRAIN_LT}
+         THEN 'train'
+         WHEN (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} < {VAL_LT}
+         THEN 'val' ELSE 'test' END
+"""
+
+ORACLE = {
+    "training_split_assign": f"""
+        SELECT doc_id, lang,
+               (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} AS bucket,
+               {_SPLIT} AS split
+        FROM documents
+    """,
+    "training_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                     - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin
+        FROM t
+    """,
+    "training_contamination_check": f"""
+        WITH sh AS (
+          SELECT doc_id, {_SPLIT} AS split, unnest({_SHINGLES}) AS s
+          FROM documents
+        ),
+        train_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        test_sh AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(tr.s) AS n_shared,
+               COUNT(tr.s) * 2 >= COUNT(*) AS contaminated
+        FROM test_sh t LEFT JOIN train_sh tr ON t.s = tr.s
+        GROUP BY t.doc_id
+    """,
+}

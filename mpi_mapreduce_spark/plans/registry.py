@@ -40,6 +40,7 @@ def _build() -> None:
         relational,
         similarity,
         textops,
+        training,
     )
     from mpi_mapreduce_spark.streaming import joins, stateful, windows
 
@@ -57,6 +58,7 @@ def _build() -> None:
         windows,
         stateful,
         joins,
+        training,
     ):
         _install(mod)
 

@@ -1,0 +1,72 @@
+"""Training-pipeline operators: determinism and packing invariants
+beyond the DuckDB oracle (which pins exact values at sf0.01)."""
+
+from __future__ import annotations
+
+from mpi_mapreduce_spark.operators import training as T
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_split_is_partitioning_invariant(spark, sf_dir):
+    """The split must not depend on parallelism: same assignment at
+    1 partition and at 32."""
+    base = _rows(T.training_split_assign(spark, sf_dir))
+    docs = T._docs(spark, sf_dir)
+    one = _rows(
+        T.with_split(docs.coalesce(1)).select("doc_id", "lang", "bucket", "split")
+    )
+    many = _rows(
+        T.with_split(docs.repartition(32)).select(
+            "doc_id", "lang", "bucket", "split"
+        )
+    )
+    assert base == one == many
+
+
+def test_split_ratios_near_nominal(spark, sf_dir):
+    counts = dict(
+        (r.split, r["count"])
+        for r in T.training_split_assign(spark, sf_dir).groupBy("split").count().collect()
+    )
+    n = sum(counts.values())
+    assert counts.get("train", 0) / n > 0.6
+    assert 0 < counts.get("val", 0) / n < 0.25
+    assert 0 < counts.get("test", 0) / n < 0.25
+
+
+def test_packing_covers_every_doc_once_and_bins_are_dense(spark, sf_dir):
+    packed = T.training_pack_sequences(spark, sf_dir).collect()
+    n_docs = T._docs(spark, sf_dir).count()
+    assert len(packed) == n_docs
+    assert len({r.doc_id for r in packed}) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        # bin index = floor(start_offset / budget): non-decreasing in
+        # doc order and starting at 0 per shard
+        bins = [r.bin for r in rows]
+        assert bins[0] == 0
+        assert all(b1 <= b2 for b1, b2 in zip(bins, bins[1:]))
+        # reconstruct start offsets and re-derive the bin
+        start = 0
+        for r in rows:
+            assert r.bin == start // T.PACK_BUDGET
+            start += r.n_tokens
+
+
+def test_contamination_bounded_and_test_only(spark, sf_dir):
+    got = T.contamination_check(spark, sf_dir).collect()
+    splits = {
+        r.doc_id: r.split
+        for r in T.training_split_assign(spark, sf_dir).collect()
+    }
+    assert got, "expected at least one test doc"
+    for r in got:
+        assert splits[r.doc_id] == "test"
+        assert 0 <= r.n_shared <= r.n_shingles
+        assert r.contaminated == (2 * r.n_shared >= r.n_shingles)
