@@ -468,6 +468,93 @@ ORACLE_DEDUP_EMBEDDING = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Iterative min-label propagation: (id, component) where component
+    is the smallest doc_id in each connected component of the near-dup
+    pair graph. This is how pairwise dedup output becomes keep/drop
+    decisions (keep the component representative, drop the rest).
+
+    The one genuinely iterative algorithm in the engine — a loop the
+    optimizer can't express declaratively. Each round: every vertex
+    takes min(own label, neighbors' labels); converged when no label
+    changes (O(diameter) rounds; near-dup clusters are shallow).
+
+    Iterative-Spark hygiene, which IS the 100 TB design: labels are
+    localCheckpoint'ed each round (eager) to truncate lineage —
+    without it the plan doubles per iteration and the driver ooms
+    planning long chains; the convergence test is a count() action per
+    round (at scale: check every k rounds to save jobs). Each round is
+    one shuffle on vertex id; edges stay partitioned by src."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "comp")
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components of the ngram-Jaccard near-dup graph: (doc_id,
+    component representative). Oracle = DuckDB recursive transitive
+    closure over the identical pair query."""
+    return connected_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ).select("doc_id", F.col("comp").alias("component"))
+
+
+ORACLE_CONNECTED_COMPONENTS = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS doc_id, least(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
@@ -475,6 +562,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLE = {
@@ -491,6 +579,7 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests.
 }

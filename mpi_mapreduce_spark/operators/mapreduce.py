@@ -234,6 +234,39 @@ def ref_compat(kv: DataFrame) -> DataFrame:
     )
 
 
+def djb2(key: str) -> int:
+    """The reference's partitioner hash, bit-exact: djb2 over the key
+    bytes with 64-bit unsigned wraparound (reference utils.c:10-19 —
+    ``unsigned long hash = 5381; hash = hash*33 + c`` where
+    ``unsigned long`` is 64-bit on the course lab's Linux hosts).
+    ASCII-safe; the C loop reads signed chars, identical for < 0x80."""
+    h = 5381
+    for b in key.encode("utf-8"):
+        h = (h * 33 + b) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def partition_by_djb2(kv: DataFrame, num_partitions: int):
+    """Exact reference partition *placement*: returns an
+    ``RDD[(key, row)]`` where partition index == djb2(key) %
+    num_partitions, the routing rule of reference utils.c:10-19 /
+    main.cpp:207-217.
+
+    This is the one operator that genuinely needs an RDD: DataFrame
+    ``repartition(n, col)`` hashes with Murmur3 and the placement is
+    not observable in results (SURVEY.md §2.8) — which is why the
+    engine's native path never does this. Provided as the compat/
+    parity form of the reference's partitioner-UDF extension point;
+    a custom Python partitioner costs one pickle round-trip per row,
+    so it is compat-only, not the 100 TB path."""
+    n = num_partitions
+    return (
+        kv.select("key", "val")
+        .rdd.map(lambda r: (r["key"], r["val"]))
+        .partitionBy(n, lambda k: djb2(k) % n)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry entries: (spark, sf_dir) -> DataFrame over the documents table
 # ---------------------------------------------------------------------------

@@ -57,3 +57,17 @@ def test_embedding_neardup_symmetric_clean(spark, sf_dir):
     for r in pairs:
         assert r.vec_a < r.vec_b
         assert r.cosine >= D.EMBED_DUP_THRESHOLD
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Multi-hop propagation: a 5-vertex chain (diameter 4) must fully
+    collapse to its min id; disjoint islands must not merge."""
+    from mpi_mapreduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -142,3 +142,35 @@ def test_ref_compat_truncates_and_resums(spark):
     # 7-char truncation merges longkeyA/longkeyB (reference tasks.c:157-158)
     assert got == {"longkey": 3, "short": 3}
     assert dict(ref_compat(kv).dtypes)["val"] == "int"
+
+
+def test_djb2_bit_exact_reference_values():
+    """Literals computed by hand from reference utils.c:10-19
+    (hash=5381; hash = hash*33 + c, 64-bit unsigned)."""
+    from mpi_mapreduce_spark.operators.mapreduce import djb2
+
+    assert djb2("a") == 177670  # 5381*33 + 97
+    assert djb2("we") == 5863937
+    assert djb2("love") == 6385446971
+    assert djb2("letters") == 229473414723976
+
+
+def test_djb2_partitioner_places_every_key_exactly(spark, sf_dir):
+    """partition index == djb2(key) % R for every key — the routing
+    rule of reference main.cpp:207-217 with the utils.c partitioner."""
+    from mpi_mapreduce_spark.operators.mapreduce import (
+        djb2,
+        partition_by_djb2,
+        q_wordcount,
+    )
+
+    kv = q_wordcount(spark, sf_dir)
+    n = 4
+    rdd = partition_by_djb2(kv, n)
+    assert rdd.getNumPartitions() == n
+    placed = rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, k) for k, _ in it]
+    ).collect()
+    assert placed, "expected keys"
+    for pid, key in placed:
+        assert djb2(key) % n == pid
