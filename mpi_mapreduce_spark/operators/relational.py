@@ -566,6 +566,50 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user: each stage's
+    timestamp is the first occurrence AT OR AFTER the previous stage
+    (not just any occurrence — order matters in a funnel).
+
+    Three conditional min-aggregates chained by two joins, every one
+    keyed on user_id: the first shuffle establishes the user_id
+    partitioning and the rest reuse it. Timestamps surface as exact
+    integer microseconds (unix_micros) so the oracle compare has no
+    float or timezone surface."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    t_click = (
+        ev.where(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .where(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    t_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        t_view.join(t_click, "user_id", "left")
+        .join(t_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("view_ts").alias("view_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.col("click_ts").isNotNull().alias("reached_click"),
+            F.col("purchase_ts").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth (q6/q10/q14/q18/q19 shapes on the reduced star schema)
 # ---------------------------------------------------------------------------
@@ -747,12 +791,38 @@ QUERIES = {
     "topk_orders": topk_orders,
     "setops_customer_cohorts": setops_customer_cohorts,
     "events_json_stats": events_json_stats,
+    "events_funnel_conversion": events_funnel_conversion,
     "orders_by_month": orders_by_month,
     "string_functions_showcase": string_functions_showcase,
     "array_functions_showcase": array_functions_showcase,
 }
 
 ORACLE = {
+    "events_funnel_conversion": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS view_ts
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS click_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               epoch_us(v.view_ts) AS view_us,
+               epoch_us(c.click_ts) AS click_us,
+               epoch_us(p.purchase_ts) AS purchase_us,
+               c.user_id IS NOT NULL AS reached_click,
+               p.user_id IS NOT NULL AS reached_purchase
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {ex.sql_sum('l_quantity', 2)} AS sum_qty,

@@ -134,8 +134,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sampling: a second multiplicative constant (xxhash32 prime), so the
+#: sample is statistically independent of the train/val/test split
+SAMPLE_MULTIPLIER = 2_246_822_519
+SAMPLE_MOD = 10_000
+SAMPLE_KEEP = 500  # 5%
+
+
+def training_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample — the cheap-corpus-stats /
+    eval-subset primitive. `df.sample()` is partitioning-dependent and
+    unreproducible across engines; arithmetic hashing on the key is
+    neither. Stateless per-row filter: no shuffle, prunes at the scan
+    (only doc_id/lang/n_chars read)."""
+    d = _docs(spark, sf_dir)
+    keep = (F.col("doc_id") * F.lit(SAMPLE_MULTIPLIER)) % F.lit(
+        SAMPLE_MOD
+    ) < F.lit(SAMPLE_KEEP)
+    return d.where(keep).select("doc_id", "lang", "n_chars")
+
+
 QUERIES = {
     "training_split_assign": training_split_assign,
+    "training_sample_documents": training_sample_documents,
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
 }
@@ -160,6 +181,11 @@ _SPLIT = f"""
 """
 
 ORACLE = {
+    "training_sample_documents": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+    """,
     "training_split_assign": f"""
         SELECT doc_id, lang,
                (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} AS bucket,

@@ -139,3 +139,38 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 
 KV_TEXT_SCHEMA = KV_SCHEMA  # re-export: the sink/source pair's schema
+
+
+def compact_and_cluster(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    target_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Compaction + range clustering — the file-layout maintenance job
+    a 100 TB table needs periodically.
+
+    Streaming sinks and incremental loads leave two layout problems:
+    many small files (per-epoch, per-partition) and no value locality,
+    so every range predicate reads every row group. This job rewrites
+    the table with ``repartitionByRange(cluster_by)`` + a sort within
+    partitions: each output file owns a disjoint ``cluster_by`` range,
+    and parquet row-group min/max stats become tight — a filter on the
+    cluster key then prunes whole files (Spark reads the footers) and
+    row groups (predicate pushdown), turning O(table) scans into
+    O(selectivity).
+
+    ``target_files`` sizes the rewrite (pick bytes/file ~128-512 MB at
+    scale). The range partitioner samples keys, so file boundaries
+    adapt to skew. This is the same maintenance primitive lakehouse
+    formats call OPTIMIZE ... ZORDER — for a single sort dimension,
+    plain range clustering is optimal; multi-dimension needs a
+    space-filling curve (compose one as an expression and cluster by
+    it)."""
+    (
+        df.repartitionByRange(target_files, *[F.col(c) for c in cluster_by])
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -105,3 +105,42 @@ def test_csv_json_round_trip(spark, tmp_path):
         write_table(df, out, fmt=fmt)
         back = read_table(spark, out, fmt=fmt, schema="id long, s string, x double")
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_and_cluster_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """After compaction clustered by l_shipdate: exactly target_files
+    parquet files, per-file min/max ranges (parquet footer stats via
+    DuckDB) pairwise disjoint, and a date-range scan reads fewer rows
+    than the table (file/row-group pruning is real)."""
+    import duckdb
+
+    from mpi_mapreduce_spark.sources.io import compact_and_cluster
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li_clustered")
+    compact_and_cluster(li, out, ["l_shipdate"], target_files=8)
+
+    files = [str(p) for p in __import__("pathlib").Path(out).glob("*.parquet")]
+    assert len(files) == 8
+    ranges = []
+    con = duckdb.connect()
+    for f in files:
+        lo, hi = con.execute(
+            f"SELECT min(l_shipdate), max(l_shipdate) FROM '{f}'"
+        ).fetchone()
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap — clustering failed"
+
+    # physical co-location: a one-month predicate's rows live in at
+    # most 2 of the 8 files (the reader's row-group pruning then skips
+    # the rest of the table via the pushed filter + tight stats)
+    from pyspark.sql import functions as F
+
+    pruned_scan = spark.read.parquet(out).where(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'"
+    )
+    n_files_hit = pruned_scan.select(F.input_file_name()).distinct().count()
+    assert 0 < n_files_hit <= 2
+    assert spark.read.parquet(out).count() == li.count()
