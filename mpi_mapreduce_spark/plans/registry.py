@@ -42,7 +42,7 @@ def _build() -> None:
         textops,
         training,
     )
-    from mpi_mapreduce_spark.streaming import joins, stateful, windows
+    from mpi_mapreduce_spark.streaming import enrich, joins, stateful, windows
 
     from mpi_mapreduce_spark.operators import asof, skew
 
@@ -58,6 +58,7 @@ def _build() -> None:
         windows,
         stateful,
         joins,
+        enrich,
         training,
     ):
         _install(mod)

@@ -144,3 +144,50 @@ def test_compact_and_cluster_gives_disjoint_file_ranges(spark, sf_dir, tmp_path)
     n_files_hit = pruned_scan.select(F.input_file_name()).distinct().count()
     assert 0 < n_files_hit <= 2
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_refcorpus_datasource_reads_reference_layout(spark, tmp_path):
+    """Custom Python DataSource: numbered whole-file records, one input
+    partition per file (the reference's map-task granularity)."""
+    from mpi_mapreduce_spark.sources.refcorpus import register_ref_corpus_source
+
+    docs = ["alpha beta", "gamma 123!", "", "tail\nlines\n"]
+    for i, t in enumerate(docs):
+        (tmp_path / f"{i}.txt").write_text(t)
+    (tmp_path / "notes.md").write_text("ignored")  # not {i}.txt
+
+    register_ref_corpus_source(spark)
+    df = spark.read.format("refcorpus").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == len(docs)
+    got = {r.doc_id: r.text for r in df.collect()}
+    assert got == {i: t for i, t in enumerate(docs)}
+
+
+def test_refcorpus_datasource_golden_parity(spark):
+    """The connector + map2 pipeline reproduces the reference's golden
+    2.output byte-for-byte semantics (letters over files 0-4)."""
+    import os
+
+    import pytest
+
+    ref = "/root/reference/sample_input_files"
+    if not os.path.isdir(ref):
+        pytest.skip("reference corpus not available")
+    from mpi_mapreduce_spark.operators.mapreduce import map2_letterfreq
+    from mpi_mapreduce_spark.sources.refcorpus import register_ref_corpus_source
+
+    register_ref_corpus_source(spark)
+    corpus = (
+        spark.read.format("refcorpus")
+        .option("path", ref)
+        .option("numFiles", "5")
+        .load()
+    )
+    got = {r["key"]: r["val"] for r in map2_letterfreq(corpus).collect()}
+    golden = {}
+    with open("/root/reference/sample_output_files/2.output") as f:
+        for line in f:
+            if line.strip():
+                k, v = line.split()
+                golden[k] = int(v)
+    assert got == golden

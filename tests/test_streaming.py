@@ -155,3 +155,28 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     batch = SJ.events_click_purchase_join(spark, sf_dir)
     assert _sorted_rows(got) == _sorted_rows(batch)
     assert got.count() > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join (stateless, append-capable with no
+    watermark) must emit exactly the batch enrichment rows."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.streaming import enrich as SE
+
+    stream = SE.streaming_enriched_events(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM enrich_out")
+    batch = SE.enrich_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    assert got.count() > 0
