@@ -130,8 +130,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: maximal runs of letters /
+    digits / punctuation (the GPT-2 pre-tokenizer's split shape, minus
+    contraction special-cases). Real BPE merge tables live in a
+    tokenizer service; counting pre-token runs is the scalable proxy a
+    pipeline uses for token-budget accounting.
+
+    Because the three character classes are disjoint, each class's
+    maximal runs are independent of the others — three native
+    regexp_count calls (whole-stage codegen, no arrays, no
+    higher-order functions) instead of materializing the token list."""
+    d = _docs(spark, sf_dir)
+    n_word = F.regexp_count("text", F.lit("[a-zA-Z]+")).cast("long")
+    n_num = F.regexp_count("text", F.lit("[0-9]+")).cast("long")
+    n_other = F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]+")).cast("long")
+    return d.select(
+        "doc_id",
+        n_word.alias("n_word_tokens"),
+        n_num.alias("n_number_tokens"),
+        n_other.alias("n_other_tokens"),
+        (n_word + n_num + n_other).alias("n_bpe_tokens"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_bpe_token_stats": text_bpe_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
@@ -144,6 +169,18 @@ def _oracle_hits(lang: str) -> str:
 
 
 ORACLE = {
+    "text_bpe_token_stats": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_tokens,
+                 CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_other_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_word_tokens, n_number_tokens, n_other_tokens,
+               n_word_tokens + n_number_tokens + n_other_tokens AS n_bpe_tokens
+        FROM c
+    """,
     "text_token_stats": """
         WITH t AS (
           SELECT doc_id, text,

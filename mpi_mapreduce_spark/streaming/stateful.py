@@ -65,6 +65,60 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_v2_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to
+    the JVM; this container ships no google.protobuf, so the v2 path
+    is gated (works on any standard cluster image, which bundles it)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_stream_v2(events: DataFrame) -> DataFrame:
+    """Same operator on the transformWithStateInPandas API (Spark 4's
+    stateful-v2): typed state handles (ValueState here; List/MapState
+    for bigger shapes), timers, and TTL come from the handle instead
+    of one opaque tuple — and the runtime REQUIRES the RocksDB state
+    store provider, i.e. the state backend a real cluster runs (set
+    spark.sql.streaming.stateStore.providerClass accordingly).
+
+    Both APIs stay implemented side by side: applyInPandasWithState is
+    the stable v1 every 3.4+ cluster has; this is the forward path.
+    Gated by stateful_v2_available() in this container (protobuf)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserTotalsProcessor(StatefulProcessor):
+        # closure-scoped class: cloudpickle serializes it by value, so
+        # foreign-cwd drivers never need this package importable
+        def init(self, handle):
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, s = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["value"].mul(_SCALE).round().sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s / _SCALE]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch twin — identical math through functions.exact."""
     return events.groupBy("user_id").agg(

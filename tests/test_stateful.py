@@ -48,3 +48,43 @@ def test_asof_join_tiny_semantics(spark):
         (1, "p2"): 20,   # latest at-or-before 205
         (2, "p3"): None,  # no right row at-or-before 50 -> LEFT semantics
     }
+
+
+def test_stateful_v2_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas (stateful v2, RocksDB-backed) must
+    produce the same totals as v1 and the batch twin. Skipped where
+    google.protobuf (the v2 state protocol) isn't installed."""
+    import pytest
+
+    if not ST.stateful_v2_available():
+        pytest.skip("google.protobuf not available — stateful v2 gated")
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ST.user_totals_stream_v2(stream_events(spark, sf_dir))
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("totals_v2_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM totals_v2_out").collect()))
+        want = sorted(
+            map(
+                tuple,
+                ST.user_totals_batch(load_table(spark, sf_dir, "events")).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
