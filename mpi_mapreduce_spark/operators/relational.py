@@ -210,6 +210,30 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna summaries) — the
+    100 TB path exact percentile() can't take: the sketch is mergeable
+    across partitions (map-side combine, bounded memory), the sort is
+    never global. Rows-only with the driver (sketch internals are
+    engine-specific); accuracy vs the exact op is pinned in pytest."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            ),
+            F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+                "p90_approx"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("c_mktsegment").alias("mktsegment"), "p50_approx", "p90_approx", "n")
+    )
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per linestatus value. Values enumerated
     explicitly so Spark skips the distinct-value discovery job."""
@@ -771,6 +795,7 @@ QUERIES = {
     "sql_q4_order_priority": sql_q4_order_priority,
     "sql_customer_max_order": sql_customer_max_order,
     "percentile_order_prices": percentile_order_prices,
+    "approx_percentile_order_prices": approx_percentile_order_prices,
     "pivot_linestatus": pivot_linestatus,
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,

@@ -154,9 +154,36 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word-trigrams —
+    the standard boilerplate/loop detector (a high score means the doc
+    repeats itself). Distinct counts come from the row-shaped shingle
+    pipeline (codegen + map-side combine); totals are O(1) arithmetic
+    on the token count, so no second shingle pass."""
+    from mpi_mapreduce_spark.operators.dedup import shingle_rows
+
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    totals = docs.select(
+        "doc_id",
+        F.when(n_tok >= 3, n_tok - 2).otherwise(F.lit(1)).alias("n_total"),
+    )
+    distinct = shingle_rows(docs).groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct")
+    )
+    rep = 1 - F.col("n_distinct").cast("double") / F.col("n_total").cast("double")
+    return totals.join(distinct, "doc_id").select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        ex.quantize(rep, 6).alias("repetition"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_bpe_token_stats": text_bpe_token_stats,
+    "text_repetition_score": text_repetition_score,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
@@ -169,6 +196,27 @@ def _oracle_hits(lang: str) -> str:
 
 
 ORACLE = {
+    "text_repetition_score": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(tok) >= 3 THEN len(tok) - 2 ELSE 1 END AS n_total,
+                 CASE WHEN len(tok) >= 3
+                      THEN len(list_distinct(list_transform(range(1, len(tok) - 1),
+                           i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))))
+                      ELSE 1 END AS n_distinct
+          FROM t WHERE len(tok) > 0
+        )
+        SELECT doc_id,
+               CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               ROUND((1 - n_distinct::DOUBLE / n_total) * 1000000.0)
+                 / 1000000.0 AS repetition
+        FROM s
+    """,
     "text_bpe_token_stats": r"""
         WITH c AS (
           SELECT doc_id,

@@ -154,9 +154,58 @@ def training_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(keep).select("doc_id", "lang", "n_chars")
 
 
+#: curation pipeline: quality cutoff (corpus scores span ~0.57-0.83)
+CURATE_QUALITY_MIN = 0.65
+
+
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition — a complete corpus-curation pipeline
+    as ONE lazy DataFrame DAG: quality filter → exact dedup (keep
+    first) → deterministic split → per-split sequence packing →
+    per-split summary. This is the end-to-end shape an LLM data job
+    actually runs; every stage is one of this package's operators, and
+    because nothing materializes in between, Catalyst plans the whole
+    chain (column pruning reaches back from the final aggregate into
+    the quality join).
+
+    Packing partitions by (split, shard): bins never span splits, and
+    the window state stays bounded per shard exactly as in
+    training_pack_sequences."""
+    from mpi_mapreduce_spark.operators.textops import text_quality_score
+
+    docs = _docs(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    kept = docs.join(quality, "doc_id").where(
+        F.col("quality") >= CURATE_QUALITY_MIN
+    )
+    dw = W.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(dw))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    t = with_split(deduped).select(
+        "doc_id",
+        "split",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    pw = W.partitionBy("split", "shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(pw)
+    packed = t.withColumn(
+        "bin", F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET))
+    )
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.countDistinct("shard", "bin").alias("n_bins"),
+    )
+
+
 QUERIES = {
     "training_split_assign": training_split_assign,
     "training_sample_documents": training_sample_documents,
+    "pipeline_curate_corpus": pipeline_curate_corpus,
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
 }
@@ -180,12 +229,54 @@ _SPLIT = f"""
          THEN 'val' ELSE 'test' END
 """
 
+def _curate_oracle() -> str:
+    # reuse the quality oracle verbatim so both pipelines share one
+    # definition of "quality"
+    from mpi_mapreduce_spark.operators.textops import ORACLE as TEXT_ORACLE
+
+    quality_sql = TEXT_ORACLE["text_quality_score"]
+    return f"""
+        WITH q AS ({quality_sql}),
+        kept AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN q ON d.doc_id = q.doc_id
+          WHERE q.quality >= {CURATE_QUALITY_MIN}
+        ),
+        ded AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        ),
+        t AS (
+          SELECT doc_id, {_SPLIT} AS split,
+                 doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM ded
+        ),
+        p AS (
+          SELECT *,
+                 SUM(n_tokens) OVER (PARTITION BY split, shard
+                                     ORDER BY doc_id) AS cum
+          FROM t
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+               CAST(COUNT(DISTINCT (shard, (cum - n_tokens) // {PACK_BUDGET}))
+                    AS BIGINT) AS n_bins
+        FROM p GROUP BY split
+    """
+
+
 ORACLE = {
     "training_sample_documents": f"""
         SELECT doc_id, lang, n_chars
         FROM documents
         WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
     """,
+    "pipeline_curate_corpus": _curate_oracle(),
     "training_split_assign": f"""
         SELECT doc_id, lang,
                (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} AS bucket,

@@ -44,12 +44,13 @@ def _build() -> None:
     )
     from mpi_mapreduce_spark.streaming import enrich, joins, stateful, windows
 
-    from mpi_mapreduce_spark.operators import asof, intervals, skew
+    from mpi_mapreduce_spark.operators import asof, dq, intervals, skew
 
     for mod in (
         mapreduce,
         relational,
         asof,
+        dq,
         intervals,
         skew,
         dedup,

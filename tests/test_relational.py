@@ -86,3 +86,16 @@ def test_map_functions(spark):
         F.array_sort(F.map_values("m")).alias("vals"),
     ).collect()[0]
     assert (row.b, row.n, row.keys, row.vals) == (2, 2, ["a", "b"], [1, 2])
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    """GK-sketch percentiles at accuracy 10000 over ~3k-row groups:
+    rank error <= n/accuracy, so the approx value must sit within the
+    exact p45-p55 / p85-p95 band (here: within 2% of exact value)."""
+    exact = {r.mktsegment: (r.p50, r.p90) for r in R.percentile_order_prices(spark, sf_dir).collect()}
+    approx = {r.mktsegment: (r.p50_approx, r.p90_approx) for r in R.approx_percentile_order_prices(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for seg, (p50, p90) in exact.items():
+        a50, a90 = approx[seg]
+        assert abs(a50 - p50) / p50 < 0.02
+        assert abs(a90 - p90) / p90 < 0.02
