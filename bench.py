@@ -32,6 +32,8 @@ HEADLINE = [
     "text_quality_score",
     "events_tumbling_counts",
     "events_asof_purchase_click",
+    "events_incident_correlation",
+    "pipeline_curate_corpus",
 ]
 
 
