@@ -590,6 +590,49 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — grouped
+    regression via closed-form sums, kept EXACT: x is seconds since
+    the user's first event (integer), y is cents (integer), so Σx, Σy,
+    Σxy, Σx² are exact int64 sums (order-independent) and slope's
+    numerator/denominator are exact integers; the one final division
+    is deterministic on both engines. The native regr_slope would sum
+    doubles and wobble in the last ulp under partitioning — the same
+    reason functions/exact.py exists.
+
+    Two passes over events, both shuffling on user_id (the second
+    reuses the first's partitioning); at 100 TB this is a textbook
+    two-stage grouped aggregate, no window, no sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    t0 = ev.groupBy("user_id").agg(F.min("t_us").alias("t0_us"))
+    xy = ev.join(t0, "user_id").select(
+        "user_id",
+        ((F.col("t_us") - F.col("t0_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    agg = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = agg.n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = agg.n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # slope in cents/second; users with one event (den=0) -> null
+    return agg.select(
+        "user_id",
+        "n",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_s"
+        ),
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase per user: each stage's
     timestamp is the first occurrence AT OR AFTER the previous stage
@@ -817,12 +860,36 @@ QUERIES = {
     "setops_customer_cohorts": setops_customer_cohorts,
     "events_json_stats": events_json_stats,
     "events_funnel_conversion": events_funnel_conversion,
+    "events_user_value_trend": events_user_value_trend,
     "orders_by_month": orders_by_month,
     "string_functions_showcase": string_functions_showcase,
     "array_functions_showcase": array_functions_showcase,
 }
 
 ORACLE = {
+    "events_user_value_trend": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+        ), t0 AS (
+          SELECT user_id, min(t_us) AS t0_us FROM e GROUP BY user_id
+        ), xy AS (
+          SELECT e.user_id,
+                 CAST((e.t_us - t0.t0_us) // 1000000 AS BIGINT) AS x,
+                 CAST(ROUND(e.value * 100) AS BIGINT) AS y
+          FROM e JOIN t0 ON e.user_id = t0.user_id
+        ), a AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*y) AS sxy, SUM(x*x) AS sxx
+          FROM xy GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n*sxx - sx*sx <> 0
+                    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE)
+               END AS slope_cents_per_s
+        FROM a
+    """,
     "events_funnel_conversion": """
         WITH v AS (
           SELECT user_id, min(ts) AS view_ts
