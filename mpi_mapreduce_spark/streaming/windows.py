@@ -151,14 +151,82 @@ def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_per_user_type(_ev(spark, sf_dir))
 
 
+def events_resampled_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: hourly rollup per event_type on a
+    DENSE time grid — buckets with no events appear with zero counts
+    (the map2 zero-keeping lesson, SURVEY §7 'what's hard' (a), applied
+    to time series: a dashboard needs the gaps, not just the hits).
+
+    The grid is generated WITH Spark (sequence over the min/max
+    bounds, exploded), not collected at the driver: grid x types is a
+    tiny frame that broadcast-left-joins the aggregate. At 100 TB the
+    aggregate side shuffles once on (bucket, type); the grid stays
+    O(hours x types) regardless of row count."""
+    ev = _ev(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            ex.quantized_sum("value", 2).alias("sum_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            _fmt("bucket").alias("bucket_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling_counts": events_tumbling_counts,
+    "events_resampled_gapfill": events_resampled_gapfill,
     "events_sliding_counts": events_sliding_counts,
     "events_session_stats": events_session_stats,
     "events_first_per_user_type": events_first_per_user_type,
 }
 
 ORACLE = {
+    "events_resampled_gapfill": f"""
+        WITH b AS (
+          SELECT date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi
+          FROM events
+        ), grid AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM b
+        ), types AS (
+          SELECT DISTINCT event_type FROM events
+        ), agg AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 COUNT(*) AS n,
+                 {ex.sql_sum('value', 2)} AS sum_value
+          FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               t.event_type,
+               COALESCE(a.n, 0) AS n,
+               COALESCE(a.sum_value, 0.0) AS sum_value
+        FROM grid g
+        CROSS JOIN types t
+        LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type
+    """,
     "events_tumbling_counts": f"""
         SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
