@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q13_customer_order_distribution",
+    "q21_suppliers_kept_waiting",
     "window_topk_suppliers",
     "dedup_minhash_lsh",
     "knn_bruteforce",

@@ -1,0 +1,723 @@
+"""The remaining TPC-H query shapes — full 22-shape relational coverage.
+
+relational.py covers q1/q3/q4/q5/q6/q10/q14/q18/q19; this module adds
+the other thirteen. The reference implements none of them (it has no
+joins or subqueries at all, SURVEY.md §2.3), so these are engine
+capability rows: each function preserves the *defining plan shape* of
+its TPC-H counterpart — outer join + double aggregation (q13),
+EXISTS / NOT EXISTS self-joins (q21), scalar-subquery thresholds
+(q11/q15/q22), correlated per-group averages (q2/q17), nested
+semi-join chains (q20) — re-expressed declaratively so Catalyst picks
+the physical strategy.
+
+Schema adaptations (the synthetic star schema has no partsupp table
+and no shipmode/commitdate/phone/comment columns — TESTDATA.md):
+- partsupp is derived as ``SELECT DISTINCT l_partkey, l_suppkey FROM
+  lineitem`` (q2/q16/q20), supply cost as a retail-price fraction (q9)
+  and unit cost as extendedprice/quantity (q2);
+- q12 groups by l_linestatus instead of l_shipmode; q13 filters
+  o_orderpriority instead of o_comment; q21 defines "kept waiting" by
+  shipdate order within multi-supplier orders; q22 uses c_nationkey as
+  the country code and "no recent orders" for the dormancy test.
+
+Float discipline follows functions/exact.py: every aggregated double
+is quantized per-row and summed as integers; thresholds compare
+results of *identical* IEEE expression trees on both engines, so the
+driver's hash-compare is deterministic at any parallelism.
+
+Scale notes (100 TB): dimension sides (part/supplier/nation/region,
+filtered subsets, one-row thresholds) broadcast explicitly; the only
+big-big exchanges are lineitem⋈orders and the q21 self-joins, which
+all shuffle on the same key (l_orderkey) so AQE reuses the exchange;
+groupings beyond that shuffle on their aggregate keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# q2 — min-cost supplier (correlated MIN + dim-join stack)
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum unit cost. The correlated-min subquery becomes
+    a window MIN over p_partkey — one shuffle on partkey; part,
+    supplier and nation all broadcast. Unit cost is one IEEE division,
+    so the min and the equality filter are cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    elig = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn(
+            "unit_cost", F.col("l_extendedprice") / F.col("l_quantity")
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        elig.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            ex.quantize("s_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+        .distinct()
+        .orderBy(F.desc("acctbal"), "partkey", "suppkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between a nation pair
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by year.
+    lineitem⋈orders is the only big-big exchange (orderkey); supplier,
+    customer and both nation sides broadcast. The nation-pair
+    disjunction is evaluated post-join on broadcast columns."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(ex.quantized_sum(_rev(), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year.
+    Share divides two exact quantized sums (conditional numerator), so
+    the ratio is one IEEE division on bit-identical inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    target_vol = F.when(F.col("s_nationkey") == 5, _rev()).otherwise(0.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            ex.quantized_sum(target_vol, 4).alias("nation_volume"),
+            ex.quantized_sum(_rev(), 4).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-line profit by nation and year
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    name-matched part subset. Supply cost (no partsupp table) is a
+    retail-price fraction: amount = rev − 0.6·p_retailprice·l_quantity,
+    the same expression tree on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    amount = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(ex.quantized_sum(amount, 4).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important stock (global-threshold HAVING)
+# ---------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a HAVING against a scalar
+    over the whole filtered set. The global total is a one-row
+    broadcast (never a window over everything); per-part integer sums
+    and the row-level total agree exactly because integer addition
+    associates."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    by_part = joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        ex.quantized_sum(_rev(), 4).alias("value")
+    )
+    total = joined.agg(ex.quantized_sum(_rev(), 4).alias("grand_total"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("grand_total") * 0.001)
+        .select("partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — priority counts by line status (shipmode proxy)
+# ---------------------------------------------------------------------------
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-based two-way priority counts,
+    grouped by l_linestatus (the schema has no l_shipmode). One
+    exchange on orderkey, then a 2-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (left outer + double agg)
+# ---------------------------------------------------------------------------
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with the filter inside the join
+    condition (customers with zero qualifying orders must survive),
+    then two stacked aggregations: orders per customer, customers per
+    order-count. COUNT(o_orderkey) skips the null-extended rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (scalar-subquery max over a derived aggregate)
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view per supplier for one quarter, keep
+    the supplier(s) hitting the global max. The max is a one-row
+    broadcast crossJoin; equality is safe because both sides are exact
+    multiples of 1e-4 from the quantized sum."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        ex.quantized_sum(_rev(), 4).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            ex.quantize("s_acctbal", 2).alias("acctbal"),
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier variety per part attribute (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: the part-supplier association (distinct pairs
+    from lineitem — no partsupp table), minus an excluded-supplier set
+    (NOT IN → left_anti), then COUNT(DISTINCT suppkey) per part
+    attribute triple."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated AVG becomes window sums over partkey, and
+    the float comparison qty < 0.2·avg is rewritten as the exact
+    integer inequality 5·qc·n < Σqc (qc = round(100·qty)) — identical
+    on both engines with no float rounding at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    w = W.partitionBy("l_partkey")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .withColumn("qc", qc)
+        .withColumn("sum_qc", F.sum("qc").over(w))
+        .withColumn("n_li", F.count("*").over(w))
+    )
+    return (
+        joined.where(5 * F.col("qc") * F.col("n_li") < F.col("sum_qc"))
+        .agg(
+            (ex.quantized_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — suppliers shipping excess volume (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chain — name-matched parts → the
+    (part, supplier) pairs that shipped more than a threshold quantity
+    in a year → the EUROPE suppliers in that set. Each IN becomes a
+    broadcast or semi join; the aggregate runs only over the
+    name-matched slice."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    pk = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    heavy = (
+        li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(ex.quantized_sum("l_quantity", 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 40.0)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            ex.quantize("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who shipped last (EXISTS / NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS (another supplier in the order) AND NOT
+    EXISTS (anyone shipped later) — the schema has no receipt/commit
+    dates, so "kept the order waiting" means strictly last shipdate in
+    a multi-supplier finalized order. Both subqueries are lineitem
+    self-joins keyed on l_orderkey (semi then anti, each with a
+    suppkey/date side-condition); all three legs shuffle on the same
+    key so AQE reuses the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    return (
+        l1.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — dormant high-balance customers (scalar AVG threshold + anti join)
+# ---------------------------------------------------------------------------
+
+def q22_idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in selected country codes (nationkey
+    stands in for the phone prefix) with above-average balance and no
+    recent orders. The AVG threshold is an exact quantized mean
+    broadcast as one row; dormancy is a left_anti against recent
+    orders."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    )
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        ex.quantized_avg("c_acctbal", 2).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            ex.quantized_sum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_variety": q16_supplier_part_variety,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q22_idle_customer_balances": q22_idle_customer_balances,
+}
+
+ORACLE = {
+    "q2_min_cost_supplier": f"""
+        WITH elig AS (
+          SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                 l_extendedprice / l_quantity AS unit_cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'SMALL' AND p_size <= 15 AND n_regionkey = 3
+        ), m AS (
+          SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+          FROM elig
+        )
+        SELECT DISTINCT p_partkey AS partkey, p_name AS part_name,
+               s_suppkey AS suppkey, s_name,
+               {ex.sql_quantize('s_acctbal', 2)} AS acctbal,
+               n_name AS nation, unit_cost
+        FROM m WHERE unit_cost = min_cost
+        ORDER BY acctbal DESC, partkey, suppkey LIMIT 100
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {ex.sql_sum(_REV_SQL, 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 {ex.sql_sum(f"CASE WHEN s_nationkey = 5 THEN {_REV_SQL} ELSE 0.0 END", 4)}
+                   AS nation_volume,
+                 {ex.sql_sum(_REV_SQL, 4)} AS total_volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE p_type = 'PROMO' AND n_regionkey = 1
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        )
+        SELECT o_year, nation_volume, total_volume,
+               nation_volume / total_volume AS mkt_share
+        FROM vol
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {ex.sql_sum(f"({_REV_SQL}) - 0.6 * p_retailprice * l_quantity", 4)}
+                 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_stock": f"""
+        WITH j AS (
+          SELECT l_partkey, l_extendedprice, l_discount
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 3
+        ), by_part AS (
+          SELECT l_partkey AS partkey, {ex.sql_sum(_REV_SQL, 4)} AS value
+          FROM j GROUP BY 1
+        ), tot AS (
+          SELECT {ex.sql_sum(_REV_SQL, 4)} AS grand_total FROM j
+        )
+        SELECT partkey, value FROM by_part, tot
+        WHERE value > grand_total * 0.001
+    """,
+    "q12_priority_by_linestatus": """
+        SELECT l_linestatus AS linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "q13_customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey, {ex.sql_sum(_REV_SQL, 4)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey AS suppkey, s_name,
+               {ex.sql_quantize('s_acctbal', 2)} AS acctbal, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "q16_supplier_part_variety": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand AS brand, p_type AS type, p_size AS size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_quantity_revenue": """
+        WITH j AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ), s AS (
+          SELECT l_extendedprice,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                   OVER (PARTITION BY l_partkey) AS sum_qc,
+                 COUNT(*) OVER (PARTITION BY l_partkey) AS n_li
+          FROM j
+        )
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT))
+                    AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM s WHERE 5 * qc * n_li < sum_qc
+    """,
+    "q20_excess_shippers": f"""
+        WITH heavy AS (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+          HAVING {ex.sql_sum('l_quantity', 2)} > 40.0
+        )
+        SELECT s_suppkey AS suppkey, s_name, n_name AS nation,
+               {ex.sql_quantize('s_acctbal', 2)} AS acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 3
+          AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+    "q21_suppliers_kept_waiting": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 3
+          AND l1.l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    "q22_idle_customer_balances": f"""
+        WITH sel AS (
+          SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+          WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        ), thr AS (
+          SELECT {ex.sql_avg('c_acctbal', 2)} AS avg_bal
+          FROM sel WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               COUNT(*) AS numcust,
+               {ex.sql_sum('c_acctbal', 2)} AS totacctbal
+        FROM sel, thr
+        WHERE c_acctbal > avg_bal
+          AND c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """,
+}

@@ -40,6 +40,7 @@ def _build() -> None:
         relational,
         similarity,
         textops,
+        tpch_full,
         training,
     )
     from mpi_mapreduce_spark.streaming import enrich, joins, stateful, windows
@@ -49,6 +50,7 @@ def _build() -> None:
     for mod in (
         mapreduce,
         relational,
+        tpch_full,
         asof,
         dq,
         intervals,
