@@ -1,0 +1,200 @@
+"""Analytic breadth: range-frame windows, distribution ranking,
+histogram binning, and PII redaction.
+
+The reference has no windows or scalar-function surface beyond strlen/
+case-fold/modulo (SURVEY.md §2.5, §2.8); these operators round out the
+engine's analytic coverage with plan shapes not yet exercised
+elsewhere: a RANGE frame over event time (vs the ROWS frames in
+relational.py), ntile/percent_rank/cume_dist ranking, exact
+integer-arithmetic binning, and regexp-based text masking (the
+training-pipeline scrub step — all JVM-side `regexp_*`, no UDF).
+
+Determinism notes: rolling sums quantize per-row and sum as longs
+(functions/exact.py); the RANGE frame is keyed on epoch *seconds* (a
+long — immune to the ns-vs-µs timestamp precision gap) and is
+peer-inclusive, so ties contribute the same frame in any engine.
+ntile needs a total order: ties on the ranking value are broken by the
+unique key. Regex patterns stick to the syntax subset Java regex and
+RE2 share (character classes, \\b, {m,n} quantifiers).
+
+Scale notes (100 TB): each window query is one shuffle on its
+partition keys with streaming frame evaluation; the histogram is a
+pure map-side integer bucket then a tiny-key aggregate; redaction is
+embarrassingly parallel row arithmetic in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def events_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user stats via a RANGE frame (peer-inclusive,
+    ordered on epoch seconds): every event sees the exact count/sum of
+    its user's trailing hour. One shuffle on user_id; the frame
+    evaluates streaming within each partition."""
+    ev = _t(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts").alias("epoch_s")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "user_id", epoch_s, cents.alias("cents"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("roll_n"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("roll_sum"),
+    )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking over per-customer spend: ntile deciles,
+    percent_rank and cume_dist in one window pass. The order key
+    carries a unique custkey tiebreak — without it ntile bucket
+    boundaries split ties engine-arbitrarily."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        ex.quantized_sum("o_totalprice", 2).alias("spend")
+    )
+    w = W.orderBy("spend", "o_custkey")
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals in pure integer
+    arithmetic: cents // bin_width_cents — no float rounding at bucket
+    boundaries in either engine. Map-side bucketing, then an aggregate
+    over a handful of bins."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(cents.alias("c"))
+        .select(F.expr("c div 5000000").alias("bin"), "c")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.min("c").cast("double") / 100.0).alias("min_price"),
+            (F.max("c").cast("double") / 100.0).alias("max_price"),
+        )
+    )
+
+
+#: pattern subset valid in both Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[- ][0-9]{4}\b"
+BLOCKLIST = r"\b(customer|value)\b"
+
+
+def redact_text(col, mask: str = "[MASKED]"):
+    """Column expression masking emails, phone-shaped numbers and
+    blocklisted terms — composable into any pipeline stage."""
+    out = F.regexp_replace(col, PII_EMAIL, mask)
+    out = F.regexp_replace(out, PII_PHONE, mask)
+    return F.regexp_replace(out, BLOCKLIST, mask)
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub step of a training-data pipeline: mask PII-shaped spans
+    and blocklisted terms, report per-document hit counts and the
+    masked length. All regexp_* expressions — whole-stage codegen, no
+    Python in the row path."""
+    docs = _t(spark, sf_dir, "documents")
+    masked = redact_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(BLOCKLIST)).cast("long").alias("n_blocked"),
+        F.length(masked).cast("long").alias("masked_len"),
+        F.substring(masked, 1, 40).alias("masked_prefix"),
+    )
+
+
+QUERIES = {
+    "events_rolling_user_stats": events_rolling_user_stats,
+    "customer_spend_deciles": customer_spend_deciles,
+    "order_price_histogram": order_price_histogram,
+    "text_pii_redaction": text_pii_redaction,
+}
+
+ORACLE = {
+    "events_rolling_user_stats": """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS roll_n,
+               CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS roll_sum
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "customer_spend_deciles": f"""
+        WITH spend AS (
+          SELECT o_custkey, {ex.sql_sum('o_totalprice', 2)} AS spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS custkey, spend,
+               CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM spend
+        WINDOW w AS (ORDER BY spend, o_custkey)
+    """,
+    "order_price_histogram": """
+        WITH c AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT cents // 5000000 AS bin,
+               COUNT(*) AS n_orders,
+               CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_price,
+               CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_price
+        FROM c GROUP BY 1
+    """,
+    "text_pii_redaction": r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[MASKED]', 'g'),
+                     '\b[0-9]{3}[- ][0-9]{4}\b', '[MASKED]', 'g'),
+                   '\b(customer|value)\b', '[MASKED]', 'g') AS masked
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b[0-9]{3}[- ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                 '\b(customer|value)\b')) AS BIGINT) AS n_blocked,
+               CAST(length(masked) AS BIGINT) AS masked_len,
+               substring(masked, 1, 40) AS masked_prefix
+        FROM m
+    """,
+}

@@ -34,6 +34,7 @@ def _install(module) -> None:
 
 def _build() -> None:
     from mpi_mapreduce_spark.operators import (
+        analytics,
         dedup,
         mapreduce,
         multimodal,
@@ -51,6 +52,7 @@ def _build() -> None:
         mapreduce,
         relational,
         tpch_full,
+        analytics,
         asof,
         dq,
         intervals,

@@ -1,0 +1,93 @@
+"""Semantics the oracle can't see for the analytics operators: PII
+masking on spans the synthetic corpus lacks (emails/phones), frame
+behavior of the rolling window, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.operators import analytics as A
+
+
+def test_redact_masks_emails_phones_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            ("write to bob@example.com today", 1),
+            ("call 555-1234 or 555 6789 now", 2),
+            ("the customer saw the value", 3),
+            ("nothing sensitive here", 4),
+        ],
+        ["text", "id"],
+    )
+    out = {
+        r.id: r.masked
+        for r in df.select("id", A.redact_text(F.col("text")).alias("masked")).collect()
+    }
+    assert out[1] == "write to [MASKED] today"
+    assert out[2] == "call [MASKED] or [MASKED] now"
+    assert out[3] == "the [MASKED] saw the [MASKED]"
+    assert out[4] == "nothing sensitive here"
+
+
+def test_pii_redaction_counts_blocklist_hits(spark, sf_dir):
+    rows = A.text_pii_redaction(spark, sf_dir).collect()
+    assert sum(r.n_blocked for r in rows) > 0, "blocklist should fire on corpus"
+    # synthetic corpus has no email/phone shapes — masked_len only
+    # shrinks-or-grows via blocklist masking
+    assert all(r.n_email == 0 and r.n_phone == 0 for r in rows)
+
+
+def test_rolling_window_is_trailing_hour(spark, sf_dir):
+    """Spot-check one user: every event's roll_n equals the manual
+    count of that user's events in (t-3600, t]."""
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = ev.limit(1).collect()[0].user_id
+    times = sorted(
+        r.t
+        for r in ev.where(F.col("user_id") == uid)
+        .select(F.unix_timestamp("ts").alias("t"))
+        .collect()
+    )
+    got = {
+        (r.event_id, r.roll_n)
+        for r in A.events_rolling_user_stats(spark, sf_dir)
+        .where(F.col("user_id") == uid)
+        .collect()
+    }
+    by_event = dict(
+        (r.event_id, r.t)
+        for r in ev.where(F.col("user_id") == uid)
+        .select("event_id", F.unix_timestamp("ts").alias("t"))
+        .collect()
+    )
+    for event_id, roll_n in got:
+        t = by_event[event_id]
+        manual = sum(1 for x in times if t - 3600 <= x <= t)
+        assert roll_n == manual
+
+
+def test_deciles_are_balanced_and_monotone(spark, sf_dir):
+    rows = A.customer_spend_deciles(spark, sf_dir).collect()
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.spend)
+    assert set(by_decile) == set(range(1, 11))
+    # ntile balance: bucket sizes differ by at most 1
+    sizes = [len(v) for _, v in sorted(by_decile.items())]
+    assert max(sizes) - min(sizes) <= 1
+    # monotone: max of decile d <= min of decile d+1
+    for d in range(1, 10):
+        assert max(by_decile[d]) <= min(by_decile[d + 1])
+
+
+def test_histogram_covers_all_orders(spark, sf_dir):
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    rows = A.order_price_histogram(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load_table(
+        spark, sf_dir, "orders"
+    ).count()
+    for r in rows:
+        assert r.bin * 50_000 <= r.min_price <= r.max_price < (r.bin + 1) * 50_000
