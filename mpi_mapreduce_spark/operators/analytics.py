@@ -63,7 +63,13 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranking over per-customer spend: ntile deciles,
     percent_rank and cume_dist in one window pass. The order key
     carries a unique custkey tiebreak — without it ntile bucket
-    boundaries split ties engine-arbitrarily."""
+    boundaries split ties engine-arbitrarily.
+
+    Scale note: an unpartitioned window is a single-partition global
+    sort — fine for per-customer aggregates (cardinality is customers,
+    not fact rows), but for billion-row inputs switch to the two-phase
+    form: approx_percentile boundaries broadcast + map-side bucket
+    assignment (exact rank only where the product needs it)."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         ex.quantized_sum("o_totalprice", 2).alias("spend")

@@ -35,6 +35,7 @@ def _install(module) -> None:
 def _build() -> None:
     from mpi_mapreduce_spark.operators import (
         analytics,
+        cdc,
         dedup,
         mapreduce,
         multimodal,
@@ -53,6 +54,7 @@ def _build() -> None:
         relational,
         tpch_full,
         analytics,
+        cdc,
         asof,
         dq,
         intervals,

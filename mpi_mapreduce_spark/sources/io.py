@@ -98,6 +98,18 @@ def read_table(
     return r.load(path)
 
 
+def read_table_evolved(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Schema-evolution read: merge the footers of every file under
+    `path` so batches written before a column existed surface it as
+    NULL. mergeSchema is a footer-only pass (no data scan), but it is
+    still O(files) on the driver — at 100 TB pin the canonical schema
+    in a catalog and pass it to read_table instead; this entry point
+    is for exploratory reads over heterogeneous drops."""
+    return spark.read.format(fmt).option("mergeSchema", "true").load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -191,3 +191,25 @@ def test_refcorpus_datasource_golden_parity(spark):
                 k, v = line.split()
                 golden[k] = int(v)
     assert got == golden
+
+
+def test_schema_evolution_merges_new_column(spark, tmp_path):
+    """A column added in a later batch surfaces as NULL for earlier
+    batches under read_table_evolved, and filters on the evolved
+    column still push to the scan."""
+    from mpi_mapreduce_spark.sources.io import read_table_evolved
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], ["id", "s", "score"]
+    ).write.mode("append").parquet(path)
+
+    df = read_table_evolved(spark, path)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 30.0 and rows[4] == 40.0
+    assert df.where(df.score > 35).count() == 1
