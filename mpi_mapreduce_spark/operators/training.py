@@ -154,6 +154,38 @@ def training_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(keep).select("doc_id", "lang", "n_chars")
 
 
+#: stratified rates per SAMPLE_MOD: downsample the majority language,
+#: keep most of the tail — the standard corpus-rebalancing move
+STRATA_KEEP = {"en": 2500, "zh": 8000, "es": 8000, "de": 8000, "fr": 8000}
+STRATA_DEFAULT = 5000
+
+
+def sample_stratified(
+    df: DataFrame, stratum_col: str, rates: dict[str, int], default: int
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: the keep
+    threshold varies by stratum, the coin is the same key hash as
+    training_sample_documents. Stateless row filter — no shuffle, no
+    sampleBy() partitioning dependence."""
+    coin = (F.col("doc_id") * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+    thresh = F.lit(default)
+    for value, rate in rates.items():
+        thresh = F.when(F.col(stratum_col) == value, rate).otherwise(thresh)
+    return df.where(coin < thresh)
+
+
+def training_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus by language: 25% of English, 80% of each
+    tail language. Returns per-stratum audit counts (kept sizes are
+    exactly reproducible at any parallelism)."""
+    d = _docs(spark, sf_dir)
+    kept = sample_stratified(d, "lang", STRATA_KEEP, STRATA_DEFAULT)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 #: curation pipeline: quality cutoff (corpus scores span ~0.57-0.83)
 CURATE_QUALITY_MIN = 0.65
 
@@ -205,6 +237,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "training_split_assign": training_split_assign,
     "training_sample_documents": training_sample_documents,
+    "training_sample_stratified": training_sample_stratified,
     "pipeline_curate_corpus": pipeline_curate_corpus,
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
@@ -275,6 +308,15 @@ ORACLE = {
         SELECT doc_id, lang, n_chars
         FROM documents
         WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+    """,
+    "training_sample_stratified": f"""
+        SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+        FROM documents
+        WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} <
+              CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000
+                        WHEN 'es' THEN 8000 WHEN 'de' THEN 8000
+                        WHEN 'fr' THEN 8000 ELSE 5000 END
+        GROUP BY lang
     """,
     "pipeline_curate_corpus": _curate_oracle(),
     "training_split_assign": f"""

@@ -3,6 +3,8 @@ beyond the DuckDB oracle (which pins exact values at sf0.01)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mpi_mapreduce_spark.operators import training as T
 
 
@@ -70,3 +72,47 @@ def test_contamination_bounded_and_test_only(spark, sf_dir):
         assert splits[r.doc_id] == "test"
         assert 0 <= r.n_shared <= r.n_shingles
         assert r.contaminated == (2 * r.n_shared >= r.n_shingles)
+
+
+def test_stratified_sample_is_partitioning_invariant(spark, sf_dir):
+    """Same kept set at any parallelism — the coin is row arithmetic,
+    not sampleBy()'s partition-dependent RNG."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import (
+        STRATA_DEFAULT,
+        STRATA_KEEP,
+        sample_stratified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sample_stratified(docs, "lang", STRATA_KEEP, STRATA_DEFAULT)
+    b = sample_stratified(
+        docs.repartition(17), "lang", STRATA_KEEP, STRATA_DEFAULT
+    )
+    assert sorted(r.doc_id for r in a.select("doc_id").collect()) == sorted(
+        r.doc_id for r in b.select("doc_id").collect()
+    )
+
+
+def test_stratified_sample_downsamples_majority(spark, sf_dir):
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import (
+        training_sample_stratified,
+    )
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r.lang: r.n_kept
+        for r in training_sample_stratified(spark, sf_dir).collect()
+    }
+    # en keeps ~25%, tail languages ~80% — allow wide stochastic slack
+    assert kept["en"] / totals["en"] < 0.45
+    for lang in ("zh", "es", "de", "fr"):
+        if lang in kept:
+            assert kept[lang] / totals[lang] > 0.55
