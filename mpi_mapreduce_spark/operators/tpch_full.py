@@ -267,21 +267,27 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q13 shape: LEFT OUTER join with the filter inside the join
     condition (customers with zero qualifying orders must survive),
     then two stacked aggregations: orders per customer, customers per
-    order-count. COUNT(o_orderkey) skips the null-extended rows."""
+    order-count.
+
+    Scale note: the textbook plan joins every order row to its customer
+    and then aggregates. Because the extra join predicate only touches
+    orders columns, it is equivalent to pre-filter + pre-aggregate
+    orders per o_custkey *before* the outer join — the join input
+    shrinks from |orders| rows to <=|customers| aggregated rows (which
+    also makes the aggregated side broadcastable at dimension-like
+    sizes), and zero-order customers surface as a null count coalesced
+    to 0. At 100 TB this is the difference between shuffling the fact
+    table through the join and shuffling one pre-combined row per key."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
     )
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = cust.join(
+        per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
