@@ -134,14 +134,105 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cohort epoch — week indexes count from the corpus start date
+COHORT_EPOCH = "2024-01-01"
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics
+    rollup: users are cohorted by their first active week, and each
+    (cohort, weeks-since-cohort) cell counts how many came back.
+
+    Week indexes are integer day-arithmetic from a fixed epoch (no
+    date_trunc — Monday-vs-Sunday week conventions differ across
+    engines; day offsets don't). Plan: one groupBy(user) for first
+    weeks, an equi-join back on user_id (Catalyst reuses the
+    aggregation's hash partitioning, so no second shuffle of the fact
+    rows), then a distinct-count over the tiny (cohort, offset) key
+    space. At 100 TB the only O(data) shuffle is the per-user min."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date"))
+            / 7
+        ).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-purchased part pairs (frequent-itemset support
+    counts) — association mining's first stage.
+
+    The pair generator is a self-equi-join of the DISTINCT
+    (order, part) rows on the order key: both sides hash-partition on
+    l_orderkey, so pair expansion happens co-located, bounded by
+    C(items_per_order, 2) — TPC-H-shaped orders hold ≤ ~13 lines, so
+    ≤ 78 pairs/order regardless of corpus size. The a<b predicate
+    halves the pairs and canonicalizes them; support counts get
+    map-side combine; the top-100 is TakeOrderedAndProject with an
+    (n DESC, pair ASC) boundary tiebreak in both engines."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "events_rolling_user_stats": events_rolling_user_stats,
+    "events_retention_cohorts": events_retention_cohorts,
+    "orders_market_basket": orders_market_basket,
     "customer_spend_deciles": customer_spend_deciles,
     "order_price_histogram": order_price_histogram,
     "text_pii_redaction": text_pii_redaction,
 }
 
 ORACLE = {
+    "events_retention_cohorts": """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST((ts::DATE - DATE '2024-01-01') // 7 AS BIGINT) AS week
+          FROM events
+        ), first AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               e.week - f.cohort_week AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "orders_market_basket": """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 100
+    """,
     "events_rolling_user_stats": """
         WITH base AS (
           SELECT event_id, user_id,

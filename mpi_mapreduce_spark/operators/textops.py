@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
 from mpi_mapreduce_spark.functions import exact as ex
@@ -180,8 +181,83 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic
+    extractor in front of corpus curation and retrieval indexing.
+
+    Shape at scale: term frequencies are one explode + groupBy
+    (map-side combine shrinks the shuffle to distinct (doc, term)
+    pairs); document frequencies aggregate the tf rows again by term
+    only; the corpus size N is a one-row broadcast. The tf⋈df join
+    shuffles on term — a broadcast would need the full vocabulary,
+    which at 100 TB does NOT fit (web-scale vocab is billions of
+    types), so the equi-join shuffle is the correct plan, and Catalyst
+    reuses the tf-side partitioning for the final per-doc window.
+
+    Ranking ties (identical quantized score) break on term ASC so both
+    engines pick the same top-3 deterministically; idf uses the
+    smoothed form ln((N+1)/(df+1))."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ex.quantize(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams — the first step of n-gram language
+    modeling and collocation mining.
+
+    Bigrams are row-shaped (posexplode + one lead() over the per-doc
+    window — same codegen'd pipeline as shingle_rows); the global count
+    gets map-side combine, and the top-100 physicalizes as
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    The 100-boundary tie breaks on bigram ASC in both engines."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    big = (
+        tok.select(F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+                   F.lead("tok", 1).over(w).alias("_t1"))
+        .where(F.col("_t1").isNotNull())
+        .select("bigram")
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_bigram_counts": text_bigram_counts,
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_repetition_score": text_repetition_score,
     "text_lang_id": text_lang_id,
@@ -196,6 +272,47 @@ def _oracle_hits(lang: str) -> str:
 
 
 ORACLE = {
+    "text_tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf AS BIGINT) AS tf,
+                 CAST(dfreq.df AS BIGINT) AS df,
+                 ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) * 10000.0)
+                   / 10000.0 AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    "text_bigram_counts": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        ), b AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t WHERE len(toks) >= 2
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 100
+    """,
     "text_repetition_score": """
         WITH t AS (
           SELECT doc_id,

@@ -186,6 +186,43 @@ def training_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier flagging on document length — the standard
+    pre-filter that drops truncated fragments and concatenation blobs
+    before training. Fences are q1−1.5·IQR / q3+1.5·IQR from EXACT
+    quartiles (Spark `percentile`, linear interpolation — same
+    definition as the oracle's percentile_cont).
+
+    Scale shape: the quartile aggregate reads one long column (pruned
+    scan) and reduces to ONE row, broadcast back over the corpus as a
+    stateless per-row flag — no shuffle of the data itself. Exact
+    percentiles hold to ~billions of distinct lengths (bounded-domain
+    integer column); for unbounded domains swap in approx_percentile.
+    All fence arithmetic is dyadic-rational (quartile fractions are
+    .0/.25/.5/.75, 1.5·IQR multiplies by 3/2), so both engines compute
+    bit-identical doubles — no quantization needed for the flag."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    q = d.agg(
+        F.percentile(F.col("n_chars"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("n_chars"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    bounds = q.select(
+        (F.col("q1") - 1.5 * iqr).alias("lo_fence"),
+        (F.col("q3") + 1.5 * iqr).alias("hi_fence"),
+    )
+    return d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_chars",
+        "lo_fence",
+        "hi_fence",
+        (
+            (F.col("n_chars") < F.col("lo_fence"))
+            | (F.col("n_chars") > F.col("hi_fence"))
+        ).alias("is_outlier"),
+    )
+
+
 #: curation pipeline: quality cutoff (corpus scores span ~0.57-0.83)
 CURATE_QUALITY_MIN = 0.65
 
@@ -238,6 +275,7 @@ QUERIES = {
     "training_split_assign": training_split_assign,
     "training_sample_documents": training_sample_documents,
     "training_sample_stratified": training_sample_stratified,
+    "training_outlier_iqr": training_outlier_iqr,
     "pipeline_curate_corpus": pipeline_curate_corpus,
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
@@ -319,6 +357,20 @@ ORACLE = {
         GROUP BY lang
     """,
     "pipeline_curate_corpus": _curate_oracle(),
+    "training_outlier_iqr": """
+        WITH q AS (
+          SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+                 percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+          FROM documents
+        ), b AS (
+          SELECT q1 - 1.5 * (q3 - q1) AS lo_fence,
+                 q3 + 1.5 * (q3 - q1) AS hi_fence
+          FROM q
+        )
+        SELECT doc_id, n_chars, lo_fence, hi_fence,
+               n_chars < lo_fence OR n_chars > hi_fence AS is_outlier
+        FROM documents CROSS JOIN b
+    """,
     "training_split_assign": f"""
         SELECT doc_id, lang,
                (doc_id * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} AS bucket,

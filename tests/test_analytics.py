@@ -91,3 +91,31 @@ def test_histogram_covers_all_orders(spark, sf_dir):
     ).count()
     for r in rows:
         assert r.bin * 50_000 <= r.min_price <= r.max_price < (r.bin + 1) * 50_000
+
+
+def test_retention_cohorts_offset_zero_covers_every_user(spark, sf_dir):
+    """Every user appears in their own cohort's offset-0 cell, and no
+    activity precedes the cohort week."""
+    rows = A.events_retention_cohorts(spark, sf_dir).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    ev = A._t(spark, sf_dir, "events")
+    total_users = ev.select("user_id").distinct().count()
+    assert sum(zero.values()) == total_users
+    # retention can never exceed the cohort's size
+    for r in rows:
+        assert r.n_users <= zero[r.cohort_week]
+
+
+def test_market_basket_pairs_canonical_and_support_exact(spark, sf_dir):
+    rows = A.orders_market_basket(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.part_a < r.part_b for r in rows)
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # spot-check the top pair's support by direct recount
+    top = rows[0]
+    li = A._t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.where(F.col("l_partkey") == top.part_a).select("l_orderkey")
+    b = li.where(F.col("l_partkey") == top.part_b).select("l_orderkey")
+    assert a.intersect(b).count() == top.n_orders

@@ -213,3 +213,20 @@ def test_schema_evolution_merges_new_column(spark, tmp_path):
     assert rows[1] is None and rows[2] is None
     assert rows[3] == 30.0 and rows[4] == 40.0
     assert df.where(df.score > 35).count() == 1
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC is the third columnar format (after parquet and the CSV/JSON
+    text formats): round-trips values and pushes filters to the scan."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5) for i in range(100)], "id long, s string, x double"
+    )
+    out = str(tmp_path / "t_orc")
+    write_table(df, out, fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = (
+        back.where(F.col("id") > 90)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]

@@ -1,0 +1,59 @@
+"""Semantics the oracle can't see for the text operators: top-k
+contract of the TF-IDF extractor and bigram ordering/limit behavior on
+hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_mapreduce_spark.operators.textops import (
+    text_bigram_counts,
+    text_tfidf_top_terms,
+)
+
+
+def test_tfidf_keeps_at_most_three_ranked_terms_per_doc(spark, sf_dir):
+    rows = text_tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc, "no documents scored"
+    for doc_id, terms in per_doc.items():
+        ranks = sorted(t.rnk for t in terms)
+        assert ranks == list(range(1, len(terms) + 1)), doc_id
+        assert len(terms) <= 3
+        # rank order follows (tfidf DESC, term ASC)
+        by_rank = sorted(terms, key=lambda t: t.rnk)
+        keys = [(-t.tfidf, t.term) for t in by_rank]
+        assert keys == sorted(keys), doc_id
+
+
+def test_tfidf_rare_term_outranks_ubiquitous_term(spark, tmp_path):
+    # 4 docs; "common" appears in all, "rare" only in doc 0 — rare must
+    # outscore common for doc 0 even at equal term frequency.
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common filler0"),
+            (1, "common filler1 filler1"),
+            (2, "common filler2 filler2"),
+            (3, "common filler3 filler3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = str(tmp_path / "documents")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(out + "/documents.parquet")
+    scored = {
+        (r.doc_id, r.term): r.rnk
+        for r in text_tfidf_top_terms(spark, out).collect()
+    }
+    assert scored[(0, "rare")] < scored[(0, "common")]
+
+
+def test_bigram_counts_capped_and_ordered(spark, sf_dir):
+    rows = text_bigram_counts(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r.bigram for r in rows)

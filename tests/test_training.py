@@ -116,3 +116,22 @@ def test_stratified_sample_downsamples_majority(spark, sf_dir):
     for lang in ("zh", "es", "de", "fr"):
         if lang in kept:
             assert kept[lang] / totals[lang] > 0.55
+
+
+def test_outlier_iqr_fences_match_numpy_and_flags_consistent(spark, sf_dir):
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.training import training_outlier_iqr
+
+    rows = training_outlier_iqr(spark, sf_dir).collect()
+    docs = T._docs(spark, sf_dir)
+    assert len(rows) == docs.count()
+    lens = np.array([r.n_chars for r in rows])
+    q1, q3 = np.percentile(lens, [25, 75], method="linear")
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    r0 = rows[0]
+    assert abs(r0.lo_fence - lo) < 1e-9 and abs(r0.hi_fence - hi) < 1e-9
+    for r in rows:
+        assert r.is_outlier == (r.n_chars < lo or r.n_chars > hi)
+    # sanity: Tukey fences never flag a majority
+    assert sum(r.is_outlier for r in rows) < len(rows) / 2
