@@ -134,6 +134,50 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session gap — a pause longer than this starts a new session (µs)
+SESSION_GAP_US = 1_800_000_000
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization — the batch-side twin of
+    `session_window`: a per-user event stream splits into sessions
+    wherever the inter-event pause exceeds 30 minutes, then each
+    session rolls up to (count, start, end, duration).
+
+    The classic two-window plan: lag() marks boundaries, a running sum
+    of boundary flags numbers the sessions, one groupBy rolls them up.
+    All three steps share ONE hash partitioning on user_id — Spark
+    plans a single Exchange, then two in-partition sorts and a partial
+    agg. Time is integer epoch-µs end-to-end (no float, no timezone),
+    and both windows order on (t_us, event_id) so simultaneous events
+    land deterministically. At 100 TB state per task is one partition's
+    users — no per-user materialization beyond the sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("t_us") - F.lag("t_us", 1).over(w) > SESSION_GAP_US)
+            | F.lag("t_us", 1).over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+    )
+
+
 #: cohort epoch — week indexes count from the corpus start date
 COHORT_EPOCH = "2024-01-01"
 
@@ -199,6 +243,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_rolling_user_stats": events_rolling_user_stats,
+    "events_sessionize": events_sessionize,
     "events_retention_cohorts": events_retention_cohorts,
     "orders_market_basket": orders_market_basket,
     "customer_spend_deciles": customer_spend_deciles,
@@ -207,6 +252,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_sessionize": f"""
+        WITH ev AS (
+          SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+          FROM events
+        ), f AS (
+          SELECT user_id, event_id, t_us,
+                 CASE WHEN lag(t_us) OVER w IS NULL THEN 1
+                      WHEN t_us - lag(t_us) OVER w > {SESSION_GAP_US} THEN 1
+                      ELSE 0 END AS new_sess
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        ), s AS (
+          SELECT user_id, t_us,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM f
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+               MAX(t_us) - MIN(t_us) AS duration_us
+        FROM s GROUP BY user_id, session_seq
+    """,
     "events_retention_cohorts": """
         WITH ev AS (
           SELECT user_id,

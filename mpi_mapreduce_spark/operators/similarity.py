@@ -283,6 +283,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(corpus, queries, ivf_centroids(corpus))
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/IVF "update" step, and
+    the class-prototype builder for nearest-centroid classification).
+
+    Shape at scale: posexplode multiplies rows by the dimension but
+    stays in whole-stage codegen; the (label, pos) aggregate gets
+    map-side combine so the shuffle carries O(labels × dims) partial
+    sums, not O(rows × dims) values. Means are exact quantized sums
+    over int64 divided by the count (functions/exact.py) — identical
+    doubles at any parallelism. Long output format (one row per
+    (label, dimension)) keeps the oracle compare scalar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return parts.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.count("*").alias("n_vecs"),
+        ex.quantized_avg(F.col("v").cast("double"), 6).alias("centroid"),
+    )
+
+
+ORACLE_CENTROIDS = f"""
+    WITH p AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, pos, COUNT(*) AS n_vecs,
+           {ex.sql_avg('CAST(v AS DOUBLE)', 6)} AS centroid
+    FROM p GROUP BY label, pos
+"""
+
 ORACLE_KNN = f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -308,10 +341,12 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLE = {
     "knn_bruteforce": ORACLE_KNN,
+    "embedding_label_centroids": ORACLE_CENTROIDS,
     # ann_lsh_topk / ann_ivf_topk: rows-only; recall pinned in tests on
     # clustered data (index structure isn't SQL-expressible)
 }

@@ -254,8 +254,63 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitter support: report terms with freq >= total_tokens / HH_K
+HH_K = 200
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms with frequency >= N/K) via the
+    Misra–Gries sketch: each Arrow batch keeps only K counters, the
+    surviving candidate terms are unioned, and ONLY candidates get an
+    exact recount.
+
+    Why this shape at 100 TB: a full groupBy(term) shuffles the whole
+    vocabulary (billions of types on web text); Misra–Gries shuffles at
+    most K terms per input batch. The guarantee is exact, not
+    approximate: if a term's global freq f >= N/K then on at least one
+    batch its local freq f_i >= n_i/K (mediant inequality), and MG with
+    K counters never evicts a term with f_i > n_i/(K+1) — so the
+    candidate set is a SUPERSET of the true heavy hitters, and the
+    recount + threshold filter makes the final answer exact (hence
+    SQL-oracle-checkable). The recount joins tokens against the tiny
+    broadcast candidate list; N is a one-row count."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def mg_sketch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < HH_K:
+                    counters[t] = 1
+                else:
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+            yield pd.DataFrame({"term": list(counters)})
+
+    cand = toks.mapInPandas(mg_sketch, schema="term string").distinct()
+    recount = (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * HH_K >= F.col("total"))
+        .select("term", "freq")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_heavy_hitters": text_heavy_hitters,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_bigram_counts": text_bigram_counts,
     "text_bpe_token_stats": text_bpe_token_stats,
@@ -272,6 +327,18 @@ def _oracle_hits(lang: str) -> str:
 
 
 ORACLE = {
+    "text_heavy_hitters": f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), c AS (
+          SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+        ), n AS (
+          SELECT COUNT(*) AS total FROM toks
+        )
+        SELECT term, freq FROM c, n WHERE freq * {HH_K} >= total
+    """,
     "text_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

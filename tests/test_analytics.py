@@ -119,3 +119,22 @@ def test_market_basket_pairs_canonical_and_support_exact(spark, sf_dir):
     a = li.where(F.col("l_partkey") == top.part_a).select("l_orderkey")
     b = li.where(F.col("l_partkey") == top.part_b).select("l_orderkey")
     assert a.intersect(b).count() == top.n_orders
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Within a session the max inter-event gap is <= 30 min; between
+    consecutive sessions of one user the gap is > 30 min; event counts
+    conserve."""
+    sess = A.events_sessionize(spark, sf_dir).collect()
+    ev = A._t(spark, sf_dir, "events")
+    assert sum(r.n_events for r in sess) == ev.count()
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.session_seq)
+        assert [r.session_seq for r in rs] == list(range(1, len(rs) + 1)), user
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_us - a.end_us > A.SESSION_GAP_US, user
+        for r in rs:
+            assert r.duration_us == r.end_us - r.start_us >= 0

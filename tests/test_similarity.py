@@ -112,3 +112,24 @@ def test_ann_recall_on_clustered_data(clustered, spark):
     }
     for r in S.ann_lsh(corpus, queries, dim).collect():
         assert pairs_bf[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_label_centroids_match_numpy_mean(spark, sf_dir):
+    import numpy as np
+
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    rows = S.embedding_label_centroids(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    dim = len(emb[0].embedding)
+    labels = {r.label for r in emb}
+    assert len(rows) == len(labels) * dim
+    # exact per-(label, dim) mean within quantization error of numpy
+    lab0 = min(labels)
+    vecs = np.array([r.embedding for r in emb if r.label == lab0], dtype=np.float64)
+    got = {r.pos: (r.centroid, r.n_vecs) for r in rows if r.label == lab0}
+    want = vecs.mean(axis=0)
+    for pos in range(dim):
+        c, n = got[pos]
+        assert n == len(vecs)
+        assert abs(c - want[pos]) < 1e-5, pos

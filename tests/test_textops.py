@@ -57,3 +57,47 @@ def test_bigram_counts_capped_and_ordered(spark, sf_dir):
     counts = [r.n for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(" " in r.bigram for r in rows)
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(spark, tmp_path):
+    """A term exactly at the N/K threshold is reported, one below is
+    not — the MG candidate stage must not lose borderline terms even
+    with many small Arrow batches."""
+    import mpi_mapreduce_spark.operators.textops as TX
+
+    k = TX.HH_K
+    # corpus: 'hot' appears 2*T times, 'warm' exactly T, tail unique
+    total = 4 * k  # => threshold T = total/K = 4
+    t = total // k
+    words = (
+        ["hot"] * (2 * t)
+        + ["warm"] * t
+        + [f"tail{i}" for i in range(total - 3 * t)]
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)], ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text"))
+    out = str(tmp_path / "corpus")
+    docs.write.parquet(out + "/documents.parquet")
+    got = {r.term: r.freq for r in TX.text_heavy_hitters(spark, out).collect()}
+    assert got.get("hot") == 2 * t
+    assert got.get("warm") == t
+    assert all(not term.startswith("tail") for term in got)
+
+
+def test_heavy_hitters_agrees_with_full_groupby(spark, sf_dir):
+    import mpi_mapreduce_spark.operators.textops as TX
+    from mpi_mapreduce_spark.functions.text import tokens
+
+    got = {(r.term, r.freq) for r in TX.text_heavy_hitters(spark, sf_dir).collect()}
+    toks = TX._docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    n = toks.count()
+    full = {
+        (r.term, r.freq)
+        for r in toks.groupBy("term").agg(F.count("*").alias("freq")).collect()
+        if r.freq * TX.HH_K >= n
+    }
+    assert got == full and got
