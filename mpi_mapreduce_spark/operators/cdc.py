@@ -50,13 +50,52 @@ def merge_upsert(
     return survivors.unionByName(live)
 
 
-def cdc_orders_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic CDC demo on the orders snapshot: every 10th key
-    gets a status/price update, every 97th is tombstoned, and a
-    shifted key range inserts — then the merged state is audited per
-    status. The change batch is derived arithmetic (no randomness), so
-    the DuckDB oracle can replay the identical merge."""
-    orders = load_table(spark, sf_dir, "orders")
+def snapshot_diff(
+    base: DataFrame, current: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Classify every key as added / removed / changed between two
+    snapshots of the same schema — the reconciliation primitive behind
+    CDC validation, replica anti-entropy, and incremental-build audits.
+
+    One full-outer join on the keys; the row compare is null-safe
+    equality over the non-key columns, evaluated in whole-stage
+    codegen. 'same' keys are filtered out, so the result is O(churn),
+    not O(table). At 100 TB both sides shuffle once on the key — or
+    zero times if both snapshots are bucketed on it (sources/io.
+    write_bucketed); wide rows can pre-hash to one comparison column
+    (trade exactness of WHICH column changed for narrower shuffles)."""
+    keys = list(keys)
+    val_cols = [c for c in base.columns if c not in keys]
+    # string-qualified refs (not df[col]) — base and current may share
+    # lineage (e.g. a merge output diffed against its own input), and
+    # attribute-id resolution is ambiguous on such self-joins
+    b, c = base.alias("__b"), current.alias("__c")
+    bcol = lambda n: F.col(f"__b.{n}")  # noqa: E731
+    ccol = lambda n: F.col(f"__c.{n}")  # noqa: E731
+    cond = [bcol(k).eqNullSafe(ccol(k)) for k in keys]
+    changed = None
+    for v in val_cols:
+        d = ~bcol(v).eqNullSafe(ccol(v))
+        changed = d if changed is None else (changed | d)
+    cls = (
+        F.when(bcol(keys[0]).isNull(), F.lit("added"))
+        .when(ccol(keys[0]).isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    out_keys = [F.coalesce(bcol(k), ccol(k)).alias(k) for k in keys]
+    return (
+        b.join(c, cond, "full_outer")
+        .select(*out_keys, cls.alias("change_type"))
+        .where(F.col("change_type") != "same")
+    )
+
+
+def _orders_changes(orders: DataFrame) -> DataFrame:
+    """The deterministic CDC batch both cdc queries share: every 10th
+    key gets a status/price update, every 97th a tombstone, and a
+    shifted key range inserts — derived arithmetic only, so the DuckDB
+    oracle replays the identical merge."""
     key = F.col("o_orderkey")
     upd = (
         orders.where((key % 10 == 0) & (key % 97 != 0))
@@ -76,7 +115,14 @@ def cdc_orders_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__deleted", F.lit(False))
     )
     tomb = orders.where(key % 97 == 0).withColumn("__deleted", F.lit(True))
-    changes = upd.unionByName(ins).unionByName(tomb)
+    return upd.unionByName(ins).unionByName(tomb)
+
+
+def cdc_orders_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the deterministic CDC batch to the orders snapshot, then
+    audit the merged state per status."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = _orders_changes(orders)
     merged = merge_upsert(orders, changes, ["o_orderkey"], "__deleted")
     return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count("*").alias("n_orders"),
@@ -84,10 +130,24 @@ def cdc_orders_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cdc_orders_rollforward": cdc_orders_rollforward}
+def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile the pre- and post-CDC orders snapshots: every churned
+    key comes back classified added/removed/changed — the audit that
+    proves a merge applied exactly its batch and nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    merged = merge_upsert(
+        orders, _orders_changes(orders), ["o_orderkey"], "__deleted"
+    )
+    return snapshot_diff(orders, merged, ["o_orderkey"])
 
-ORACLE = {
-    "cdc_orders_rollforward": f"""
+
+QUERIES = {
+    "cdc_orders_rollforward": cdc_orders_rollforward,
+    "cdc_orders_snapshot_diff": cdc_orders_snapshot_diff,
+}
+
+#: shared oracle CTE replaying merge_upsert(_orders_changes) exactly
+_MERGED_CTE = """
         WITH upd AS (
           SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
                  CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
@@ -106,8 +166,28 @@ ORACLE = {
           UNION ALL SELECT * FROM upd
           UNION ALL SELECT * FROM ins
         )
+"""
+
+ORACLE = {
+    "cdc_orders_rollforward": f"""
+        {_MERGED_CTE}
         SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
                {ex.sql_sum('o_totalprice', 2)} AS total_price
         FROM merged GROUP BY 1
+    """,
+    "cdc_orders_snapshot_diff": f"""
+        {_MERGED_CTE}
+        SELECT COALESCE(b.o_orderkey, m.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN m.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type
+        FROM orders b FULL OUTER JOIN merged m
+          ON b.o_orderkey = m.o_orderkey
+        WHERE b.o_orderkey IS NULL OR m.o_orderkey IS NULL
+           OR b.o_custkey       IS DISTINCT FROM m.o_custkey
+           OR b.o_orderstatus   IS DISTINCT FROM m.o_orderstatus
+           OR b.o_totalprice    IS DISTINCT FROM m.o_totalprice
+           OR b.o_orderdate     IS DISTINCT FROM m.o_orderdate
+           OR b.o_orderpriority IS DISTINCT FROM m.o_orderpriority
     """,
 }

@@ -186,3 +186,83 @@ def compact_and_cluster(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(
+    cols: list[str],
+    mins: list[int],
+    maxs: list[int],
+    bits: int = 8,
+) -> F.Column:
+    """Morton (Z-order) key over N integer columns as one native
+    column expression: each column min/max-normalizes to a `bits`-bit
+    bucket, then the bucket bits interleave. Stays entirely in
+    whole-stage codegen (shift/and/or ops) — no UDF."""
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(int(hi) - int(lo), 1)
+        scaled = (
+            (F.col(c).cast("long") - F.lit(int(lo)))
+            * F.lit((1 << bits) - 1)
+        ) / F.lit(span)
+        b = F.greatest(
+            F.lit(0),
+            F.least(F.lit((1 << bits) - 1), F.floor(scaled).cast("long")),
+        )
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    n = len(buckets)
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * n + i,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimension clustering via a space-filling curve — the
+    layout OPTIMIZE ... ZORDER produces in lakehouse formats.
+
+    Range-clustering on one column (compact_and_cluster) makes that
+    column's file min/max stats tight but leaves every OTHER column's
+    stats spanning the full domain — a filter on y reads all files of
+    an x-clustered table. Sorting by the Morton interleave of (x, y)
+    gives every file a small axis-aligned rectangle of the value
+    space, so predicates on ANY clustered dimension (or both) prune
+    files through ordinary parquet min/max stats — no index structure,
+    no planner change.
+
+    The min/max normalization stats come from one aggregate over the
+    input (at 100 TB: a column-pruned scan, or reuse catalog stats).
+    `bits`=8 per dimension bounds the curve at 65k cells for 2-D —
+    plenty for file-level pruning; row-group pruning inside files
+    comes free from the sortWithinPartitions."""
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    ).first()
+    z = zorder_key(
+        cols,
+        [stats[f"__min_{c}"] for c in cols],
+        [stats[f"__max_{c}"] for c in cols],
+        bits,
+    )
+    (
+        df.withColumn("__zorder", z)
+        .repartitionByRange(target_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -37,3 +37,31 @@ def test_cdc_rollforward_status_x_present(spark, sf_dir):
 
     rows = {r.status: r.n_orders for r in cdc_orders_rollforward(spark, sf_dir).collect()}
     assert rows.get("X", 0) > 0, "updated rows must carry the new status"
+
+
+def test_snapshot_diff_classifies_churn_exactly(spark, sf_dir):
+    """The diff of (orders, merge(orders, batch)) recovers exactly the
+    batch's own modular key rules."""
+    from mpi_mapreduce_spark.operators.cdc import cdc_orders_snapshot_diff
+
+    rows = cdc_orders_snapshot_diff(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, set()).add(r.o_orderkey)
+    assert set(by_type) == {"added", "removed", "changed"}
+    for k in by_type["removed"]:
+        assert k % 97 == 0
+    for k in by_type["changed"]:
+        assert k % 10 == 0 and k % 97 != 0
+    for k in by_type["added"]:
+        assert k >= 10_000_000 and (k - 10_000_000) % 1000 == 0
+    # no key in two classes
+    assert not (by_type["added"] & by_type["removed"] & by_type["changed"])
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark, sf_dir):
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    assert snapshot_diff(orders, orders, ["o_orderkey"]).count() == 0

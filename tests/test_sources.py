@@ -230,3 +230,44 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
+def _per_file_minmax(spark, path, cols):
+    import glob
+
+    out = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        agg = spark.read.parquet(f).agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        out.append({c: (agg[f"lo_{c}"], agg[f"hi_{c}"]) for c in cols})
+    return out
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """An x-range-clustered table cannot prune a y-only predicate (all
+    files span full y); the z-ordered layout prunes on either axis via
+    the same parquet min/max stats."""
+    from mpi_mapreduce_spark.sources.io import compact_and_cluster, write_zordered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    xdir, zdir = str(tmp_path / "xclust"), str(tmp_path / "zord")
+    compact_and_cluster(grid, xdir, ["x"], target_files=16)
+    write_zordered(grid, zdir, ["x", "y"], target_files=16)
+
+    def overlapping(path, col, lo, hi):
+        files = _per_file_minmax(spark, path, ["x", "y"])
+        assert len(files) == 16
+        return sum(1 for f in files if not (f[col][1] < lo or f[col][0] > hi))
+
+    # y-only box covering 1/8 of the domain
+    assert overlapping(xdir, "y", 8, 15) == 16  # x-layout: no y locality
+    assert overlapping(zdir, "y", 8, 15) <= 8   # z-layout: prunes on y
+    # x predicates still prune in BOTH layouts
+    assert overlapping(xdir, "x", 8, 15) <= 4
+    assert overlapping(zdir, "x", 8, 15) <= 8
+    # round-trip: no rows lost by the rewrite
+    assert spark.read.parquet(zdir).count() == 64 * 64
