@@ -241,7 +241,49 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_WIN = 20  #: trailing rows per window (current row inclusive)
+ANOMALY_K = 3  #: flag beyond k rolling standard deviations
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers: events whose value sits more than
+    ANOMALY_K standard deviations from the mean of the user's trailing
+    ANOMALY_WIN events — the monitoring/alerting primitive, and a data
+    cleaning pass (spike removal) for training pipelines.
+
+    Determinism without floats: the z-test z² > k² rearranges to
+    (n·x − s)² > k²·(n·ss − s²) where s=Σx, ss=Σx², all over cents-
+    quantized int64s — no division, no sqrt, no doubles until the
+    pass-through output column. Overflow bound: cents ≤ ~5e4, n=20 →
+    each term ≤ ~4e12, far under 2^63. One shuffle on user_id; both
+    rolling sums evaluate streaming in the same window frame."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "user_id", "ts", "value", x.alias("x"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ANOMALY_WIN - 1), 0)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("x").over(w)
+    ss = F.sum(F.col("x") * F.col("x")).over(w)
+    dev = n * F.col("x") - s
+    var_n = n * ss - s * s
+    return (
+        base.withColumn("n", n)
+        .withColumn("dev2", dev * dev)
+        .withColumn("varn", var_n)
+        .where(
+            (F.col("n") == ANOMALY_WIN)
+            & (F.col("dev2") > ANOMALY_K * ANOMALY_K * F.col("varn"))
+        )
+        .select("event_id", "user_id", "value")
+    )
+
+
 QUERIES = {
+    "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
     "events_sessionize": events_sessionize,
     "events_retention_cohorts": events_retention_cohorts,
@@ -252,6 +294,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_value_anomalies": f"""
+        WITH c AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events
+        ), w AS (
+          SELECT event_id, user_id, value, x,
+                 COUNT(*) OVER win AS n,
+                 SUM(x) OVER win AS s,
+                 SUM(x * x) OVER win AS ss
+          FROM c WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ANOMALY_WIN - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, value FROM w
+        WHERE n = {ANOMALY_WIN}
+          AND (n * x - s) * (n * x - s)
+              > {ANOMALY_K * ANOMALY_K} * (n * ss - s * s)
+    """,
     "events_sessionize": f"""
         WITH ev AS (
           SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us

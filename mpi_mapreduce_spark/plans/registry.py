@@ -47,7 +47,7 @@ def _build() -> None:
     )
     from mpi_mapreduce_spark.streaming import enrich, joins, stateful, windows
 
-    from mpi_mapreduce_spark.operators import asof, dq, intervals, skew
+    from mpi_mapreduce_spark.operators import asof, dq, graph, intervals, skew
 
     for mod in (
         mapreduce,
@@ -57,6 +57,7 @@ def _build() -> None:
         cdc,
         asof,
         dq,
+        graph,
         intervals,
         skew,
         dedup,
