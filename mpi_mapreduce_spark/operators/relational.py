@@ -830,7 +830,73 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
+def orders_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): per-priority order metrics unpivoted
+    into (priority, metric, value) rows — the inverse of
+    pivot_linestatus, and the shape metric stores / plotting layers
+    ingest.
+
+    `unpivot` is a zero-shuffle projection (each aggregated row
+    expands to its k metric rows in place); the only shuffle is the
+    upstream 5-group aggregate with map-side combine. All metrics
+    share one double column: counts are exact small integers, the sum
+    and avg are cents-quantized (functions/exact.py), min/max are
+    comparisons — every value bit-identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        ex.quantized_sum("o_totalprice", 2).alias("sum_price"),
+        ex.quantized_avg("o_totalprice", 2).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        "priority",
+        ["n_orders", "sum_price", "avg_price", "min_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+#: blocking-key prefix length for the fuzzy name join ("Customer#000000"
+#: — the last 3 digits stay free, so each block holds ≤ 1000 names)
+FUZZY_BLOCK_LEN = 15
+
+
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: pairs of customer names one edit apart,
+    found with a blocked fuzzy self-join — the dedup primitive for
+    records that exact-match misses (typos, OCR noise).
+
+    The join condition's equality part (15-char name prefix) is what
+    Catalyst extracts as the join key, so the quadratic all-pairs
+    problem becomes per-block products: both sides hash-partition on
+    the prefix, and `levenshtein` only evaluates inside a block
+    (≤ 1000 names here). `name_a < name_b` canonicalizes pairs. At
+    100 TB the block key is the knob — lengthen the prefix (or add
+    length/phonetic components) until the hottest block's pair count
+    is acceptable, the same hot-bucket control as LSH banding in
+    operators/dedup.py. Blocking trades recall for tractability:
+    edits inside the prefix are unfound, by design."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    blk = lambda col: F.substring(col, 1, FUZZY_BLOCK_LEN)  # noqa: E731
+    return a.join(
+        b,
+        (blk("name_a") == blk("name_b"))
+        & (F.col("name_a") < F.col("name_b"))
+        & (F.levenshtein("name_a", "name_b") == 1),
+    ).select("key_a", "key_b", "name_a", "name_b")
+
+
 QUERIES = {
+    "orders_metrics_unpivot": orders_metrics_unpivot,
+    "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
     "q1_pricing_summary": q1_pricing_summary,
     "rollup_pricing": rollup_pricing,
     "cube_order_stats": cube_order_stats,
@@ -867,6 +933,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_metrics_unpivot": f"""
+        WITH w AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 {ex.sql_sum('o_totalprice', 2)} AS sum_price,
+                 {ex.sql_avg('o_totalprice', 2)} AS avg_price,
+                 MIN(o_totalprice) AS min_price,
+                 MAX(o_totalprice) AS max_price
+          FROM orders GROUP BY 1
+        )
+        SELECT priority, 'n_orders' AS metric, n_orders AS value FROM w
+        UNION ALL
+        SELECT priority, 'sum_price', sum_price FROM w
+        UNION ALL
+        SELECT priority, 'avg_price', avg_price FROM w
+        UNION ALL
+        SELECT priority, 'min_price', min_price FROM w
+        UNION ALL
+        SELECT priority, 'max_price', max_price FROM w
+    """,
+    "customer_name_fuzzy_pairs": f"""
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM customer a JOIN customer b
+          ON substring(a.c_name, 1, {FUZZY_BLOCK_LEN})
+             = substring(b.c_name, 1, {FUZZY_BLOCK_LEN})
+         AND a.c_name < b.c_name
+         AND levenshtein(a.c_name, b.c_name) = 1
+    """,
     "events_user_value_trend": """
         WITH e AS (
           SELECT user_id, epoch_us(ts) AS t_us, value FROM events

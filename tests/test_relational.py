@@ -99,3 +99,34 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
         a50, a90 = approx[seg]
         assert abs(a50 - p50) / p50 < 0.02
         assert abs(a90 - p90) / p90 < 0.02
+
+
+def test_unpivot_round_trips_wide_metrics(spark, sf_dir):
+    """Every (priority, metric) cell appears exactly once, and pivoting
+    the long frame back recovers the wide aggregate."""
+    long = R.orders_metrics_unpivot(spark, sf_dir)
+    rows = long.collect()
+    prios = {r.priority for r in rows}
+    assert len(prios) == 5 and len(rows) == 5 * 5
+    per_cell = {(r.priority, r.metric) for r in rows}
+    assert len(per_cell) == 25
+    n = {r.priority: r.value for r in rows if r.metric == "n_orders"}
+    assert sum(n.values()) == R._t(spark, sf_dir, "orders").count()
+
+
+def test_fuzzy_pairs_are_true_distance_one(spark, sf_dir):
+    """Every emitted pair is canonical (a<b), shares the blocking
+    prefix, and has edit distance exactly 1 (python recount)."""
+    from difflib import SequenceMatcher
+
+    rows = R.customer_name_fuzzy_pairs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:500]:
+        assert r.name_a < r.name_b
+        assert r.name_a[: R.FUZZY_BLOCK_LEN] == r.name_b[: R.FUZZY_BLOCK_LEN]
+        # same-length names: distance 1 == exactly one differing char
+        assert len(r.name_a) == len(r.name_b)
+        assert sum(x != y for x, y in zip(r.name_a, r.name_b)) == 1
+    # a known adjacent pair must be present
+    names = {(r.name_a, r.name_b) for r in rows}
+    assert ("Customer#000000000", "Customer#000000001") in names
