@@ -271,7 +271,41 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def training_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its event_type's
+    [p05, p95] band — the outlier treatment that keeps rows (unlike
+    training_outlier_iqr, which drops them), standard before fitting
+    scale-sensitive models.
+
+    Two-pass plan: one small aggregate computes per-group exact
+    percentile boundaries (5 groups), broadcast back onto the fact
+    rows for a map-side LEAST(GREATEST(...)) clip — the fact table
+    never shuffles. Boundary doubles interpolate identically in both
+    engines (same 1-based linear interpolation as
+    percentile_order_prices); clipped outputs are either the original
+    value or a boundary, both bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            .alias("value_winsorized"),
+        )
+    )
+
+
 QUERIES = {
+    "training_winsorize_values": training_winsorize_values,
     "training_split_assign": training_split_assign,
     "training_sample_documents": training_sample_documents,
     "training_sample_stratified": training_sample_stratified,
@@ -342,6 +376,17 @@ def _curate_oracle() -> str:
 
 
 ORACLE = {
+    "training_winsorize_values": f"""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, {WINSOR_LO}) AS lo,
+                 quantile_cont(value, {WINSOR_HI}) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               LEAST(GREATEST(e.value, b.lo), b.hi) AS value_winsorized
+        FROM events e JOIN b USING (event_type)
+    """,
     "training_sample_documents": f"""
         SELECT doc_id, lang, n_chars
         FROM documents

@@ -47,7 +47,14 @@ def _build() -> None:
     )
     from mpi_mapreduce_spark.streaming import enrich, joins, stateful, windows
 
-    from mpi_mapreduce_spark.operators import asof, dq, graph, intervals, skew
+    from mpi_mapreduce_spark.operators import (
+        asof,
+        dq,
+        graph,
+        intervals,
+        sketches,
+        skew,
+    )
 
     for mod in (
         mapreduce,
@@ -59,6 +66,7 @@ def _build() -> None:
         dq,
         graph,
         intervals,
+        sketches,
         skew,
         dedup,
         similarity,

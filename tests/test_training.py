@@ -135,3 +135,25 @@ def test_outlier_iqr_fences_match_numpy_and_flags_consistent(spark, sf_dir):
         assert r.is_outlier == (r.n_chars < lo or r.n_chars > hi)
     # sanity: Tukey fences never flag a majority
     assert sum(r.is_outlier for r in rows) < len(rows) / 2
+
+
+def test_winsorize_preserves_rows_and_clips_to_band(spark, sf_dir):
+    """Row count unchanged; every output inside [p05, p95]; interior
+    values pass through bit-identical; both tails actually clip."""
+    from mpi_mapreduce_spark.operators.training import training_winsorize_values
+
+    out = training_winsorize_values(spark, sf_dir).collect()
+    from mpi_mapreduce_spark.datamodel import load_table
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert len(out) == ev_n
+    clipped_lo = clipped_hi = 0
+    for r in out:
+        if r.value_winsorized > r.value:
+            clipped_lo += 1
+        elif r.value_winsorized < r.value:
+            clipped_hi += 1
+        else:
+            assert r.value_winsorized == r.value
+    # ~5% in each tail by construction
+    assert 0.02 * ev_n < clipped_lo < 0.08 * ev_n
+    assert 0.02 * ev_n < clipped_hi < 0.08 * ev_n
