@@ -266,3 +266,48 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "csv",
+) -> DataFrame:
+    """Malformed-input-tolerant csv/json source: PERMISSIVE parse with
+    the raw text of every unparseable row captured in CORRUPT_COL —
+    real feeds always carry some garbage, and silently dropping it
+    (DROPMALFORMED) destroys the audit trail. Requires an explicit
+    DDL schema: at scale inference is an extra full pass, and
+    PERMISSIVE needs declared types to know what "malformed" means.
+
+    Returns the full frame (good rows + corrupt rows); split with
+    split_valid_corrupt. Quarantining instead of failing keeps a
+    100 TB ingest job running when one file in a million is bad —
+    FAILFAST is for curated inputs only."""
+    full_schema = f"{schema}, {CORRUPT_COL} STRING"
+    r = (
+        spark.read.format(fmt)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
+def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the corrupt column, quarantine rows keeping
+    both the raw text and whatever fields did parse) — write the
+    quarantine to its own sink for replay after the upstream fix.
+    The quarantine keeps the full row because Spark refuses a scan
+    whose only referenced column is the internal corrupt-record
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the partial
+    parse is diagnostic signal anyway."""
+    valid = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    corrupt = df.where(F.col(CORRUPT_COL).isNotNull())
+    return valid, corrupt

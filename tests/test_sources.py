@@ -271,3 +271,49 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert overlapping(zdir, "x", 8, 15) <= 8
     # round-trip: no rows lost by the rewrite
     assert spark.read.parquet(zdir).count() == 64 * 64
+
+
+def test_read_robust_quarantines_malformed_csv(spark, tmp_path):
+    """Good rows parse with declared types; bad rows land in the
+    corrupt column verbatim instead of failing or vanishing."""
+    from mpi_mapreduce_spark.sources.io import (
+        CORRUPT_COL,
+        read_robust,
+        split_valid_corrupt,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,3,9.99\n"
+        "2,not_a_number,1.50\n"
+        "3,7,2.25\n"
+        "4,1,bad_price\n"
+    )
+    df = read_robust(
+        spark, str(p), "id BIGINT, qty BIGINT, price DOUBLE", fmt="csv"
+    )
+    valid, corrupt = split_valid_corrupt(df)
+    good = {(r.id, r.qty, float(r.price)) for r in valid.collect()}
+    assert good == {(1, 3, 9.99), (3, 7, 2.25)}
+    bad = sorted(r[CORRUPT_COL] for r in corrupt.collect())
+    assert bad == ["2,not_a_number,1.50", "4,1,bad_price"]
+    assert CORRUPT_COL not in valid.columns
+
+
+def test_read_robust_quarantines_malformed_json(spark, tmp_path):
+    from mpi_mapreduce_spark.sources.io import read_robust, split_valid_corrupt
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "qty": 3}\n'
+        "{broken json!!\n"
+        '{"id": 2, "qty": "seven"}\n'
+        '{"id": 4, "qty": 9}\n'
+    )
+    df = read_robust(spark, str(p), "id BIGINT, qty BIGINT", fmt="json")
+    valid, corrupt = split_valid_corrupt(df)
+    assert {(r.id, r.qty) for r in valid.collect()} == {(1, 3), (4, 9)}
+    # count() would prune to the corrupt column alone, which the
+    # scan forbids (QUERY_ONLY_CORRUPT_RECORD_COLUMN) - materialize
+    assert len(corrupt.collect()) == 2
