@@ -282,7 +282,32 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition counts: for each user's event stream in
+    (ts, event_id) order, count consecutive event_type pairs — the
+    first-order Markov matrix behind next-action prediction and
+    funnel-drop diagnosis (complements events_funnel_conversion,
+    which fixes one path; this surfaces ALL paths).
+
+    One shuffle on user_id for the lag window, then a tiny-key
+    aggregate (|event_types|² groups) with map-side combine — the
+    same scale-free shape as the reference's 3/26/4-key reduces."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
+    "events_transition_matrix": events_transition_matrix,
     "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
     "events_sessionize": events_sessionize,
@@ -294,6 +319,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_transition_matrix": """
+        WITH t AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS from_type
+          FROM events
+        )
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM t WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "events_value_anomalies": f"""
         WITH c AS (
           SELECT event_id, user_id, ts, value,

@@ -47,11 +47,84 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_orphan_custkey", F.lit(orphans).cast("long"))
 
 
+PROFILE_VAL_LEN = 40  #: min/max rendered as strings, truncated
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler: per column, non-null/null counts,
+    exact distinct cardinality, and stringified min/max — the stats
+    report run before any table is promoted to training input.
+
+    All metrics land in ONE aggregate; Spark plans the multiple
+    COUNT(DISTINCT)s as a single Expand + two-phase aggregate (one
+    scan, one shuffle). The single result row is then exploded into
+    the long (col_name, metric...) shape. Exact distinct keeps the
+    DuckDB oracle bit-exact; at 100 TB swap approx_count_distinct /
+    the HLL sketch table (operators/sketches.py) — same plan minus
+    the Expand."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.substring(F.min(c).cast("string"), 1, PROFILE_VAL_LEN).alias(
+                f"__min_{c}"
+            ),
+            F.substring(F.max(c).cast("string"), 1, PROFILE_VAL_LEN).alias(
+                f"__max_{c}"
+            ),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nn_{c}").alias("n_nonnull"),
+                F.coalesce(F.col(f"__null_{c}"), F.lit(0)).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_val"),
+                F.col(f"__max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents corpus."""
+    return profile_table(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dq_audit_orders": dq_audit_orders,
+    "dq_profile_documents": dq_profile_documents,
 }
 
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT({c}) AS n_nonnull,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               substring(CAST(MIN({c}) AS VARCHAR), 1, {PROFILE_VAL_LEN})
+                 AS min_val,
+               substring(CAST(MAX({c}) AS VARCHAR), 1, {PROFILE_VAL_LEN})
+                 AS max_val
+        FROM {table}
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
 ORACLE = {
+    "dq_profile_documents": _profile_oracle(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
     "dq_audit_orders": """
         SELECT COUNT(*) AS n_rows,
                CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_custkey,
