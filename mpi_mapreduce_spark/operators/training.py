@@ -304,7 +304,48 @@ def training_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 200  #: characters per chunk
+CHUNK_OVERLAP = 40  #: trailing chars repeated at the next chunk's head
+_STRIDE = CHUNK_LEN - CHUNK_OVERLAP
+
+
+def training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split long documents into fixed-size overlapping chunks — the
+    context-window prep step dual to training_pack_sequences (packing
+    concatenates short docs; this slices long ones). Overlap keeps
+    boundary-spanning text learnable/retrievable.
+
+    Chunk k covers [1 + k·stride, …+CHUNK_LEN); the last chunk index
+    is ceil((n−CHUNK_LEN)/stride) (0 for docs that fit). All integer
+    arithmetic plus substring — one explode over a computed sequence,
+    no shuffle at all: the operator is embarrassingly parallel and
+    output size is input·(1+overlap/stride), independent of
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    last = F.when(
+        n > CHUNK_LEN,
+        F.expr(f"(n_chars - {CHUNK_LEN} + {_STRIDE} - 1) div {_STRIDE}"),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(
+                f"substring(text, 1 + chunk_id * {_STRIDE}, {CHUNK_LEN})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
 QUERIES = {
+    "training_chunk_documents": training_chunk_documents,
     "training_winsorize_values": training_winsorize_values,
     "training_split_assign": training_split_assign,
     "training_sample_documents": training_sample_documents,
@@ -376,6 +417,24 @@ def _curate_oracle() -> str:
 
 
 ORACLE = {
+    "training_chunk_documents": f"""
+        WITH k AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0,
+                   CASE WHEN n_chars > {CHUNK_LEN}
+                        THEN (n_chars - {CHUNK_LEN} + {_STRIDE} - 1)
+                             // {_STRIDE}
+                        ELSE 0 END)) AS chunk_id
+          FROM documents
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               substring(text, CAST(1 + chunk_id * {_STRIDE} AS INTEGER),
+                         {CHUNK_LEN}) AS chunk_text,
+               CAST(length(substring(text,
+                    CAST(1 + chunk_id * {_STRIDE} AS INTEGER),
+                    {CHUNK_LEN})) AS BIGINT) AS chunk_len
+        FROM k
+    """,
     "training_winsorize_values": f"""
         WITH b AS (
           SELECT event_type,

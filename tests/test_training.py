@@ -157,3 +157,37 @@ def test_winsorize_preserves_rows_and_clips_to_band(spark, sf_dir):
     # ~5% in each tail by construction
     assert 0.02 * ev_n < clipped_lo < 0.08 * ev_n
     assert 0.02 * ev_n < clipped_hi < 0.08 * ev_n
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Chunks tile each doc: chunk 0 starts at 1; consecutive chunks
+    overlap by exactly CHUNK_OVERLAP; stripping the overlap and
+    concatenating reconstructs the original text."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import (
+        CHUNK_LEN,
+        CHUNK_OVERLAP,
+        training_chunk_documents,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in training_chunk_documents(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+        assert len(r.chunk_text) == r.chunk_len <= CHUNK_LEN
+    assert by_doc.keys() == texts.keys()
+    stride = CHUNK_LEN - CHUNK_OVERLAP
+    for doc_id, chunks in by_doc.items():
+        ks = sorted(chunks)
+        assert ks == list(range(len(ks)))
+        rebuilt = chunks[0] + "".join(
+            chunks[k][CHUNK_OVERLAP:] for k in ks[1:]
+        )
+        assert rebuilt == texts[doc_id]
+        # every chunk except the last is full-length
+        for k in ks[:-1]:
+            assert len(chunks[k]) == CHUNK_LEN
+            assert chunks[k][stride:] == chunks[k + 1][:CHUNK_OVERLAP]
