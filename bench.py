@@ -19,8 +19,12 @@ if REPO_ROOT not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: one per engine area (MapReduce parity, relational
-# agg/join, windows, dedup, similarity, text analysis).
+# agg/join, windows, dedup, similarity, text analysis, iterative
+# graph, sketch rollups, sequence mining).
 HEADLINE = [
+    "graph_nation_pagerank",
+    "events_transition_matrix",
+    "events_hll_user_rollup",
     "map2_letterfreq",
     "wordcount",
     "q1_pricing_summary",

@@ -78,11 +78,19 @@ def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     n_iter: int = N_ITER,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank, integer-exact. `nodes` has column `id`;
     `edges` has (src, dst, w). Returns (id, pr) with pr in SCALE
     units. Dangling nodes keep their base share (sink mass is dropped,
-    not redistributed — deterministic and cross-engine-identical)."""
+    not redistributed — deterministic and cross-engine-identical).
+
+    checkpoint_every=0 keeps the whole loop lazy: one job whose plan
+    chains n_iter broadcast joins — for a handful of rounds this
+    beats eager per-round materialization (each localCheckpoint is a
+    blocking job of its own). Set it >0 for long/unbounded loops
+    where lineage depth or replay cost matters (the
+    dedup.connected_components regime)."""
     n = nodes.count()
     base = (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -91,7 +99,7 @@ def pagerank(
     ew = ew.localCheckpoint(eager=True)
 
     pr = nodes.select("id", (F.lit(SCALE // n)).cast("long").alias("pr"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ew.join(F.broadcast(pr), ew.src == pr.id)
             .select(
@@ -110,7 +118,8 @@ def pagerank(
                 )
             ).cast("long").alias("pr"),
         )
-        pr = pr.localCheckpoint(eager=True)
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
