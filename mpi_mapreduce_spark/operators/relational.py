@@ -590,6 +590,53 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event integer (x, y): x = whole seconds since the user's
+    first event, y = cents — the exact-sum basis both the grouped
+    regression and the grouped correlation share."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    t0 = ev.groupBy("user_id").agg(F.min("t_us").alias("t0_us"))
+    return ev.join(t0, "user_id").select(
+        "user_id",
+        ((F.col("t_us") - F.col("t0_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+
+def events_user_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Pearson correlation of value vs time, exact-integer
+    closed form: r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)).
+    The three factors are exact int64s (order-independent sums); the
+    two sqrts and one division are IEEE ops on identical inputs, so r
+    is bit-identical cross-engine — native corr() sums doubles and
+    wobbles under partitioning. √d1·√d2 instead of √(d1·d2) keeps the
+    variance product from overflowing int64 (~1e28 here)."""
+    xy = _user_xy(spark, sf_dir)
+    agg = xy.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (agg.n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (agg.n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (agg.n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "user_id",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (d1 > 0) & (d2 > 0),
+            num / (F.sqrt(d1) * F.sqrt(d2)),
+        ).alias("r"),
+    )
+
+
 def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user least-squares trend of event value over time — grouped
     regression via closed-form sums, kept EXACT: x is seconds since
@@ -603,17 +650,7 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two passes over events, both shuffling on user_id (the second
     reuses the first's partitioning); at 100 TB this is a textbook
     two-stage grouped aggregate, no window, no sort."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("t_us"), "value"
-    )
-    t0 = ev.groupBy("user_id").agg(F.min("t_us").alias("t0_us"))
-    xy = ev.join(t0, "user_id").select(
-        "user_id",
-        ((F.col("t_us") - F.col("t0_us")) / F.lit(1_000_000))
-        .cast("long")
-        .alias("x"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
-    )
+    xy = _user_xy(spark, sf_dir)
     agg = xy.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -927,6 +964,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "events_funnel_conversion": events_funnel_conversion,
     "events_user_value_trend": events_user_value_trend,
+    "events_user_value_corr": events_user_value_corr,
     "orders_by_month": orders_by_month,
     "string_functions_showcase": string_functions_showcase,
     "array_functions_showcase": array_functions_showcase,
@@ -961,6 +999,31 @@ ORACLE = {
              = substring(b.c_name, 1, {FUZZY_BLOCK_LEN})
          AND a.c_name < b.c_name
          AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+    "events_user_value_corr": """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+        ), t0 AS (
+          SELECT user_id, min(t_us) AS t0_us FROM e GROUP BY user_id
+        ), xy AS (
+          SELECT e.user_id,
+                 CAST((e.t_us - t0.t0_us) // 1000000 AS BIGINT) AS x,
+                 CAST(ROUND(e.value * 100) AS BIGINT) AS y
+          FROM e JOIN t0 USING (user_id)
+        ), agg AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM xy GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n >= 2
+                     AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+               END AS r
+        FROM agg
     """,
     "events_user_value_trend": """
         WITH e AS (

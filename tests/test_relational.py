@@ -130,3 +130,25 @@ def test_fuzzy_pairs_are_true_distance_one(spark, sf_dir):
     # a known adjacent pair must be present
     names = {(r.name_a, r.name_b) for r in rows}
     assert ("Customer#000000000", "Customer#000000001") in names
+
+
+def test_grouped_corr_matches_numpy(spark, sf_dir):
+    """Integer-closed-form Pearson r equals numpy's float corrcoef to
+    1e-9 for every user; |r| <= 1 throughout."""
+    import numpy as np
+
+    got = {r.user_id: r.r for r in R.events_user_value_corr(spark, sf_dir).collect()}
+    xy = R._user_xy(spark, sf_dir).collect()
+    by_user = {}
+    for row in xy:
+        by_user.setdefault(row.user_id, []).append((row.x, row.y))
+    assert got.keys() == by_user.keys()
+    for uid, pts in by_user.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        r = got[uid]
+        if r is None:
+            assert len(pts) < 2 or x.std() == 0 or y.std() == 0
+            continue
+        assert abs(r) <= 1.0 + 1e-12
+        assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-9
