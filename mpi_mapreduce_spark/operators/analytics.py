@@ -306,7 +306,25 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization: replace direct identifiers with stable
+    SHA-256 digests — the reversible-by-nobody sibling of
+    text_pii_redaction (redaction destroys linkage; hashing keeps
+    join-ability across tables without exposing the identifier).
+    Pure map-side crypto in whole-stage codegen; at 100 TB add a
+    secret salt column from a vault so digests can't be
+    dictionary-reversed (omitted here for oracle determinism)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(F.col("c_custkey").cast("string"), 256).alias("custkey_h"),
+        F.sha2(F.col("c_name"), 256).alias("name_h"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+
+
 QUERIES = {
+    "customer_pseudonymize": customer_pseudonymize,
     "events_transition_matrix": events_transition_matrix,
     "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
@@ -319,6 +337,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_pseudonymize": """
+        SELECT sha256(CAST(c_custkey AS VARCHAR)) AS custkey_h,
+               sha256(c_name) AS name_h,
+               c_mktsegment, c_acctbal
+        FROM customer
+    """,
     "events_transition_matrix": """
         WITH t AS (
           SELECT user_id, event_type AS to_type,
