@@ -73,10 +73,10 @@ def snapshot_diff(
     bcol = lambda n: F.col(f"__b.{n}")  # noqa: E731
     ccol = lambda n: F.col(f"__c.{n}")  # noqa: E731
     cond = [bcol(k).eqNullSafe(ccol(k)) for k in keys]
-    changed = None
+    # keys-only snapshots can still be diffed (added/removed only)
+    changed = F.lit(False)
     for v in val_cols:
-        d = ~bcol(v).eqNullSafe(ccol(v))
-        changed = d if changed is None else (changed | d)
+        changed = changed | ~bcol(v).eqNullSafe(ccol(v))
     cls = (
         F.when(bcol(keys[0]).isNull(), F.lit("added"))
         .when(ccol(keys[0]).isNull(), F.lit("removed"))

@@ -65,3 +65,13 @@ def test_snapshot_diff_identical_snapshots_empty(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     assert snapshot_diff(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_snapshot_diff_keys_only_table(spark):
+    """A snapshot with no value columns still diffs (added/removed)."""
+    from mpi_mapreduce_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    rows = {(r.k, r.change_type) for r in snapshot_diff(a, b, ["k"]).collect()}
+    assert rows == {(1, "removed"), (4, "added")}
