@@ -180,3 +180,32 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     )
     assert _sorted_rows(got) == _sorted_rows(batch)
     assert got.count() > 0
+
+
+def test_stream_stream_left_outer_join_subset_of_batch(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows must equal the
+    batch twin's matched set; NULL-purchase (abandoned) rows may only
+    be a subset — clicks whose window was still open when input ended
+    are withheld by the watermark."""
+    from mpi_mapreduce_spark.streaming import joins as SJ
+
+    stream = SJ.streaming_click_purchase_attribution(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_louter_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM ss_louter_out").collect()
+    batch = SJ.events_click_attribution(spark, sf_dir).collect()
+    b_matched = {tuple(r) for r in batch if r.purchase_id is not None}
+    b_abandoned = {tuple(r) for r in batch if r.purchase_id is None}
+    g_matched = {tuple(r) for r in got if r.purchase_id is not None}
+    g_abandoned = {tuple(r) for r in got if r.purchase_id is None}
+    assert g_matched == b_matched
+    assert g_abandoned <= b_abandoned
+    assert g_abandoned, "no outer rows emitted — watermark never expired any click"
