@@ -344,7 +344,51 @@ def training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target corpus mixture by language, integer percents summing to 100
+MIXTURE_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+def training_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language reweighting: downsample groups so the kept
+    corpus matches MIXTURE_WEIGHTS as closely as integer counts allow,
+    never upsampling — the data-mixing step of LLM corpus recipes
+    (e.g. fixed web/books/code proportions).
+
+    Exact-count math, all integers: the feasible total is
+    T = min_g(n_g·100 // w_g) (the binding group is kept whole);
+    each group keeps k_g = w_g·T // 100 docs, chosen by a
+    deterministic hash-coin ranking (same multiplier as
+    training_sample_documents) so the selection is reproducible at
+    any parallelism. Exactness needs a per-group row_number — one
+    window shuffle on the group key; at 100 TB with a dominant group,
+    switch the big groups to the threshold (binomial) form and keep
+    exact ranking for the small ones."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = spark.createDataFrame(
+        list(MIXTURE_WEIGHTS.items()), "lang string, wt long"
+    )
+    caps = (
+        docs.groupBy("lang")
+        .count()
+        .join(F.broadcast(weights), "lang")
+        .select("lang", "wt", F.expr("count * 100 div wt").alias("t_g"))
+    )
+    total = caps.agg(F.min("t_g").alias("t"))
+    k = caps.crossJoin(F.broadcast(total)).select(
+        "lang", F.expr("wt * t div 100").alias("k_g")
+    )
+    coin = (F.col("doc_id") * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+    w = W.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(k), "lang")
+        .where(F.col("rn") <= F.col("k_g"))
+        .select("doc_id", "lang")
+    )
+
+
 QUERIES = {
+    "training_mixture_resample": training_mixture_resample,
     "training_chunk_documents": training_chunk_documents,
     "training_winsorize_values": training_winsorize_values,
     "training_split_assign": training_split_assign,
@@ -416,7 +460,34 @@ def _curate_oracle() -> str:
     """
 
 
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {wt})" for lang, wt in MIXTURE_WEIGHTS.items()
+)
+
 ORACLE = {
+    "training_mixture_resample": f"""
+        WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+        n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        caps AS (
+          SELECT n.lang, w.wt, (n.n * 100) // w.wt AS t_g
+          FROM n JOIN w USING (lang)
+        ),
+        tt AS (SELECT MIN(t_g) AS t FROM caps),
+        k AS (
+          SELECT lang, (wt * (SELECT t FROM tt)) // 100 AS k_g FROM caps
+        ),
+        r AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD},
+                            doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang FROM r JOIN k USING (lang)
+        WHERE rn <= k_g
+    """,
     "training_chunk_documents": f"""
         WITH k AS (
           SELECT doc_id, text,

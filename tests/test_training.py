@@ -191,3 +191,28 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
         for k in ks[:-1]:
             assert len(chunks[k]) == CHUNK_LEN
             assert chunks[k][stride:] == chunks[k + 1][:CHUNK_OVERLAP]
+
+
+def test_mixture_resample_hits_exact_group_counts(spark, sf_dir):
+    """Kept counts equal the integer-exact targets k_g = w_g*T//100
+    with T = min(n_g*100//w_g); no group upsampled; selection is a
+    subset of the corpus."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import (
+        MIXTURE_WEIGHTS,
+        training_mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    T = min(n[g] * 100 // w for g, w in MIXTURE_WEIGHTS.items())
+    expect = {g: w * T // 100 for g, w in MIXTURE_WEIGHTS.items()}
+    kept = training_mixture_resample(spark, sf_dir).collect()
+    got = {}
+    for r in kept:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == expect
+    for g, k in got.items():
+        assert k <= n[g]
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert {r.doc_id for r in kept} <= all_ids
