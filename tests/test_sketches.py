@@ -55,3 +55,27 @@ def test_hll_union_of_dailies_equals_direct_sketch(spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_sketch_table_round_trips_through_parquet(spark, sf_dir, tmp_path):
+    """The stored-sketch workflow: persist daily sketches as a parquet
+    table, read back, union-rollup — estimates identical to the
+    in-memory path (binary column survives storage bit-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "sketches")
+    daily_user_sketches(ev).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    from_disk = {
+        r.event_type: r.est
+        for r in stored.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    in_mem = {
+        r.event_type: r.est
+        for r in daily_user_sketches(ev)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert from_disk == in_mem
