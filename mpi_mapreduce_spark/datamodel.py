@@ -38,23 +38,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one engine table. Parquet scan → columnar, vectorized,
     predicate-pushdown-capable; Catalyst prunes columns per query.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long and
-    rebuild the timestamp with integer µs division — exact (no double
-    round-trip: 2024 epoch-nanos ≈ 1.7e18 > 2^53) and lossless for
-    this data's µs-precision values.
+    ``events.ts`` may be written as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). With
+    ``nanosAsLong`` set, such a column surfaces as a long of
+    epoch-nanos; we rebuild the timestamp with integer µs division —
+    exact (no double round-trip: 2024 epoch-nanos ≈ 1.7e18 > 2^53) and
+    lossless for this data's µs-precision values. When the file carries
+    an ordinary µs-precision timestamp the column arrives as a
+    timestamp already and is passed through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(path)
 
 
