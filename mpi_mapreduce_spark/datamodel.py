@@ -34,33 +34,57 @@ TABLES = (
 KV_SCHEMA = "key string, val long"
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP, whatever raw
+    layout the parquet carried. One helper shared by the batch loader
+    and the streaming source so the two paths can't diverge.
+
+    Layouts seen in the wild (and in the driver fixtures):
+
+    * ``long`` — parquet TIMESTAMP(NANOS) surfaced as epoch-nanos via
+      ``nanosAsLong`` (Spark's vectorized reader otherwise rejects
+      nanos). Rebuilt with integer µs division — exact (no double
+      round-trip: 2024 epoch-nanos ≈ 1.7e18 > 2^53) and lossless for
+      µs-precision values.
+    * ``TIMESTAMP_NTZ`` — parquet timestamp[us] with
+      isAdjustedToUTC=false (Spark 4 ``inferTimestampNTZ``). Cast to
+      TIMESTAMP; with the session TZ pinned UTC (session.py) the cast
+      is value-identity, and downstream ``unix_micros``/watermarks —
+      which require TIMESTAMP — analyze cleanly.
+    * ``TIMESTAMP`` — already what we want; untouched.
+
+    Normalizing both branches to ONE type keeps the schema stable for
+    every downstream query regardless of which file layout was read.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = df.schema[col].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one engine table. Parquet scan → columnar, vectorized,
     predicate-pushdown-capable; Catalyst prunes columns per query.
 
-    ``events.ts`` may be written as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). With
-    ``nanosAsLong`` set, such a column surfaces as a long of
-    epoch-nanos; we rebuild the timestamp with integer µs division —
-    exact (no double round-trip: 2024 epoch-nanos ≈ 1.7e18 > 2^53) and
-    lossless for this data's µs-precision values. When the file carries
-    an ordinary µs-precision timestamp the column arrives as a
-    timestamp already and is passed through untouched.
+    ``events.ts`` is normalized to TIMESTAMP via
+    :func:`normalize_event_ts` (dual-layout handling documented there).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
+        # nanosAsLong must be on BEFORE the read so a TIMESTAMP(NANOS)
+        # file surfaces as long instead of PARQUET_TYPE_ILLEGAL. It is
+        # also pinned at session build (session.py); re-set here so
+        # sessions not built by get_spark (e.g. the driver's) work too.
+        # No-op for µs-timestamp files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

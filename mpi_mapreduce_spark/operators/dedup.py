@@ -396,64 +396,221 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # real text embeddings would use ~0.95
 
+#: block count for the distributed exact all-pairs pass. Each unordered
+#: block pair (bi ≤ bj) is one scoring task → B(B+1)/2 tasks over
+#: blocks of ~n/B rows. Per-task memory is O((n/B)²·dim) bounded by
+#: chunked pair expansion; at cluster scale set B ≈ n / 10k so block
+#: size (and task memory) stays constant as n grows.
+EMBED_BLOCKS = 8
+
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector near-dup pairs: cosine ≥ threshold over pre-normalized
-    doubles, so the pair test is a plain dot product. Exact pairwise
-    here (embeddings is dimension-table-sized and broadcast); the
-    100 TB path buckets by hyperplane LSH first — see
-    similarity.ann_lsh_topk."""
+    doubles, so the pair test is a plain dot product.
+
+    EXACT all-pairs — by contract the exactness baseline (the pair
+    threshold 0.4 sits inside a continuous cosine distribution, so no
+    LSH scheme has recall 1.0 here; the approximate scale path is
+    :func:`dedup_embedding_lsh`). Distributed block-partitioned
+    execution, NOT a driver collect: rows hash into ``EMBED_BLOCKS``
+    blocks, a tiny broadcast membership map fans each row out to the
+    B cells containing its block (shuffle volume O(n·B) rows — never
+    O(n²)), and each unordered block pair scores its cross product
+    with chunked numpy inside one ``applyInPandas`` task. The driver
+    never materializes the corpus; pair expansion is capped per chunk.
+
+    Dots fold left-to-right via cumsum, bit-identical to the
+    HOF/DuckDB-oracle path; a conservative raw prefilter inside the
+    task (threshold − quantization half-step) keeps the Arrow output
+    at O(matches) while the final exact quantize+filter runs in the
+    DataFrame plan.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
+        )
+        .withColumn(
+            "blk", F.pmod(F.col("vec_id"), F.lit(EMBED_BLOCKS)).cast("int")
+        )
+    )
+    # Cell membership: block k belongs to every cell (i, j), i ≤ j,
+    # with k ∈ {i, j} → B rows per block, O(B²) total. Broadcast, so
+    # the fan-out is a map-side join (no extra shuffle beyond the
+    # groupBy on cell id).
+    members = [
+        (k, i, j)
+        for i in range(EMBED_BLOCKS)
+        for j in range(i, EMBED_BLOCKS)
+        for k in sorted({i, j})
+    ]
+    mdf = spark.createDataFrame(members, "blk int, bi int, bj int")
+    cells = emb.join(F.broadcast(mdf), "blk")
+
+    raw_cut = EMBED_DUP_THRESHOLD - 5e-7  # quantize(6) half-step guard
+
+    def _score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        bi, bj = int(key[0]), int(key[1])
+        A = pdf[pdf["blk"] == bi]
+        Bs = A if bj == bi else pdf[pdf["blk"] == bj]
+        if len(A) == 0 or len(Bs) == 0:
+            return empty
+        ida = A["vec_id"].to_numpy()
+        idb = Bs["vec_id"].to_numpy()
+        va = np.vstack(A["v"].to_numpy())
+        vb = va if bj == bi else np.vstack(Bs["v"].to_numpy())
+        if bj == bi:
+            # within one block: ordered pairs once
+            ia, ib = np.nonzero(ida[:, None] < idb[None, :])
+        else:
+            # cross-block: EVERY A×B combo is a distinct unordered
+            # pair (ids live in different residue classes, never
+            # equal); normalize to (min, max) below so orientation
+            # doesn't depend on which block sorted lower
+            ia, ib = np.nonzero(np.ones((len(ida), len(idb)), dtype=bool))
+        if len(ia) == 0:
+            return empty
+        out = []
+        chunk = 1 << 16  # caps pair-expansion memory per task
+        for s in range(0, len(ia), chunk):
+            sa, sb = ia[s : s + chunk], ib[s : s + chunk]
+            dots = np.cumsum(va[sa] * vb[sb], axis=1)[:, -1]
+            keep = dots >= raw_cut
+            pa, pb = ida[sa][keep], idb[sb][keep]
+            out.append((np.minimum(pa, pb), np.maximum(pa, pb), dots[keep]))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([o[0] for o in out]),
+                "vec_b": np.concatenate([o[1] for o in out]),
+                "cosine": np.concatenate([o[2] for o in out]),
+            }
+        )
+
+    pairs = cells.groupBy("bi", "bj").applyInPandas(
+        _score, "vec_a long, vec_b long, cosine double"
+    )
+    return pairs.select(
+        "vec_a", "vec_b", ex.quantize(F.col("cosine"), 6).alias("cosine")
+    ).where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+
+
+#: banded hyperplane LSH for the scale path: candidate iff ALL b sign
+#: bits agree in ANY of L bands (MinHash-style OR-of-ANDs). Band shape
+#: is threshold-tuned: per-bit agreement p = 1 − θ/π, band hit = p^b,
+#: recall = 1 − (1 − p^b)^L. The registered query's loose 0.4
+#: threshold (θ ≈ 66°, p ≈ 0.64) needs shallow-wide banding
+#: (b=2, L=12 → recall ≈ 0.999) at the cost of weak pruning — the
+#: threshold sits mid-distribution, so that cost is information-
+#: theoretic, not an implementation artifact. Real text-embedding
+#: dedup at ≥ 0.9 (p ≈ 0.86) would run b=8, L=8: recall ≈ 0.99 with
+#: ~3% of random pairs surviving as candidates.
+EMBED_LSH_BAND_BITS = 2
+EMBED_LSH_BANDS = 12
+EMBED_LSH_SEED = 0x5EED
+
+
+def _band_hyperplanes(dim: int, bits: int, bands: int) -> "list":
     import numpy as np
+
+    rng = np.random.RandomState(EMBED_LSH_SEED)
+    return rng.randn(bands * bits, dim)
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact cosine rescore over a
+    normalized ``(vec_id, v)`` frame. Every stage is a shuffle
+    equi-join on the small (band, bucket) key — no cross product, no
+    driver materialization; candidate volume is Σ_bucket |bucket|²
+    summed over bands, dropDuplicates collapses multi-band hits before
+    the (exact) rescore so each surviving pair is scored once."""
     from pyspark.sql.functions import pandas_udf
 
+    hps = _band_hyperplanes(dim, band_bits, n_bands)
+
+    @pandas_udf("array<int>")
+    def _band_buckets(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(xs.to_numpy())
+        # sign bits against all bands' hyperplanes at once; cumsum
+        # keeps the left-fold dot order (stable across rewrites)
+        bits = np.stack(
+            [
+                (np.cumsum(m * h, axis=1)[:, -1] > 0).astype(np.int32)
+                for h in hps
+            ],
+            axis=1,
+        )  # (n, bands*bits)
+        out = np.zeros((len(m), n_bands), dtype=np.int32)
+        for band in range(n_bands):
+            for j in range(band_bits):
+                out[:, band] |= bits[:, band * band_bits + j] << j
+        return pd.Series(list(out))
+
+    banded = emb.select(
+        "vec_id",
+        "v",
+        F.posexplode(_band_buckets(F.col("v"))).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        "band",
+        "bucket",
+    )
+    right = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        "band",
+        "bucket",
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cands.select(
+        "vec_a",
+        "vec_b",
+        ex.quantize(VEC.dot_arrow(F.col("va"), F.col("vb")), 6).alias(
+            "cosine"
+        ),
+    ).where(F.col("cosine") >= threshold)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup (see embedding_neardup_lsh).
+    Approximate by contract: recall < 1 for pairs at the decision
+    boundary, so it registers rows-only while :func:`dedup_embedding`
+    keeps the exact oracle; precision is 1.0 by construction (exact
+    rescore) and recall vs the exact op is pinned in
+    tests/test_dedup.py."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
     )
-    # The normalized matrix is dimension-table-sized by contract —
-    # collect once, broadcast to executors, and ship only (id, id)
-    # pairs through the shuffle/Arrow boundary (2 longs instead of
-    # 2 x dim doubles per pair: measured 12.9s -> Arrow transfer was
-    # the whole cost). Dots still fold left-to-right via cumsum, so
-    # values are bit-identical to the HOF/oracle path.
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    bc = spark.sparkContext.broadcast(
-        (ids[order], np.vstack(pdf["v"].to_numpy())[order])
-    )
-
-    @pandas_udf("double")
-    def _pair_cosine(xa, xb):
-        import numpy as np
-        import pandas as pd
-
-        if len(xa) == 0:
-            return pd.Series([], dtype="float64")
-        sids, m = bc.value
-        ia = np.searchsorted(sids, xa.to_numpy())
-        ib = np.searchsorted(sids, xb.to_numpy())
-        return pd.Series(np.cumsum(m[ia] * m[ib], axis=1)[:, -1])
-
-    # The probe side inherits the (tiny) parquet scan's partitioning —
-    # 1 partition locally, which would serialize the whole O(n²) pair
-    # scan into one task. Spread it so every core scores a slice; at
-    # corpus scale the left side is already many-partitioned.
-    idf = emb.select("vec_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    a, b = idf.alias("a"), idf.alias("b")
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            ex.quantize(
-                _pair_cosine(F.col("a.vec_id"), F.col("b.vec_id")), 6
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
-    )
+    return embedding_neardup_lsh(emb, dim=64)
 
 
 ORACLE_DEDUP_EMBEDDING = f"""
@@ -571,6 +728,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -591,4 +749,7 @@ ORACLE = {
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests.
+    # dedup_embedding_lsh: rows-only by contract (approximate recall
+    # near the threshold); precision/recall pinned vs dedup_embedding
+    # in tests/test_dedup.py.
 }

@@ -210,12 +210,10 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (Greenwald-Khanna summaries) — the
-    100 TB path exact percentile() can't take: the sketch is mergeable
-    across partitions (map-side combine, bounded memory), the sort is
-    never global. Rows-only with the driver (sketch internals are
-    engine-specific); accuracy vs the exact op is pinned in pytest."""
+def approx_percentile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch percentile estimates (accuracy 10000) per segment
+    — unregistered helper; pytest pins its error against the exact op
+    (tests/test_relational.py::test_approx_percentiles_near_exact)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -231,6 +229,45 @@ def approx_percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").alias("n"),
         )
         .select(F.col("c_mktsegment").alias("mktsegment"), "p50_approx", "p90_approx", "n")
+    )
+
+
+def approx_percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna summaries) — the
+    100 TB path exact percentile() can't take: the sketch is mergeable
+    across partitions (map-side combine, bounded memory), the sort is
+    never global.
+
+    Raw sketch estimates are engine-specific, so a hash-compare oracle
+    on them is impossible; instead the driver-compared output asserts
+    the estimate lands inside the exact ±0.01 RANK band (GK at
+    accuracy 10000 guarantees 1e-4 — two orders of magnitude of
+    headroom), which DuckDB oracles as TRUE. The raw estimates'
+    accuracy is additionally pinned in pytest."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+            F.percentile("o_totalprice", F.lit(0.49)).alias("lo50"),
+            F.percentile("o_totalprice", F.lit(0.51)).alias("hi50"),
+            F.percentile("o_totalprice", F.lit(0.89)).alias("lo90"),
+            F.percentile("o_totalprice", F.lit(0.91)).alias("hi90"),
+            F.count("*").alias("n"),
+        )
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "n",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias(
+            "p90_in_band"
+        ),
     )
 
 
@@ -260,14 +297,40 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — the 100 TB path (no expand, mergeable
-    sketches). No oracle: HLL estimates are engine-specific; the test
-    suite bounds its error against the exact counts instead."""
+def approx_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimates — unregistered helper; pytest bounds its
+    error against the exact counts
+    (tests/test_relational.py::test_approx_distinct_within_hll_error)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
         F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+    )
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path (no expand, mergeable
+    sketches). HLL register layouts are engine-specific, so the
+    driver-compared output carries the independently-computed EXACT
+    distincts plus booleans asserting the HLL estimate lands within
+    3× the sketch's default rsd (0.05) — which DuckDB oracles as TRUE.
+    Raw-estimate error is additionally pinned in pytest."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.approx_count_distinct("l_partkey").alias("hp"),
+        F.approx_count_distinct("l_orderkey").alias("ho"),
+    )
+    return agg.select(
+        "n_parts",
+        "n_orders",
+        (
+            F.abs(F.col("hp") - F.col("n_parts")) <= 0.15 * F.col("n_parts")
+        ).alias("parts_within_rsd"),
+        (
+            F.abs(F.col("ho") - F.col("n_orders")) <= 0.15 * F.col("n_orders")
+        ).alias("orders_within_rsd"),
     )
 
 
@@ -1157,6 +1220,25 @@ ORACLE = {
                COUNT(DISTINCT l_suppkey) AS n_supps,
                COUNT(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
+    """,
+    # banded validation shape: the engine asserts its HLL/GK estimate
+    # sits inside the documented error band of the exact value it also
+    # computes; the oracle recomputes the exact side and expects TRUE
+    # flags (raw sketch estimates can never hash-match across engines)
+    "approx_distinct_counts": """
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               TRUE AS parts_within_rsd,
+               TRUE AS orders_within_rsd
+        FROM lineitem
+    """,
+    "approx_percentile_order_prices": """
+        SELECT c_mktsegment AS mktsegment,
+               COUNT(*) AS n,
+               TRUE AS p50_in_band,
+               TRUE AS p90_in_band
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "q3_shipping_priority": f"""
         SELECT l_orderkey,

@@ -56,27 +56,36 @@ def _build() -> None:
         skew,
     )
 
+    # Install order IS the driver's correctness-check order, and the
+    # driver caps each round's oracle run at the first 50 registered
+    # queries. Round 1 proved the first 50 of (mapreduce, relational,
+    # tpch_full…); this round rotates the previously-unproven
+    # LLM-pipeline surface (dedup/similarity/textops/training/
+    # multimodal/streaming) plus the round-1-ERR asof/intervals into
+    # the window — the first 15 modules below sum to exactly 50.
+    # Rotate again next round for the remainder (cdc, analytics,
+    # tpch tail).
     for mod in (
+        dedup,  # 8
+        similarity,  # 4
+        textops,  # 9
+        training,  # 10
+        multimodal,  # 3
+        windows,  # 5
+        stateful,  # 1
+        joins,  # 2
+        enrich,  # 1
+        graph,  # 1
+        sketches,  # 1
+        skew,  # 1
+        asof,  # 1
+        intervals,  # 1
+        dq,  # 2  → cumulative 50 = driver cap
+        cdc,
+        analytics,
+        tpch_full,
         mapreduce,
         relational,
-        tpch_full,
-        analytics,
-        cdc,
-        asof,
-        dq,
-        graph,
-        intervals,
-        sketches,
-        skew,
-        dedup,
-        similarity,
-        textops,
-        multimodal,
-        windows,
-        stateful,
-        joins,
-        enrich,
-        training,
     ):
         _install(mod)
 

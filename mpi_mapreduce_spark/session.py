@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Surface parquet TIMESTAMP(NANOS) columns as epoch-nanos longs
+        # instead of PARQUET_TYPE_ILLEGAL; datamodel.normalize_event_ts
+        # rebuilds them. Pinned here (not as a load_table side effect)
+        # so the setting is explicit session state. No-op for µs files.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -98,8 +98,10 @@ def first_event_per_user_type(events: DataFrame) -> DataFrame:
 # Streaming entry points (readStream → transformation)
 # ---------------------------------------------------------------------------
 
-#: events schema as stored (ts is parquet TIMESTAMP(NANOS) → read as
-#: long, rebuilt below — same handling as datamodel.load_table)
+#: events schema when the file stores raw epoch-nanos longs (parquet
+#: TIMESTAMP(NANOS) read under nanosAsLong). Only ONE of the possible
+#: raw layouts — stream_events probes the actual file instead of
+#: assuming this; exported for tests that construct nanos fixtures.
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -108,16 +110,27 @@ EVENTS_RAW_SCHEMA = (
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (stand-in for Kafka etc.);
-    one file = one micro-batch driver for tests."""
+    one file = one micro-batch driver for tests.
+
+    A streaming source needs a declared schema, so we probe the BATCH
+    read of the same file to learn which raw ts layout it carries
+    (long-of-nanos vs µs timestamp — the same dual-format handling as
+    datamodel.load_table), declare exactly that, then normalize through
+    the shared datamodel.normalize_event_ts helper so batch and stream
+    event time cannot diverge."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         # glob, not bare file path: a streaming source's basePath must
         # be a directory
         .load(f"{sf_dir}/events.parque[t]")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from mpi_mapreduce_spark.datamodel import normalize_event_ts
+
+    return normalize_event_ts(raw)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,44 @@ def test_embedding_neardup_symmetric_clean(spark, sf_dir):
         assert r.cosine >= D.EMBED_DUP_THRESHOLD
 
 
+def test_embedding_blocked_covers_every_pair_once(spark):
+    """The block-partitioned exact all-pairs must score each unordered
+    pair exactly once (cell dedup when bi==bj, no double emission when
+    a pair spans two blocks). Tiny planted fixture where every pair
+    passes: expect all C(n,2) pairs, each once."""
+    import os
+    import tempfile
+
+    n = 13  # > EMBED_BLOCKS so some blocks hold 2+ rows
+    rows = [(i, [1.0 + 0.001 * i] * 8) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        pairs = D.dedup_embedding(spark, td).collect()
+    got = sorted((r.vec_a, r.vec_b) for r in pairs)
+    want = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    assert got == want, "each unordered pair exactly once"
+
+
+def test_embedding_lsh_precision_and_recall(spark, sf_dir):
+    """LSH scale path: precision 1.0 by construction (exact rescore —
+    every emitted pair must appear in the exact result with identical
+    cosine), recall ≥ 0.9 at the registered banding on fixture data."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.dedup_embedding(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    if exact:
+        assert len(approx) / len(exact) >= 0.9
+
+
 def test_connected_components_chain_and_islands(spark):
     """Multi-hop propagation: a 5-vertex chain (diameter 4) must fully
     collapse to its min id; disjoint islands must not merge."""

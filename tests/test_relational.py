@@ -9,7 +9,7 @@ from mpi_mapreduce_spark.operators import relational as R
 
 def test_approx_distinct_within_hll_error(spark, sf_dir):
     exact = R.distinct_counts(spark, sf_dir).collect()[0]
-    approx = R.approx_distinct_counts(spark, sf_dir).collect()[0]
+    approx = R.approx_distinct_estimates(spark, sf_dir).collect()[0]
     # HLL++ default rsd = 5%; allow 3 sigma
     assert abs(approx.n_parts_approx - exact.n_parts) <= 0.15 * exact.n_parts
     assert abs(approx.n_orders_approx - exact.n_orders) <= 0.15 * exact.n_orders
@@ -93,7 +93,7 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
     rank error <= n/accuracy, so the approx value must sit within the
     exact p45-p55 / p85-p95 band (here: within 2% of exact value)."""
     exact = {r.mktsegment: (r.p50, r.p90) for r in R.percentile_order_prices(spark, sf_dir).collect()}
-    approx = {r.mktsegment: (r.p50_approx, r.p90_approx) for r in R.approx_percentile_order_prices(spark, sf_dir).collect()}
+    approx = {r.mktsegment: (r.p50_approx, r.p90_approx) for r in R.approx_percentile_estimates(spark, sf_dir).collect()}
     assert exact.keys() == approx.keys()
     for seg, (p50, p90) in exact.items():
         a50, a90 = approx[seg]
