@@ -11,9 +11,12 @@ wise max, commutative and associative, so re-aggregation never touches
 the raw data again. A day's sketch is ~KBs regardless of row count;
 the weekly/all-time rollup reads sketches, not events.
 
-No DuckDB oracle: sketch binaries are engine-specific, so the driver
-records the rows-only check. Accuracy (±~2% at lgK=12) and the
-merge-equals-direct identity are pinned in pytest instead.
+Sketch binaries and estimates are engine-specific, so the registered
+query emits the exact distinct count (independently computed) plus a
+boolean asserting the sketch estimate lands within the documented
+error band — hash-comparable against a DuckDB oracle expecting TRUE.
+Accuracy and the merge-equals-direct identity are additionally pinned
+in pytest.
 """
 
 from __future__ import annotations
@@ -36,11 +39,10 @@ def daily_user_sketches(events: DataFrame) -> DataFrame:
     )
 
 
-def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event_type, computed the sketch-table way:
-    daily sketches first, then a union rollup — the plan a 100 TB
-    deployment runs nightly (sketch build) and at query time (union
-    over ~365 tiny sketches instead of a year of raw events)."""
+def hll_user_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch-table rollup (daily HLLs → union → estimate) —
+    unregistered helper; pytest pins estimate error and the
+    merge-equals-direct identity."""
     daily = daily_user_sketches(load_table(spark, sf_dir, "events"))
     return daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
@@ -49,6 +51,47 @@ def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type, computed the sketch-table way:
+    daily sketches first, then a union rollup — the plan a 100 TB
+    deployment runs nightly (sketch build) and at query time (union
+    over ~365 tiny sketches instead of a year of raw events).
+
+    Driver-compared output: exact distincts + n_days/n_events (all
+    SQL-oracle-able) and a flag asserting the union-rollup estimate
+    sits within 3× the lgK=12 rse (±1.6%) of exact — TRUE in the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_user_sketches(ev)
+    rollup = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return rollup.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users")) <= 0.05 * F.col("n_users")
+        ).alias("est_within_rse"),
+    )
+
+
 QUERIES = {"events_hll_user_rollup": events_hll_user_rollup}
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "events_hll_user_rollup": """
+        SELECT event_type,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS est_within_rse
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -78,6 +78,22 @@ def test_embedding_blocked_covers_every_pair_once(spark):
     assert got == want, "each unordered pair exactly once"
 
 
+def test_embedding_plan_has_no_cross_product(spark, sf_dir):
+    """The round-1 implementation collected the corpus to the driver
+    and planned an O(n²) broadcast nested-loop theta-join. The block-
+    partitioned rewrite must plan as fan-out join + grouped scoring:
+    no BroadcastNestedLoopJoin, no CartesianProduct, anywhere."""
+    plan = (
+        D.dedup_embedding(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the cell-scoring stage
+
+
 def test_embedding_lsh_precision_and_recall(spark, sf_dir):
     """LSH scale path: precision 1.0 by construction (exact rescore —
     every emitted pair must appear in the exact result with identical

@@ -9,6 +9,7 @@ from mpi_mapreduce_spark.operators.sketches import (
     LG_K,
     daily_user_sketches,
     events_hll_user_rollup,
+    hll_user_rollup_estimates,
 )
 
 
@@ -16,7 +17,7 @@ def test_hll_rollup_within_error_bound(spark, sf_dir):
     """lgK=12 → ±1.6% RSE; assert a generous 5% against exact."""
     est = {
         r.event_type: r.est_users
-        for r in events_hll_user_rollup(spark, sf_dir).collect()
+        for r in hll_user_rollup_estimates(spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.n
