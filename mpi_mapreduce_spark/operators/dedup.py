@@ -177,6 +177,144 @@ ORACLE_NGRAM_JACCARD = f"""
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic batch split for the registered query: every 10th doc
+#: plays the "tonight's ingest" role, the rest the historical corpus
+INCR_BATCH_MOD = 10
+
+
+def dedup_against_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Per-batch-doc keep/drop decision against an EXISTING corpus —
+    the shape a production ingest actually runs nightly: the historical
+    corpus is never re-paired with itself (that work happened when it
+    was ingested); only batch×corpus pairs are generated.
+
+    - exact: left-semi join of batch text against distinct corpus text
+      (at 100 TB: on xxhash64(text) with equality re-check, 8-byte
+      shuffle key).
+    - near: the same inverted-index shingle join as
+      dedup_ngram_jaccard, restricted to batch-left/corpus-right, with
+      the ±1 length-band block. Work ∝ Σ_shingle |batch share|·|corpus
+      share| — linear in the BATCH for a stable corpus, which is the
+      whole point of the incremental form.
+
+    Exact text equality implies identical shingle sets (Jaccard 1), so
+    is_exact_dup ⊆ is_near_dup — asserted in tests."""
+    exact_ids = (
+        batch.join(
+            corpus.select("text").distinct(), "text", "left_semi"
+        )
+        .select("doc_id")
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+
+    def _side(docs, id_alias):
+        bands = docs.select(
+            "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
+        )
+        return (
+            shingle_rows(docs)
+            .join(bands, "doc_id")
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.col("band").alias(f"band_{id_alias}"),
+                "s",
+            )
+        )
+
+    sb = _side(batch, "doc_b")
+    sc = _side(corpus, "doc_c")
+    sizes_b = sb.groupBy("doc_b").agg(F.count("*").alias("nb"))
+    sizes_c = sc.groupBy("doc_c").agg(F.count("*").alias("nc"))
+    inter = (
+        sb.join(sc, "s")
+        .where(F.abs(F.col("band_doc_b") - F.col("band_doc_c")) <= 1)
+        .groupBy("doc_b", "doc_c")
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.col("ni").cast("double")
+    near_ids = (
+        inter.join(sizes_b, "doc_b")
+        .join(sizes_c, "doc_c")
+        .where(
+            ex.quantize(ni / (F.col("nb") + F.col("nc") - ni), 6)
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+        .withColumn(
+            "keep", ~(F.col("is_exact_dup") | F.col("is_near_dup"))
+        )
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental-dedup query: every 10th doc is the
+    incoming batch, the rest the historical corpus; each batch doc is
+    flagged exact-dup / near-dup / keep against the corpus only."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return dedup_against_corpus(batch, corpus)
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+    WITH sh0 AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM sh0
+    ), banded AS (
+      SELECT doc_id, sh,
+             unnest([n_chars // {LEN_BAND}, n_chars // {LEN_BAND} + 1]) AS band
+      FROM sh
+    ), near AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band
+       AND a.doc_id % {INCR_BATCH_MOD} = 0
+       AND b.doc_id % {INCR_BATCH_MOD} <> 0
+      WHERE ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0
+            >= {JACCARD_THRESHOLD}
+    ), exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b
+      WHERE b.doc_id % {INCR_BATCH_MOD} = 0
+        AND EXISTS (SELECT 1 FROM documents c
+                    WHERE c.doc_id % {INCR_BATCH_MOD} <> 0
+                      AND c.text = b.text)
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           d.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+           NOT (d.doc_id IN (SELECT doc_id FROM exact)
+                OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
+    FROM documents d
+    WHERE d.doc_id % {INCR_BATCH_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH — the scale path
 # ---------------------------------------------------------------------------
 
@@ -729,6 +867,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -746,6 +885,7 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests.

@@ -66,7 +66,7 @@ def _build() -> None:
     # Rotate again next round for the remainder (cdc, analytics,
     # tpch tail).
     for mod in (
-        dedup,  # 8
+        dedup,  # 9
         similarity,  # 4
         textops,  # 9
         training,  # 10
@@ -77,10 +77,10 @@ def _build() -> None:
         enrich,  # 1
         graph,  # 1
         sketches,  # 1
-        skew,  # 1
         asof,  # 1
         intervals,  # 1
         dq,  # 2  → cumulative 50 = driver cap
+        skew,
         cdc,
         analytics,
         tpch_full,

@@ -113,6 +113,41 @@ def test_embedding_lsh_precision_and_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.9
 
 
+def test_incremental_dedup_flags_planted_batch(spark):
+    """Batch docs dedup against the corpus ONLY: an exact copy and a
+    near-copy are dropped, a fresh doc is kept, and duplicates WITHIN
+    the corpus never flag anything (they were the prior ingest's
+    problem). Exact-dup must imply near-dup (identical shingles)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 49),
+            (2, "the quick brown fox jumps over the lazy dog today", 49),
+            (3, "completely unrelated corpus text about spark engines", 52),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1
+            (10, "the quick brown fox jumps over the lazy dog today", 49),
+            # near-copy: one word changed out of 10 → jaccard ~0.6
+            (20, "the quick brown fox jumps over the lazy dog tonight", 51),
+            # fresh
+            (30, "entirely new material never seen in any prior snapshot", 54),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.is_exact_dup, r.is_near_dup, r.keep)
+        for r in D.dedup_against_corpus(batch, corpus).collect()
+    }
+    assert got[10] == (True, True, False)
+    assert got[20] == (False, True, False)
+    assert got[30] == (False, False, True)
+    for _, (e, n, _k) in got.items():
+        assert (not e) or n, "exact-dup must imply near-dup"
+
+
 def test_connected_components_chain_and_islands(spark):
     """Multi-hop propagation: a 5-vertex chain (diameter 4) must fully
     collapse to its min id; disjoint islands must not merge."""
