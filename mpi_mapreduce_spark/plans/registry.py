@@ -66,7 +66,7 @@ def _build() -> None:
     # Rotate again next round for the remainder (cdc, analytics,
     # tpch tail).
     for mod in (
-        dedup,  # 9
+        dedup,  # 10
         similarity,  # 4
         textops,  # 9
         training,  # 10
@@ -79,8 +79,8 @@ def _build() -> None:
         sketches,  # 1
         asof,  # 1
         intervals,  # 1
-        dq,  # 2  → cumulative 50 = driver cap
-        skew,
+        skew,  # 1  → cumulative 50 = driver cap
+        dq,
         cdc,
         analytics,
         tpch_full,

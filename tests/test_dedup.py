@@ -148,6 +148,29 @@ def test_incremental_dedup_flags_planted_batch(spark):
         assert (not e) or n, "exact-dup must imply near-dup"
 
 
+def test_incremental_minhash_matches_exact_incremental(spark, sf_dir):
+    """The index-backed incremental path must agree with the exact
+    shingle-join path modulo LSH recall: every near-dup it flags is a
+    true near-dup (precision 1.0 — the verify stage recomputes true
+    Jaccard), and recall vs the exact op is ≥ 0.95 at the registered
+    banding on fixture data. NOTE the exact op also length-band-blocks
+    (±1 band), so LSH can legitimately flag cross-band true pairs the
+    exact op's blocking misses — compare on the near-dup SET the exact
+    op can see."""
+    exact = {
+        r.doc_id
+        for r in D.dedup_incremental(spark, sf_dir).collect()
+        if r.is_near_dup
+    }
+    approx = {
+        r.doc_id
+        for r in D.dedup_incremental_minhash(spark, sf_dir).collect()
+        if r.is_near_dup
+    }
+    if exact:
+        assert len(exact & approx) / len(exact) >= 0.95
+
+
 def test_connected_components_chain_and_islands(spark):
     """Multi-hop propagation: a 5-vertex chain (diameter 4) must fully
     collapse to its min id; disjoint islands must not merge."""
