@@ -115,21 +115,50 @@ def test_unpivot_round_trips_wide_metrics(spark, sf_dir):
 
 
 def test_fuzzy_pairs_are_true_distance_one(spark, sf_dir):
-    """Every emitted pair is canonical (a<b), shares the blocking
-    prefix, and has edit distance exactly 1 (python recount)."""
-    from difflib import SequenceMatcher
-
+    """Every emitted pair is canonical (a<b by name, keys travel with
+    their names) and has edit distance exactly 1 (python recount);
+    deletion-neighborhood blocking is complete for distance <= 1, so a
+    pair differing in a PREFIX character (which the old prefix
+    blocking missed by design) must now be found."""
     rows = R.customer_name_fuzzy_pairs(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows[:500]:
         assert r.name_a < r.name_b
-        assert r.name_a[: R.FUZZY_BLOCK_LEN] == r.name_b[: R.FUZZY_BLOCK_LEN]
         # same-length names: distance 1 == exactly one differing char
         assert len(r.name_a) == len(r.name_b)
         assert sum(x != y for x, y in zip(r.name_a, r.name_b)) == 1
-    # a known adjacent pair must be present
     names = {(r.name_a, r.name_b) for r in rows}
     assert ("Customer#000000000", "Customer#000000001") in names
+    # completeness for prefix-interior edits (which the old prefix
+    # blocking missed by design) is proven against the quadratic
+    # DuckDB oracle at sf0.01, where such pairs exist — here the
+    # 150-customer fixture has none to find. Planted check instead:
+    from pyspark.sql import functions as F
+
+    planted = spark.createDataFrame(
+        [(1, "Xustomer#000000001"), (2, "Customer#000000001")],
+        "c_custkey long, c_name string",
+    )
+    v = planted.select(
+        "c_custkey",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("vv"),
+    )
+    shared = (
+        v.alias("x")
+        .join(v.alias("y"), "vv")
+        .where(F.col("x.c_custkey") < F.col("y.c_custkey"))
+        .count()
+    )
+    assert shared > 0, "first-char edit must share a deletion variant"
 
 
 def test_grouped_corr_matches_numpy(spark, sf_dir):
