@@ -1,0 +1,99 @@
+"""Hypothesis property tests — randomized inputs for the invariants
+the engine's correctness story leans on hardest: order/partitioning
+independence of the exact float aggregation, bit-exactness of the
+reference djb2 partitioner, and stability of the deterministic
+train/val/test split. Each example drives a tiny local Spark job, so
+example counts are kept small; the fixed-seed unit tests in
+test_exact.py / test_mapreduce.py stay as the fast always-on guard."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mpi_mapreduce_spark.functions import exact as ex
+from mpi_mapreduce_spark.operators.mapreduce import djb2
+
+# two-decimal "money" doubles — the shape the engine quantizes at
+# scale 2 throughout
+money = st.integers(min_value=-10**7, max_value=10**7).map(
+    lambda c: c / 100.0
+)
+
+
+def _serial_quantized_sum(values, scale):
+    m = 10**scale
+    total = 0
+    for v in values:
+        x = v * m
+        q = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+        total += q
+    return total / m
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(money, min_size=1, max_size=300))
+def test_quantized_sum_invariant_under_partitioning(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = _serial_quantized_sum(vals, 2)
+    for parts in (1, 5):
+        got = (
+            df.repartition(parts)
+            .agg(ex.quantized_sum("v", 2).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == want, f"parts={parts}: {got} != {want}"
+
+
+@given(
+    key=st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+        min_size=0,
+        max_size=32,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_djb2_matches_reference_c_semantics(key):
+    """Pure-python check (no Spark): 64-bit wraparound, byte-wise *33+c
+    (reference utils.c:10-19). Re-derive with explicit modular
+    arithmetic as the independent model."""
+    h = 5381
+    for b in key.encode("utf-8"):
+        h = (h * 33 + b) % (2**64)
+    assert djb2(key) == h
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200))
+def test_split_assignment_depends_only_on_key(spark, ids):
+    """The train/val/test split must be a pure function of the id:
+    same assignment regardless of row order, partitioning, or what
+    other rows exist (subset invariance is what makes the split safe
+    to compute incrementally at 100 TB)."""
+    from mpi_mapreduce_spark.operators.training import with_split
+
+    rows = [(i,) for i in sorted(ids)]
+    full = {
+        r.doc_id: (r.bucket, r.split)
+        for r in with_split(
+            spark.createDataFrame(rows, "doc_id long")
+        ).collect()
+    }
+    half_ids = sorted(ids)[::2]
+    half = {
+        r.doc_id: (r.bucket, r.split)
+        for r in with_split(
+            spark.createDataFrame([(i,) for i in half_ids], "doc_id long")
+            .repartition(3)
+        ).collect()
+    }
+    for i in half_ids:
+        assert half[i] == full[i]
