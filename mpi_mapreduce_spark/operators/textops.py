@@ -254,6 +254,88 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an add-one-smoothed bigram language
+    model trained on the corpus itself — the CCNet-style
+    perplexity-proxy quality signal real curation pipelines rank and
+    filter by (a doc far from the corpus distribution scores high).
+
+    H(doc) = (1/B) Σ −ln((c(w1,w2)+1)/(c1(w1)+V)) over the doc's B
+    bigrams, with c1(w1) = Σ_w2 c(w1,w2) (context count) and V =
+    corpus vocabulary size. Docs with < 2 tokens have no bigram and
+    are excluded.
+
+    Plan at 100 TB: bigram rows (posexplode + one lead() per-doc
+    window — the shingle pipeline's shape), global (w1,w2) counts with
+    map-side combine, context counts derived FROM the count table (a
+    second tiny groupBy — never re-scanning the corpus), both joined
+    back on their compact keys, V a broadcast scalar. Per-term NLL is
+    quantized to 4 decimals BEFORE the exact integer-sum rollup, so
+    the result is bit-identical under any partitioning and across
+    engines (libm ln() may differ in the last ulp; the quantize step
+    absorbs it — same discipline as functions.exact)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = tok.agg(F.countDistinct("tok").alias("vs"))
+    nll = -F.log(
+        (F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("vs"))
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        ex.quantized_avg("nll", 4).alias("cross_entropy"),
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(tok) - 1),
+                      i -> [tok[i+1], tok[i+2]])) AS bg
+        FROM toks WHERE len(tok) >= 2
+      )
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT t) AS vs
+      FROM (SELECT unnest(tok) AS t FROM toks)
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           {ex.sql_avg("-ln((n12 + 1.0) / (n1 + vs))", 4)} AS cross_entropy
+    FROM b
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+"""
+
+
 #: heavy-hitter support: report terms with freq >= total_tokens / HH_K
 HH_K = 200
 
@@ -318,6 +400,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
+    "text_bigram_lm_score": text_bigram_lm_score,
 }
 
 
@@ -327,6 +410,7 @@ def _oracle_hits(lang: str) -> str:
 
 
 ORACLE = {
+    "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_heavy_hitters": f"""
         WITH toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),

@@ -68,7 +68,7 @@ def _build() -> None:
     for mod in (
         dedup,  # 10
         similarity,  # 4
-        textops,  # 9
+        textops,  # 10
         training,  # 10
         multimodal,  # 3
         windows,  # 5
@@ -78,8 +78,8 @@ def _build() -> None:
         graph,  # 1
         sketches,  # 1
         asof,  # 1
-        intervals,  # 1
-        skew,  # 1  → cumulative 50 = driver cap
+        intervals,  # 1  → cumulative 50 = driver cap
+        skew,
         dq,
         cdc,
         analytics,

@@ -101,3 +101,58 @@ def test_heavy_hitters_agrees_with_full_groupby(spark, sf_dir):
         if r.freq * TX.HH_K >= n
     }
     assert got == full and got
+
+
+def test_bigram_lm_score_matches_hand_model(spark, tmp_path):
+    """Planted corpus small enough to hand-compute the smoothed bigram
+    model: the engine's per-doc cross-entropy must equal the python
+    recount of (1/B) Σ -ln((c12+1)/(c1+V)) with per-term quantize(4)
+    then exact averaging."""
+    import math
+    import os
+
+    import mpi_mapreduce_spark.operators.textops as TX
+
+    texts = {
+        1: "a b a b",
+        2: "a b c",
+        3: "c",  # single token: no bigram, excluded
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "lm")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    # hand model
+    bigrams = {}
+    ctx = {}
+    vocab = set()
+    per_doc = {}
+    for i, t in texts.items():
+        toks = t.split()
+        vocab.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        for bg in bgs:
+            bigrams[bg] = bigrams.get(bg, 0) + 1
+            ctx[bg[0]] = ctx.get(bg[0], 0) + 1
+    V = len(vocab)
+
+    def q4(x):
+        return math.floor(x * 10000 + 0.5)  # ROUND half-up, x > 0 here
+
+    want = {}
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        total = sum(q4(-math.log((bigrams[bg] + 1) / (ctx[bg[0]] + V))) for bg in bgs)
+        want[i] = (len(bgs), (total / 10000.0) / len(bgs))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in TX.text_bigram_lm_score(spark, d).collect()
+    }
+    assert got == want
