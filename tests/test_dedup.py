@@ -148,6 +148,18 @@ def test_incremental_dedup_flags_planted_batch(spark):
         assert (not e) or n, "exact-dup must imply near-dup"
 
 
+def test_incremental_plans_are_equi_join_only(spark, sf_dir):
+    """Both incremental paths must plan as hash/sort-merge equi-joins
+    on compact keys — never a cross product or nested-loop theta-join
+    (the shapes that stop scaling first)."""
+    for fn in (D.dedup_incremental, D.dedup_incremental_minhash):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_incremental_minhash_matches_exact_incremental(spark, sf_dir):
     """The index-backed incremental path must agree with the exact
     shingle-join path modulo LSH recall: every near-dup it flags is a

@@ -161,6 +161,21 @@ def test_fuzzy_pairs_are_true_distance_one(spark, sf_dir):
     assert shared > 0, "first-char edit must share a deletion variant"
 
 
+def test_fuzzy_pairs_plan_is_equi_join(spark, sf_dir):
+    """The FastSS rewrite must plan the variant join as an equi-join
+    on the hashed variant key — the old prefix+theta condition planned
+    per-block quadratic products; a cross-product or nested-loop shape
+    here means the blocking key stopped reaching Catalyst."""
+    plan = (
+        R.customer_name_fuzzy_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_grouped_corr_matches_numpy(spark, sf_dir):
     """Integer-closed-form Pearson r equals numpy's float corrcoef to
     1e-9 for every user; |r| <= 1 throughout."""
