@@ -316,6 +316,90 @@ ORACLE_CENTROIDS = f"""
     FROM p GROUP BY label, pos
 """
 
+OUTLIER_PCT = 0.05
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding-quality score: cosine to the vector's own
+    label centroid, with the bottom 5% of each label flagged — the
+    embedding-space outlier filter (mislabeled / off-distribution
+    docs) a curation pipeline applies before sampling.
+
+    Deterministic end-to-end so the oracle hash-compares: centroids
+    are exact quantized per-dim means (embedding_label_centroids'
+    discipline), both sides normalize then left-fold dot (the proven
+    KNN-oracle formulation), scores quantize to 6 decimals, and the
+    flag compares each score against its label's exact interpolated
+    5th percentile of those quantized scores (computed once per label
+    and broadcast back — labels × 1 row, not a window over the
+    corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VEC.as_double(F.col("embedding")).alias("e")
+    )
+    parts = emb.select("label", F.posexplode("e").alias("pos", "v"))
+    cent_long = parts.groupBy("label", "pos").agg(
+        ex.quantized_avg("v", 6).alias("c")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        ex.quantize(
+            VEC.dot_arrow(
+                VEC.normalize_arrow(F.col("e")),
+                VEC.normalize_arrow(F.col("cv")),
+            ),
+            6,
+        ).alias("cos_centroid"),
+    )
+    cuts = scored.groupBy("label").agg(
+        F.percentile("cos_centroid", F.lit(OUTLIER_PCT)).alias("p_cut")
+    )
+    return scored.join(F.broadcast(cuts), "label").select(
+        "vec_id",
+        "label",
+        "cos_centroid",
+        (F.col("cos_centroid") < F.col("p_cut")).alias("is_outlier"),
+    )
+
+
+ORACLE_OUTLIERS = f"""
+    WITH p AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), cent_long AS (
+      SELECT label, pos, {ex.sql_avg('CAST(v AS DOUBLE)', 6)} AS c
+      FROM p GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent_long GROUP BY label
+    ), e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(
+               list_transform(e.e, x -> x / sqrt(list_dot_product(e.e, e.e))),
+               list_transform(c.cv, x -> x / sqrt(list_dot_product(c.cv, c.cv)))
+             ) * 1000000.0) / 1000000.0 AS cos_centroid
+      FROM e JOIN cent c USING (label)
+    ), cuts AS (
+      SELECT label, quantile_cont(cos_centroid, {OUTLIER_PCT}) AS p_cut
+      FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.cos_centroid,
+           s.cos_centroid < c.p_cut AS is_outlier
+    FROM scored s JOIN cuts c USING (label)
+"""
+
+
 ORACLE_KNN = f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -342,11 +426,13 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
+    "embedding_label_outliers": embedding_label_outliers,
 }
 
 ORACLE = {
     "knn_bruteforce": ORACLE_KNN,
     "embedding_label_centroids": ORACLE_CENTROIDS,
+    "embedding_label_outliers": ORACLE_OUTLIERS,
     # ann_lsh_topk / ann_ivf_topk: rows-only; recall pinned in tests on
     # clustered data (index structure isn't SQL-expressible)
 }

@@ -67,7 +67,7 @@ def _build() -> None:
     # tpch tail).
     for mod in (
         dedup,  # 10
-        similarity,  # 4
+        similarity,  # 5
         textops,  # 10
         training,  # 10
         multimodal,  # 3
@@ -77,8 +77,8 @@ def _build() -> None:
         enrich,  # 1
         graph,  # 1
         sketches,  # 1
-        asof,  # 1
-        intervals,  # 1  → cumulative 50 = driver cap
+        asof,  # 1  → cumulative 50 = driver cap
+        intervals,
         skew,
         dq,
         cdc,

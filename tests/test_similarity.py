@@ -133,3 +133,27 @@ def test_label_centroids_match_numpy_mean(spark, sf_dir):
         c, n = got[pos]
         assert n == len(vecs)
         assert abs(c - want[pos]) < 1e-5, pos
+
+
+def test_label_outlier_fraction_near_pct(spark, sf_dir):
+    """Strictly-below-p05 flagging: the outlier fraction per label must
+    be ≈ 5% (≤ 5% by construction of the strict inequality, and > 0
+    whenever the label has enough distinct scores)."""
+    import mpi_mapreduce_spark.operators.similarity as S
+
+    rows = S.embedding_label_outliers(spark, sf_dir).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    import math
+
+    for label, rs in by_label.items():
+        n_out = sum(r.is_outlier for r in rs)
+        # strictly-below the interpolated p05 of n values flags at
+        # most floor(p*(n-1)) + 1 of them (the interpolation point
+        # sits within the bottom ceil(p*(n-1))+1 order statistics)
+        cap = math.floor(S.OUTLIER_PCT * (len(rs) - 1)) + 1
+        assert n_out <= cap, (label, n_out, cap, len(rs))
+        if len({r.cos_centroid for r in rs}) > 20:
+            assert n_out > 0, (label, "no outliers flagged")
