@@ -186,6 +186,53 @@ def training_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-size eval-set draws: k docs per stratum
+TAKE_K = 20
+
+
+def take_k_per_stratum(
+    df: DataFrame, stratum_col: str, k: int, key: str = "doc_id"
+) -> DataFrame:
+    """EXACTLY k rows per stratum (or all rows in smaller strata) —
+    the eval/holdout-set builder where rate-based sampling
+    (sample_stratified) can't hit a target size. Selection order is a
+    deterministic hash of the key (same multiplicative coin as the
+    samplers, key tiebreak), so the draw is reproducible at any
+    parallelism AND stable under corpus growth within a stratum only
+    when earlier keys keep their coin — i.e. a fixed snapshot draws a
+    fixed set; this is the audit-friendly property eval sets need.
+
+    Plan: one window (rank within stratum by coin) — shuffles on the
+    stratum key; at 100 TB strata are few and fat, so skew-prone
+    strata want the two-phase variant (per-partition top-k then
+    global top-k merge, the TakeOrderedAndProject trick per group)."""
+    coin = (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+    w = W.partitionBy(stratum_col).orderBy(coin.asc(), F.col(key).asc())
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def training_take_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k eval draw: 20 docs per language, deterministic."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return take_k_per_stratum(d, "lang", TAKE_K)
+
+
+ORACLE_TAKE_K = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD}, doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= {TAKE_K}
+"""
+
+
 def training_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier flagging on document length — the standard
     pre-filter that drops truncated fragments and concatenation blobs
@@ -398,6 +445,7 @@ QUERIES = {
     "pipeline_curate_corpus": pipeline_curate_corpus,
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
+    "training_take_k_per_lang": training_take_k_per_lang,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -522,6 +570,7 @@ ORACLE = {
         FROM documents
         WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
     """,
+    "training_take_k_per_lang": ORACLE_TAKE_K,
     "training_sample_stratified": f"""
         SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
         FROM documents

@@ -216,3 +216,23 @@ def test_mixture_resample_hits_exact_group_counts(spark, sf_dir):
         assert k <= n[g]
     all_ids = {r.doc_id for r in docs.collect()}
     assert {r.doc_id for r in kept} <= all_ids
+
+
+def test_take_k_per_stratum_exact_and_deterministic(spark, sf_dir):
+    """Exactly min(k, stratum size) rows per stratum, and the same set
+    on a repartitioned input (parallelism-invariant draw)."""
+    import mpi_mapreduce_spark.operators.training as TR
+    from pyspark.sql import functions as F
+
+    d = TR._docs(spark, sf_dir).select("doc_id", "lang")
+    sizes = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = TR.take_k_per_stratum(d, "lang", 7).collect()
+    by_lang: dict[str, set] = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, n in sizes.items():
+        assert len(by_lang.get(lang, set())) == min(7, n), lang
+    again = TR.take_k_per_stratum(d.repartition(13), "lang", 7).collect()
+    assert {(r.lang, r.doc_id) for r in again} == {
+        (r.lang, r.doc_id) for r in got
+    }
