@@ -215,6 +215,37 @@ def take_k_per_stratum(
     )
 
 
+def take_k_per_stratum_salted(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase form of take_k_per_stratum — SAME result
+    (asserted in tests), different shuffle shape: phase 1 ranks within
+    (stratum, key % salt) cells and keeps k per cell, so no single
+    reducer ever sees a whole hot stratum — each handles ~1/salt of
+    it; phase 2 ranks the ≤ k·salt survivors per stratum, a tiny
+    frame. This is the per-group TakeOrderedAndProject trick: total
+    shuffled rows drop from |stratum| to k·salt after phase 1.
+
+    Equivalence argument: the final k rows of a stratum (global coin
+    order) are each top-k within their own cell a fortiori, so phase 1
+    never discards a final winner."""
+    coin = (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+    cell = F.pmod(F.col(key), F.lit(salt))
+    w1 = W.partitionBy(F.col(stratum_col), cell).orderBy(
+        coin.asc(), F.col(key).asc()
+    )
+    survivors = (
+        df.withColumn("rnk", F.row_number().over(w1))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+    return take_k_per_stratum(survivors, stratum_col, k, key)
+
+
 def training_take_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k eval draw: 20 docs per language, deterministic."""
     d = _docs(spark, sf_dir).select("doc_id", "lang")

@@ -236,3 +236,24 @@ def test_take_k_per_stratum_exact_and_deterministic(spark, sf_dir):
     assert {(r.lang, r.doc_id) for r in again} == {
         (r.lang, r.doc_id) for r in got
     }
+
+
+def test_take_k_salted_equals_single_phase(spark, sf_dir):
+    """The two-phase skew-safe draw must return exactly the same rows
+    as the single-window form for several k and salt values."""
+    import mpi_mapreduce_spark.operators.training as TR
+
+    d = TR._docs(spark, sf_dir).select("doc_id", "lang")
+    for k in (1, 7, 50):
+        for salt in (2, 16):
+            a = {
+                (r.lang, r.doc_id)
+                for r in TR.take_k_per_stratum(d, "lang", k).collect()
+            }
+            b = {
+                (r.lang, r.doc_id)
+                for r in TR.take_k_per_stratum_salted(
+                    d, "lang", k, salt=salt
+                ).collect()
+            }
+            assert a == b, (k, salt)
