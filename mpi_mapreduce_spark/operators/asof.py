@@ -46,11 +46,28 @@ def asof_join(
     right_ts: str,
     right_seq: str,
     right_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """LEFT ASOF JOIN: latest right row with right_ts <= left_ts per
-    key. All non-key right columns come back prefixed (nullable).
+    """LEFT ASOF JOIN with pandas-merge_asof-parity options.
+
+    - direction="backward" (default): latest right row with
+      right_ts <= left_ts per key (tie among equal right timestamps →
+      max right_seq).
+    - direction="forward": earliest right row with right_ts >= left_ts
+      (tie → min right_seq). Same ONE-shuffle union+window plan, just
+      scanned in descending time order.
+    - tolerance_us: when set, a match farther than this many
+      microseconds from the left timestamp is nulled out (both
+      timestamp columns must be TIMESTAMP type). The window still does
+      all the work; tolerance is a stateless post-filter, so the plan
+      shape — and its 100 TB story — is unchanged.
+
+    All non-key right columns come back prefixed (nullable).
     `right_seq` must be a unique long column on the right side; it
     tie-breaks equal timestamps deterministically."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     lcols = [c for c in left.columns if c not in (key, left_ts)]
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     l_type = left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
@@ -72,21 +89,43 @@ def asof_join(
         F.lit(None).cast(l_type).alias("_lp"),
         F.struct(*rcols).alias("_rp"),
     )
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_rseq").asc()]
+    else:
+        # descending scan: the last right seen at-or-after the left row
+        # is the SMALLEST qualifying ts; rseq desc makes the min seq
+        # win ties — mirror-image determinism of the backward form
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_rseq").desc()]
     w = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_side", "_rseq")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    u = (
         l2.unionByName(r2)
         .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
-        .where(F.col("_side") == 1)
-        .select(
-            F.col("_k").alias(key),
-            F.col("_ts").alias(left_ts),
-            *[F.col(f"_lp.{c}").alias(c) for c in lcols],
-            *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols],
+        .withColumn(
+            "_mts",
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+            ).over(w),
         )
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_us is not None:
+        in_tol = (
+            F.abs(F.unix_micros("_ts") - F.unix_micros("_mts"))
+            <= F.lit(tolerance_us)
+        )
+        u = u.withColumn(
+            "_m",
+            F.when(in_tol, F.col("_m")).otherwise(F.lit(None).cast(r_type)),
+        )
+    return u.select(
+        F.col("_k").alias(key),
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_lp.{c}").alias(c) for c in lcols],
+        *[F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rcols],
     )
 
 
@@ -119,8 +158,46 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_FWD_TOL_US = 3_600_000_000  # 1 hour
+
+
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each click joined to the user's
+    NEXT purchase at-or-after it, but only within 1 hour — the
+    conversion-attribution window. Clicks with no purchase inside the
+    window keep nulls (LEFT semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_seq="purchase_id",
+        direction="forward",
+        tolerance_us=ASOF_FWD_TOL_US,
+    )
+    lag_us = F.unix_micros("r_purchase_ts") - F.unix_micros("ts")
+    return j.select(
+        "user_id",
+        "click_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        (lag_us.cast("double") / F.lit(1000000.0)).alias("lag_sec"),
+    )
+
+
 QUERIES = {
     "events_asof_purchase_click": events_asof_purchase_click,
+    "events_asof_next_purchase": events_asof_next_purchase,
 }
 
 ORACLE = {
@@ -140,5 +217,32 @@ ORACLE = {
                  / 1000000.0 AS lag_sec
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+    # forward-with-tolerance: DuckDB's ASOF is backward-only, so the
+    # oracle is the definitional LATERAL (first qualifying row in
+    # (ts, id) order within the window) — a fully independent
+    # implementation of the same semantics.
+    "events_asof_next_purchase": """
+        WITH c AS (
+          SELECT user_id, event_id AS click_id, ts FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS pts FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id, m.purchase_id,
+               CAST(epoch_us(CAST(m.pts AS TIMESTAMP))
+                    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS DOUBLE)
+                 / 1000000.0 AS lag_sec
+        FROM c LEFT JOIN LATERAL (
+          SELECT p.purchase_id, p.pts
+          FROM p
+          WHERE p.user_id = c.user_id
+            AND p.pts >= c.ts
+            AND epoch_us(CAST(p.pts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+          ORDER BY p.pts, p.purchase_id
+          LIMIT 1
+        ) m ON TRUE
     """,
 }

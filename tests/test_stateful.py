@@ -50,6 +50,45 @@ def test_asof_join_tiny_semantics(spark):
     }
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction: earliest right at-or-after, min-seq
+    tiebreak; tolerance nulls matches farther than the bound.
+    Timestamp inputs (tolerance compares unix_micros)."""
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(25), "b"), (2, ts(5), "c")],
+        "k long, t timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 10), (1, ts(10), 11), (1, ts(30), 30), (2, ts(1), 40)],
+        "k long, t timestamp, seq long",
+    )
+    fwd = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", right_seq="seq",
+        direction="forward",
+    )
+    got = {(r.k, r.lbl): r.r_seq for r in fwd.collect()}
+    assert got == {
+        (1, "a"): 10,   # equal ts matches; min seq wins the tie
+        (1, "b"): 30,   # earliest at-or-after 25
+        (2, "c"): None,  # only earlier right rows -> LEFT semantics
+    }
+    tol = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", right_seq="seq",
+        direction="forward", tolerance_us=3_000_000,  # 3 s
+    )
+    got_tol = {(r.k, r.lbl): r.r_seq for r in tol.collect()}
+    assert got_tol == {
+        (1, "a"): 10,    # 0 s away: inside tolerance
+        (1, "b"): None,  # 5 s away: outside 3 s tolerance
+        (2, "c"): None,
+    }
+
+
 def test_stateful_v2_gate_reason_is_protobuf_only(spark):
     """The v2 gate must be EXACTLY the documented environment
     limitation — google.protobuf missing — never a latent bug in our
