@@ -282,6 +282,66 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample bars: per (10-minute bucket, event_type) the
+    opening / high / low / closing `value` plus count and exact sum —
+    the hypertable downsampling shape every time-series dashboard
+    reads instead of raw points.
+
+    Open/close in ONE aggregation pass (no window sort): min/max over
+    struct(ts, event_id, value) — struct comparison is lexicographic
+    in both engines, event_id breaks equal-timestamp ties
+    deterministically, and `.value` of the min/max struct IS the
+    first/last value. At 100 TB this is a single shuffle on (bucket,
+    type) with map-side partial min/max/sum — the same cost as any
+    grouped agg; a windowed first/last would add a per-group sort.
+    The oracle implements the same semantics independently via
+    ROW_NUMBER windows."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(
+        F.window("ts", "10 minutes").getField("start"),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    o = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.min(o).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(o).getField("value").alias("close"),
+            F.count("*").alias("n"),
+            ex.quantized_sum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_OHLC = f"""
+    WITH e AS (
+      SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                      '%Y-%m-%d %H:%M:%S') AS bucket_start,
+             event_type, ts, event_id, value
+      FROM events
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bucket_start, event_type
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY bucket_start, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT bucket_start, event_type,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n,
+           {ex.sql_sum('value', 2)} AS sum_value
+    FROM ranked
+    GROUP BY bucket_start, event_type
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition counts: for each user's event stream in
     (ts, event_id) order, count consecutive event_type pairs — the
@@ -334,9 +394,11 @@ QUERIES = {
     "customer_spend_deciles": customer_spend_deciles,
     "order_price_histogram": order_price_histogram,
     "text_pii_redaction": text_pii_redaction,
+    "events_ohlc_bars": events_ohlc_bars,
 }
 
 ORACLE = {
+    "events_ohlc_bars": ORACLE_OHLC,
     "customer_pseudonymize": """
         SELECT sha256(CAST(c_custkey AS VARCHAR)) AS custkey_h,
                sha256(c_name) AS name_h,

@@ -138,3 +138,39 @@ def test_sessionize_gap_invariants(spark, sf_dir):
             assert b.start_us - a.end_us > A.SESSION_GAP_US, user
         for r in rs:
             assert r.duration_us == r.end_us - r.start_us >= 0
+
+
+def test_ohlc_open_close_ordering(spark, sf_dir):
+    """Open must be the value at the bucket's earliest (ts, event_id)
+    and close at its latest; high >= max(open, close) >= min(open,
+    close) >= low. Recounted from raw rows in python."""
+    import mpi_mapreduce_spark.operators.analytics as A
+    from mpi_mapreduce_spark.datamodel import load_table
+    from pyspark.sql import functions as F
+
+    bars = {
+        (r.bucket_start, r.event_type): r
+        for r in A.events_ohlc_bars(spark, sf_dir).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format(
+                F.window("ts", "10 minutes").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("b"),
+            "event_type", "ts", "event_id", "value",
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in raw:
+        groups.setdefault((r.b, r.event_type), []).append(r)
+    assert bars.keys() == groups.keys()
+    for k, rows in groups.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        bar = bars[k]
+        assert bar.open == rows[0].value and bar.close == rows[-1].value
+        assert bar.high == max(r.value for r in rows)
+        assert bar.low == min(r.value for r in rows)
+        assert bar.n == len(rows)
