@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
 from mpi_mapreduce_spark.functions.text import tokens
 from mpi_mapreduce_spark.operators.dedup import shingle_rows
 
@@ -188,6 +189,57 @@ def training_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: exact-size eval-set draws: k docs per stratum
 TAKE_K = 20
+
+#: weighted draw size for the registered query
+WSAMPLE_K = 100
+
+
+def weighted_sample_k(
+    df: DataFrame, weight_col: str, k: int, key: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis scheme (each row keyed by u^(1/w), keep the
+    top k) with the uniform u derived from the same multiplicative
+    hash coin the other samplers use — so the draw is reproducible,
+    parallelism-invariant, and inclusion probability scales with the
+    weight (quality-weighted corpus draws, importance sampling).
+
+    Keys are quantized to 9 decimals before ranking (doc_id breaks
+    ties), so cross-engine libm pow() last-ulp differences can't
+    reorder the boundary. Plan: stateless per-row key computation +
+    global top-k — physicalizes as TakeOrderedAndProject (per-
+    partition heaps), shuffling only k rows per partition at 100 TB."""
+    u = (
+        (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+        + F.lit(0.5)
+    ) / F.lit(float(SAMPLE_MOD))
+    es_key = ex.quantize(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
+        .limit(k)
+    )
+
+
+def training_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 docs drawn without replacement with probability scaling by
+    length (n_chars as the quality weight)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_k(d, "n_chars", WSAMPLE_K)
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+    SELECT doc_id, lang, n_chars,
+           ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
+                     / {SAMPLE_MOD}.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+             / 1000000000.0 AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {WSAMPLE_K}
+"""
 
 
 def take_k_per_stratum(
@@ -477,6 +529,7 @@ QUERIES = {
     "training_pack_sequences": training_pack_sequences,
     "training_contamination_check": contamination_check,
     "training_take_k_per_lang": training_take_k_per_lang,
+    "training_weighted_sample": training_weighted_sample,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -602,6 +655,7 @@ ORACLE = {
         WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
     """,
     "training_take_k_per_lang": ORACLE_TAKE_K,
+    "training_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "training_sample_stratified": f"""
         SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
         FROM documents

@@ -257,3 +257,21 @@ def test_take_k_salted_equals_single_phase(spark, sf_dir):
                 ).collect()
             }
             assert a == b, (k, salt)
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """Efraimidis–Spirakis draw: exactly k rows, deterministic across
+    partitionings, and the weight bias shows (sampled mean n_chars
+    exceeds the corpus mean on the fixture)."""
+    import mpi_mapreduce_spark.operators.training as TR
+    from pyspark.sql import functions as F
+
+    d = TR._docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    k = 30
+    got = TR.weighted_sample_k(d, "n_chars", k).collect()
+    assert len(got) == min(k, d.count())
+    again = TR.weighted_sample_k(d.repartition(11), "n_chars", k).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    assert sample_mean > corpus_mean
