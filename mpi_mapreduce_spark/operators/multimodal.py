@@ -173,13 +173,96 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("media_id", "orig_bytes", "resized_bytes", "checksum")
 
 
+ENERGY_FRAME_BYTES = 64
+
+
+def make_frame_energy(frame: int = ENERGY_FRAME_BYTES):
+    """Build the frame-energy mapInPandas function: per fixed-size
+    byte frame, RMS of the raw sample values — the audio-style feature
+    (VAD/loudness pre-filter) computed on codec-free raw bytes, so
+    unlike the decode stub this is the REAL math end-to-end. Closure
+    for the usual cloudpickle reason.
+
+    Exactness: frame byte values are small integers, so the squared
+    sum is an exact integer in double at any summation order, sqrt is
+    IEEE correctly-rounded, and the division is by an exact count —
+    bit-identical across engines before the final quantize."""
+
+    def frame_energy(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, nb, rms = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                nfr = -(-len(b) // frame) if len(b) else 0
+                for f in range(nfr):
+                    seg = b[f * frame : (f + 1) * frame]
+                    ids.append(mid)
+                    fidx.append(f)
+                    nb.append(len(seg))
+                    rms.append(float(np.sqrt(np.sum(seg * seg) / len(seg))))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": fidx,
+                    "n_bytes": nb,
+                    "rms": rms,
+                }
+            )
+
+    return frame_energy
+
+
+def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → per-frame RMS energy via Arrow-batched mapInPandas;
+    64-byte frames. At scale this is the linear CPU-bound pass that
+    precedes sampling decisions (silence/blank trimming); payloads
+    never leave the executors."""
+    media = media_table(spark, sf_dir)
+    frames = media.select("media_id", "payload").mapInPandas(
+        make_frame_energy(),
+        schema="media_id long, frame_idx long, n_bytes long, rms double",
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_bytes",
+        ex.quantize(F.col("rms"), 6).alias("rms"),
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_frame_energy": multimodal_frame_energy,
 }
 
 ORACLE = {
+    # ASCII corpus: character codepoints equal payload bytes, so the
+    # frame RMS is recomputable from text character arithmetic.
+    "multimodal_frame_energy": """
+        WITH frames AS (
+          SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+                 substring(text, CAST(f * 64 + 1 AS INTEGER), 64) AS chunk
+          FROM documents,
+               LATERAL (SELECT unnest(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS f)
+          WHERE strlen(text) > 0
+        )
+        SELECT media_id, frame_idx,
+               CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+               ROUND(sqrt(
+                 list_sum(list_transform(range(strlen(chunk)),
+                   i -> CAST(ascii(substring(chunk, CAST(i + 1 AS INTEGER), 1))
+                             AS DOUBLE)
+                        * ascii(substring(chunk, CAST(i + 1 AS INTEGER), 1))))
+                 / strlen(chunk)) * 1000000.0) / 1000000.0 AS rms
+        FROM frames
+    """,
     # The stub decode is deterministic byte arithmetic over ASCII text,
     # so even the pandas-UDF path gets a real oracle.
     "multimodal_features": """

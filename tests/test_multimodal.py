@@ -45,3 +45,26 @@ def test_frame_sampling_keeps_every_4th(spark, sf_dir):
     for r in rows:
         assert r.n_sampled == (r.n_frames - 1) // 4 + 1 if r.n_frames else 1
         assert 0 < r.bytes_kept <= r.n_sampled * 64
+
+
+def test_frame_energy_matches_numpy_recount(spark, sf_dir):
+    """Per-frame RMS recomputed in plain python/numpy from the same
+    payload bytes must match the operator exactly."""
+    import math
+
+    import mpi_mapreduce_spark.operators.multimodal as M
+
+    media = {r.media_id: bytes(r.payload)
+             for r in M.media_table(spark, sf_dir).collect()}
+    got = {
+        (r.media_id, r.frame_idx): (r.n_bytes, r.rms)
+        for r in M.multimodal_frame_energy(spark, sf_dir).collect()
+    }
+    want = {}
+    FR = M.ENERGY_FRAME_BYTES
+    for mid, b in media.items():
+        for f in range((len(b) + FR - 1) // FR):
+            seg = b[f * FR : (f + 1) * FR]
+            rms = math.sqrt(sum(x * x for x in seg) / len(seg))
+            want[(mid, f)] = (len(seg), round(rms * 1e6) / 1e6)
+    assert got == want
