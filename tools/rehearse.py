@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""One-command rehearsal of the external driver's grading surface.
+
+Runs, from OUTSIDE the repo semantics (no repo cwd assumptions):
+  1. the `entry(spark)` smoke check,
+  2. every `queries()` entry vs its `oracle_sql()` DuckDB twin at the
+     given scale factor (the correctness gate),
+and prints a one-line verdict. Use before any round-ending commit:
+
+    python /root/repo/tools/rehearse.py [sf_dir] [--names n1,n2,...]
+
+Exit code 0 iff everything passes. See .claude/skills/verify/SKILL.md
+for the full verification recipe (this script is its step 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+
+REPO = "/root/repo"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", help="comma-separated subset of queries")
+    args = ap.parse_args()
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    entry_rows = len(mod.entry(spark).collect())
+    print(f"entry: {entry_rows} rows")
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from tests.oracle_harness import check_query
+
+    qs = mod.queries()
+    names = args.names.split(",") if args.names else list(qs)
+    fails = 0
+    for name in names:
+        try:
+            check_query(spark, name, args.sf_dir)
+        except Exception as e:  # noqa: BLE001 — report-and-continue
+            fails += 1
+            print(f"FAIL {name}: {type(e).__name__} {str(e)[:200]}")
+    print(
+        f"rehearsal: {len(names) - fails}/{len(names)} pass "
+        f"({len(qs)} registered) at {args.sf_dir}"
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
