@@ -207,8 +207,41 @@ def events_resampled_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_K = 2
+
+
+def trending_types(events: DataFrame) -> DataFrame:
+    """Top-K trending event types per 10-minute window: rank by count
+    within each window (count desc, type asc tiebreak — deterministic
+    in any engine). Batch form ranks directly; the streaming form is
+    the materialized-view pattern — the windowed COUNT streams
+    incrementally, and the cheap rank-over-windows re-derives per
+    micro-batch in foreachBatch (two chained stateful ops aren't
+    expressible in one streaming plan; the re-rank input is already
+    aggregated, so it's O(windows × types), not O(events))."""
+    counts = events.groupBy(
+        F.window("ts", TUMBLE).alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    rw = W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TRENDING_K)
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "rank",
+        )
+    )
+
+
+def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trending_types(_ev(spark, sf_dir))
+
+
 QUERIES = {
     "events_tumbling_counts": events_tumbling_counts,
+    "events_trending_types": events_trending_types,
     "events_resampled_gapfill": events_resampled_gapfill,
     "events_sliding_counts": events_sliding_counts,
     "events_session_stats": events_session_stats,
@@ -216,6 +249,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_trending_types": """
+        WITH counts AS (
+          SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                          '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type) AS rank
+          FROM counts
+        ) WHERE rank <= 2
+    """,
     "events_resampled_gapfill": f"""
         WITH b AS (
           SELECT date_trunc('hour', min(ts)) AS lo,

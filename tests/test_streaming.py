@@ -209,3 +209,62 @@ def test_stream_stream_left_outer_join_subset_of_batch(spark, sf_dir):
     assert g_matched == b_matched
     assert g_abandoned <= b_abandoned
     assert g_abandoned, "no outer rows emitted — watermark never expired any click"
+
+
+def test_trending_types_stream_snapshot_matches_batch(spark, sf_dir, tmp_path):
+    """Materialized-view pattern: the windowed count streams
+    incrementally; rank re-derives per micro-batch in foreachBatch
+    over the (tiny) aggregated snapshot. Final snapshot must equal the
+    batch trending query exactly."""
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.streaming.windows import (
+        stream_events,
+        trending_types,
+    )
+
+    out = str(tmp_path / "trending")
+
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def rerank(batch_df, epoch_id):
+        from pyspark.sql.window import Window as W
+
+        rw = W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+        (
+            batch_df.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= 2)
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "rank",
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rerank)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snapshot = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r)
+        for r in trending_types(load_table(spark, sf_dir, "events")).collect()
+    )
+    assert snapshot == batch
