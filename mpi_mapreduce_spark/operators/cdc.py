@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from mpi_mapreduce_spark.datamodel import load_table
 from mpi_mapreduce_spark.functions import exact as ex
@@ -141,8 +142,62 @@ def cdc_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(orders, merged, ["o_orderkey"])
 
 
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    seq: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed:
+    one validity interval per change — ``valid_from`` is the change's
+    timestamp, ``valid_to`` the NEXT change's (null = still current).
+    `seq` breaks equal-timestamp ties deterministically.
+
+    One window per key (a single shuffle on the dimension key; the
+    lead() is a streaming frame, no buffering) — the standard
+    warehouse shape for as-of dimension lookups, which then join via
+    operators/asof or a range join on [valid_from, valid_to)."""
+    w = F.lead(ts).over(W.partitionBy(key).orderBy(ts, seq))
+    return (
+        changes.select(key, ts, seq, *attrs)
+        .withColumn("valid_to_ts", w)
+        .select(
+            key,
+            F.col(ts).alias("valid_from_ts"),
+            "valid_to_ts",
+            *attrs,
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+    )
+
+
+def cdc_user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each (sampled) user's event stream: every event
+    opens a version valid until the user's next event. 5% key sample
+    keeps the driver-compared result small; the build itself is
+    corpus-wide shaped (one window shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 20 == 0
+    )
+    hist = scd2_from_changes(
+        ev, key="user_id", ts="ts", seq="event_id",
+        attrs=["event_type", "value"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        F.date_format("valid_from_ts", fmt).alias("valid_from"),
+        F.date_format("valid_to_ts", fmt).alias("valid_to"),
+        "event_type",
+        "value",
+        "is_current",
+    )
+
+
 QUERIES = {
     "cdc_orders_rollforward": cdc_orders_rollforward,
+    "cdc_user_value_scd2": cdc_user_value_scd2,
     "cdc_orders_snapshot_diff": cdc_orders_snapshot_diff,
 }
 
@@ -169,6 +224,18 @@ _MERGED_CTE = """
 """
 
 ORACLE = {
+    "cdc_user_value_scd2": """
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               event_type, value,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL AS is_current
+        FROM events
+        WHERE user_id % 20 = 0
+    """,
     "cdc_orders_rollforward": f"""
         {_MERGED_CTE}
         SELECT o_orderstatus AS status, COUNT(*) AS n_orders,

@@ -75,3 +75,27 @@ def test_snapshot_diff_keys_only_table(spark):
     b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
     rows = {(r.k, r.change_type) for r in snapshot_diff(a, b, ["k"]).collect()}
     assert rows == {(1, "removed"), (4, "added")}
+
+
+def test_scd2_intervals_tile_per_key(spark, sf_dir):
+    """SCD2 property checks: per user exactly one current (open)
+    version; closed versions chain — each valid_to equals the next
+    version's valid_from; intervals never overlap or gap."""
+    from mpi_mapreduce_spark.operators.cdc import cdc_user_value_scd2
+
+    rows = cdc_user_value_scd2(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, versions in by_user.items():
+        currents = [r for r in versions if r.is_current]
+        assert len(currents) == 1, uid
+        assert currents[0].valid_to is None
+        closed = sorted(
+            (r for r in versions if not r.is_current),
+            key=lambda r: r.valid_from,
+        )
+        chain = closed + currents
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from, uid
