@@ -53,11 +53,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-lexicon language ID: score = stopword hits per
-    language; prediction = argmax with deterministic lexicon-order
-    tiebreak ('en' wins ties). Returns prediction + agreement with the
-    table's lang column."""
+def _lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, pred_lang): stopword-lexicon language ID —
+    score = stopword hits per language; prediction = argmax with
+    deterministic lexicon-order tiebreak ('en' wins ties)."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", tokens(F.col("text")).alias("toks")
     )
@@ -75,10 +74,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in reversed(langs):
         pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
-    return d.select(
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language prediction + agreement with the table's lang
+    column (see _lang_predictions for the scorer)."""
+    p = _lang_predictions(spark, sf_dir)
+    return p.select(
         "doc_id",
-        pred.alias("pred_lang"),
-        (pred == F.col("lang")).alias("agrees"),
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("agrees"),
+    )
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup: the (true lang, predicted lang)
+    confusion matrix with per-true-language share — how curation
+    pipelines audit a language filter before trusting it to route
+    documents. Counts are exact ints; the share is one division of
+    exact ints (identical doubles in any engine), quantized anyway."""
+    p = _lang_predictions(spark, sf_dir)
+    counts = p.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    per_true = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "pred_lang",
+        "n",
+        ex.quantize(
+            F.col("n") / F.sum("n").over(per_true), 6
+        ).alias("share_of_true"),
     )
 
 
@@ -398,6 +423,7 @@ QUERIES = {
     "text_bpe_token_stats": text_bpe_token_stats,
     "text_repetition_score": text_repetition_score,
     "text_lang_id": text_lang_id,
+    "text_lang_confusion": text_lang_confusion,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_bigram_lm_score": text_bigram_lm_score,
@@ -533,6 +559,33 @@ ORACLE = {
           FROM s
         )
         SELECT doc_id, pred_lang, pred_lang = lang AS agrees FROM p
+    """,
+    "text_lang_confusion": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang,
+                 {_oracle_hits('en')} AS score_en,
+                 {_oracle_hits('fr')} AS score_fr,
+                 {_oracle_hits('es')} AS score_es,
+                 {_oracle_hits('de')} AS score_de
+          FROM t
+        ), p AS (
+          SELECT doc_id, lang,
+                 CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'unknown'
+                      WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                      WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                      WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                      ELSE 'de' END AS pred_lang
+          FROM s
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n,
+               ROUND((COUNT(*)::DOUBLE
+                      / SUM(COUNT(*)) OVER (PARTITION BY lang)) * 1000000.0)
+                 / 1000000.0 AS share_of_true
+        FROM p GROUP BY lang, pred_lang
     """,
     "text_quality_score": """
         WITH t AS (

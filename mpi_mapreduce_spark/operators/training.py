@@ -230,6 +230,66 @@ def training_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(d, "n_chars", WSAMPLE_K)
 
 
+def weighted_sample_k_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum weighted draw: the Efraimidis–Spirakis key ranks
+    WITHIN each stratum, so every stratum yields exactly min(k, size)
+    rows with inclusion probability scaling by weight inside it — the
+    per-language quality-weighted draw a mixture recipe asks for.
+    Same determinism/quantization story as weighted_sample_k; the
+    global top-k becomes one window per stratum (skew note of
+    take_k_per_stratum_salted applies)."""
+    u = (
+        (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+        + F.lit(0.5)
+    ) / F.lit(float(SAMPLE_MOD))
+    es_key = ex.quantize(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    w = W.partitionBy(stratum_col).orderBy(
+        es_key.desc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("es_key", es_key)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def training_weighted_sample_per_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """20 docs per language, weighted by length."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_k_per_stratum(d, "lang", "n_chars", TAKE_K)
+
+
+ORACLE_WEIGHTED_PER_LANG = f"""
+    SELECT doc_id, lang, n_chars, es_key FROM (
+      SELECT doc_id, lang, n_chars,
+             ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
+                       / {SAMPLE_MOD}.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+               / 1000000000.0 AS es_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
+                                  / {SAMPLE_MOD}.0,
+                              1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+                          / 1000000000.0 DESC,
+                        doc_id ASC
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= {TAKE_K}
+"""
+
+
 ORACLE_WEIGHTED_SAMPLE = f"""
     SELECT doc_id, lang, n_chars,
            ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
@@ -530,6 +590,7 @@ QUERIES = {
     "training_contamination_check": contamination_check,
     "training_take_k_per_lang": training_take_k_per_lang,
     "training_weighted_sample": training_weighted_sample,
+    "training_weighted_sample_per_lang": training_weighted_sample_per_lang,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -656,6 +717,7 @@ ORACLE = {
     """,
     "training_take_k_per_lang": ORACLE_TAKE_K,
     "training_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "training_weighted_sample_per_lang": ORACLE_WEIGHTED_PER_LANG,
     "training_sample_stratified": f"""
         SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
         FROM documents

@@ -275,3 +275,24 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
     corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r.n_chars for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_weighted_per_stratum_exact_sizes(spark, sf_dir):
+    """Every stratum yields exactly min(k, size) rows; within each
+    stratum the draw is the stratum-restricted global weighted draw."""
+    import mpi_mapreduce_spark.operators.training as TR
+    from pyspark.sql import functions as F
+
+    d = TR._docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    k = 5
+    got = TR.weighted_sample_k_per_stratum(d, "lang", "n_chars", k).collect()
+    by_lang: dict = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    sizes = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert len(by_lang.get(lang, set())) == min(k, n), lang
+        solo = TR.weighted_sample_k(
+            d.where(F.col("lang") == lang), "n_chars", k
+        ).collect()
+        assert {r.doc_id for r in solo} == by_lang[lang], lang
