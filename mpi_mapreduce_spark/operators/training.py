@@ -719,7 +719,8 @@ ORACLE = {
     "training_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "training_weighted_sample_per_lang": ORACLE_WEIGHTED_PER_LANG,
     "training_sample_stratified": f"""
-        SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         FROM documents
         WHERE (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} <
               CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000

@@ -2,10 +2,10 @@
 
 Mirrors the driver contract: run the Spark query and the oracle SQL on
 the same parquet tables, compare row count + sorted column names +
-order-insensitive values (driver sorts columns by name then value-
-hashes; we sort rows canonically and compare cell-by-cell with a tiny
-float tolerance so genuine mismatches fail loudly while benign
-last-ulp differences don't).
+column dtype kinds + order-insensitive values BIT-EXACTLY (the driver
+sorts columns by name then value-hashes, so only == fidelity rehearses
+it faithfully; the engine's quantize/exact-aggregation discipline is
+what makes == achievable).
 """
 
 from __future__ import annotations
@@ -16,8 +16,6 @@ import duckdb
 import pandas as pd
 
 from mpi_mapreduce_spark.datamodel import TABLES
-
-REL_TOL = 1e-9
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -40,14 +38,27 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cells_equal(a, b) -> bool:
+    """BIT-EXACT compare — the driver value-hashes, so any float that
+    merely lands within a tolerance still flips the hash. The engine's
+    quantize/exact-aggregation discipline exists precisely so == is
+    achievable; rehearsing with a tolerance would hide real driver
+    failures (caught once in round 2: an oracle-side HUGEINT→float64
+    coercion that passed at 1e-9 and would have hash-mismatched)."""
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return math.isclose(fa, fb, rel_tol=REL_TOL, abs_tol=1e-9)
+        return fa == fb
     return str(a) == str(b)
+
+
+def _kind(dtype) -> str:
+    # int-vs-float column type divergence (e.g. DuckDB HUGEINT →
+    # pandas float64) changes hashed value reprs even when values
+    # match numerically — flag it as a schema mismatch.
+    return "f" if dtype.kind == "f" else ("i" if dtype.kind in "iu" else "o")
 
 
 def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
@@ -56,6 +67,14 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
     )
     s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    for col in s_cols:
+        sk = _kind(spark_df[col].dtype)
+        ok = _kind(oracle_df[col].dtype)
+        assert sk == ok, (
+            f"{name}: column {col!r} dtype kind {sk} (spark) != {ok} "
+            f"(oracle) — cast the oracle output (e.g. HUGEINT sums to "
+            f"BIGINT) so the driver hashes identical reprs"
+        )
     s, o = _canon(spark_df), _canon(oracle_df)
     for col in s.columns:
         sv, ov = list(s[col]), list(o[col])
