@@ -361,6 +361,85 @@ ORACLE_BIGRAM_LM = f"""
 """
 
 
+DRIFT_TOP = 20
+
+
+def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift report between two corpus snapshots (here
+    the deterministic doc_id-parity halves standing in for yesterday/
+    today): per-term KL contribution p_A·ln(p_A/p_B) under add-one
+    smoothing, top-20 drifted terms — the audit a crawl pipeline runs
+    before admitting a new snapshot into the mixture.
+
+    Exactness discipline: smoothed probabilities are ratios of exact
+    integers (identical doubles in any engine); the single ln() per
+    term is quantized to 9 decimals so libm ulp differences can't
+    flip the hash or the ranking; rank ties break on term. Plan: two
+    grouped counts + one full-outer equi-join on term + top-k —
+    map-side combine everywhere, no cross product."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count_if(F.col("is_a")).alias("ca"),
+        F.count_if(~F.col("is_a")).alias("cb"),
+    )
+    totals = toks.agg(
+        F.count_if(F.col("is_a")).alias("na"),
+        F.count_if(~F.col("is_a")).alias("nb"),
+        F.countDistinct("term").alias("v"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "ca",
+        "cb",
+        ex.quantize(pa * F.log(pa / pb), 9).alias("kl_contrib"),
+    )
+    # top-k FIRST (physicalizes as TakeOrderedAndProject — per-
+    # partition heaps, no global sort of the vocabulary), then rank
+    # the 20 survivors with a trivially small window
+    top = scored.orderBy(F.desc("kl_contrib"), F.asc("term")).limit(
+        DRIFT_TOP
+    )
+    w = W.orderBy(F.desc("kl_contrib"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_DRIFT = f"""
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS is_a,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term,
+             COUNT(*) FILTER (is_a) AS ca,
+             COUNT(*) FILTER (NOT is_a) AS cb
+      FROM toks GROUP BY term
+    ), totals AS (
+      SELECT COUNT(*) FILTER (is_a) AS na,
+             COUNT(*) FILTER (NOT is_a) AS nb,
+             COUNT(DISTINCT term) AS v
+      FROM toks
+    ), scored AS (
+      SELECT term, ca, cb,
+             ROUND(((ca + 1.0) / (na + v))
+                   * ln(((ca + 1.0) / (na + v))
+                        / ((cb + 1.0) / (nb + v))) * 1000000000.0)
+               / 1000000000.0 AS kl_contrib
+      FROM counts, totals
+    )
+    SELECT term, ca, cb, kl_contrib, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY kl_contrib DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {DRIFT_TOP}
+"""
+
+
 #: heavy-hitter support: report terms with freq >= total_tokens / HH_K
 HH_K = 200
 
@@ -427,6 +506,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_bigram_lm_score": text_bigram_lm_score,
+    "text_distribution_drift": text_distribution_drift,
 }
 
 
@@ -437,6 +517,7 @@ def _oracle_hits(lang: str) -> str:
 
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
+    "text_distribution_drift": ORACLE_DRIFT,
     "text_heavy_hitters": f"""
         WITH toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),
