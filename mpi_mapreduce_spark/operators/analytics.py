@@ -383,8 +383,82 @@ def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact 2-decimal spend), each scored into quintiles (ntile 5 —
+    score 5 = most recent / most frequent / highest spend) with
+    custkey tiebreak so the tiling is deterministic in any engine,
+    plus the concatenated segment code marketing pipelines key on.
+
+    Plan: one grouped aggregate over orders (map-side combine), the
+    corpus max date broadcast back as a scalar, three ntile windows
+    over the customer-sized frame (orders of magnitude smaller than
+    orders; at true scale score on a sampled quantile grid instead)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    ref = o.agg(F.max("d").alias("ref_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").alias("frequency"),
+            ex.quantized_sum("o_totalprice", 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("ref_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = W.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    f_w = W.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m_w = W.orderBy(F.asc("monetary"), F.asc("custkey"))
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("", "r_score", "f_score", "m_score"),
+    )
+
+
+ORACLE_RFM = f"""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders
+    ), ref AS (
+      SELECT MAX(d) AS ref_d FROM o
+    ), per_cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(d), (SELECT ref_d FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             {ex.sql_sum('o_totalprice', 2)} AS monetary
+      FROM o GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS INTEGER) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS INTEGER) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary ASC, custkey) AS INTEGER) AS m_score
+      FROM per_cust
+    )
+    SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+              || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+"""
+
+
 QUERIES = {
     "customer_pseudonymize": customer_pseudonymize,
+    "customer_rfm_segments": customer_rfm_segments,
     "events_transition_matrix": events_transition_matrix,
     "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
@@ -399,6 +473,7 @@ QUERIES = {
 
 ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
+    "customer_rfm_segments": ORACLE_RFM,
     "customer_pseudonymize": """
         SELECT sha256(CAST(c_custkey AS VARCHAR)) AS custkey_h,
                sha256(c_name) AS name_h,
