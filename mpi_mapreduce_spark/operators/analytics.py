@@ -456,9 +456,57 @@ ORACLE_RFM = f"""
 """
 
 
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap distribution ACROSS the stream
+    (median / p90 / p99 / max of successive same-type gaps, seconds) —
+    the measurement that justifies a session gap or watermark delay
+    before anyone hardcodes one. Gaps are integer micros (exact), the
+    percentiles exact interpolated over them; one window shuffle on
+    event_type + one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        (F.percentile("gap_us", F.lit(0.5)) / 1e6).alias("p50_sec"),
+        (F.percentile("gap_us", F.lit(0.9)) / 1e6).alias("p90_sec"),
+        (F.percentile("gap_us", F.lit(0.99)) / 1e6).alias("p99_sec"),
+        (F.max("gap_us") / F.lit(1e6)).alias("max_sec"),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(CAST(LAG(ts) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id)
+                             AS TIMESTAMP)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           quantile_cont(gap_us, 0.5) / 1e6 AS p50_sec,
+           quantile_cont(gap_us, 0.9) / 1e6 AS p90_sec,
+           quantile_cont(gap_us, 0.99) / 1e6 AS p99_sec,
+           MAX(gap_us) / 1e6 AS max_sec
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
 QUERIES = {
     "customer_pseudonymize": customer_pseudonymize,
     "customer_rfm_segments": customer_rfm_segments,
+    "events_interarrival_stats": events_interarrival_stats,
     "events_transition_matrix": events_transition_matrix,
     "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
@@ -474,6 +522,7 @@ QUERIES = {
 ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
     "customer_rfm_segments": ORACLE_RFM,
+    "events_interarrival_stats": ORACLE_INTERARRIVAL,
     "customer_pseudonymize": """
         SELECT sha256(CAST(c_custkey AS VARCHAR)) AS custkey_h,
                sha256(c_name) AS name_h,
