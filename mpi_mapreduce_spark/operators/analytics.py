@@ -503,10 +503,77 @@ ORACLE_INTERARRIVAL = """
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, spend tracked per months-since-first (offset k), plus the
+    cumulative LTV running total per cohort — the retention economics
+    table every subscription/commerce warehouse maintains.
+
+    Exactness: month offsets are integer month arithmetic on
+    month-truncated dates; spend sums and the cumulative window both
+    use the integer-scaled exact-sum discipline (quantized_sum /
+    quantized_sum_over), so the running totals are bit-identical at
+    any parallelism. Plan: one grouped min per customer (broadcast
+    back), one grouped sum on (cohort, k), one small window over the
+    cohort×k frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    joined = o.join(first, "o_custkey").select(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+        F.months_between("m", "cohort_m").cast("int").alias("month_k"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    per_cell = joined.groupBy("cohort_month", "month_k").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        ex.quantized_sum("o_totalprice", 2).alias("spend"),
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("month_k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_cell.select(
+        "cohort_month",
+        "month_k",
+        "n_active",
+        "spend",
+        ex.quantized_sum_over("spend", 2, w).alias("cum_spend"),
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice
+      FROM orders
+    ), first AS (
+      SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey
+    ), joined AS (
+      SELECT strftime(f.cohort_m, '%Y-%m') AS cohort_month,
+             date_diff('month', f.cohort_m, o.m) AS month_k,
+             o.o_totalprice, o.o_custkey
+      FROM o JOIN first f USING (o_custkey)
+    ), per_cell AS (
+      SELECT cohort_month, CAST(month_k AS INTEGER) AS month_k,
+             COUNT(DISTINCT o_custkey) AS n_active,
+             {ex.sql_sum('o_totalprice', 2)} AS spend
+      FROM joined GROUP BY cohort_month, month_k
+    )
+    SELECT cohort_month, month_k, n_active, spend,
+           {ex.sql_sum_over('spend', 2, 'PARTITION BY cohort_month ORDER BY month_k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')} AS cum_spend
+    FROM per_cell
+"""
+
+
 QUERIES = {
     "customer_pseudonymize": customer_pseudonymize,
     "customer_rfm_segments": customer_rfm_segments,
     "events_interarrival_stats": events_interarrival_stats,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "events_transition_matrix": events_transition_matrix,
     "events_value_anomalies": events_value_anomalies,
     "events_rolling_user_stats": events_rolling_user_stats,
@@ -523,6 +590,7 @@ ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
     "customer_rfm_segments": ORACLE_RFM,
     "events_interarrival_stats": ORACLE_INTERARRIVAL,
+    "orders_cohort_ltv": ORACLE_COHORT_LTV,
     "customer_pseudonymize": """
         SELECT sha256(CAST(c_custkey AS VARCHAR)) AS custkey_h,
                sha256(c_name) AS name_h,
