@@ -461,8 +461,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (median / p90 / p99 / max of successive same-type gaps, seconds) —
     the measurement that justifies a session gap or watermark delay
     before anyone hardcodes one. Gaps are integer micros (exact), the
-    percentiles exact interpolated over them; one window shuffle on
-    event_type + one grouped aggregate."""
+    percentiles exact interpolated over them, then quantized to the
+    1e-6 s grid (Spark's Percentile and DuckDB's quantile_cont use
+    different FP interpolation expressions that can differ in the last
+    ulp; the repo's scale-6 quantize makes the hash compare exact);
+    one window shuffle on event_type + one grouped aggregate."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id"
     )
@@ -476,14 +479,20 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
-        (F.percentile("gap_us", F.lit(0.5)) / 1e6).alias("p50_sec"),
-        (F.percentile("gap_us", F.lit(0.9)) / 1e6).alias("p90_sec"),
-        (F.percentile("gap_us", F.lit(0.99)) / 1e6).alias("p99_sec"),
+        ex.quantize(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias(
+            "p50_sec"
+        ),
+        ex.quantize(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias(
+            "p90_sec"
+        ),
+        ex.quantize(F.percentile("gap_us", F.lit(0.99)) / 1e6, 6).alias(
+            "p99_sec"
+        ),
         (F.max("gap_us") / F.lit(1e6)).alias("max_sec"),
     )
 
 
-ORACLE_INTERARRIVAL = """
+ORACLE_INTERARRIVAL = f"""
     WITH g AS (
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP))
@@ -494,9 +503,9 @@ ORACLE_INTERARRIVAL = """
     )
     SELECT event_type,
            COUNT(*) AS n_gaps,
-           quantile_cont(gap_us, 0.5) / 1e6 AS p50_sec,
-           quantile_cont(gap_us, 0.9) / 1e6 AS p90_sec,
-           quantile_cont(gap_us, 0.99) / 1e6 AS p99_sec,
+           {ex.sql_quantize('quantile_cont(gap_us, 0.5) / 1e6', 6)} AS p50_sec,
+           {ex.sql_quantize('quantile_cont(gap_us, 0.9) / 1e6', 6)} AS p90_sec,
+           {ex.sql_quantize('quantile_cont(gap_us, 0.99) / 1e6', 6)} AS p99_sec,
            MAX(gap_us) / 1e6 AS max_sec
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY event_type

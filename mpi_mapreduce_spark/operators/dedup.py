@@ -617,9 +617,11 @@ EMBED_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 
 #: block count for the distributed exact all-pairs pass. Each unordered
 #: block pair (bi ≤ bj) is one scoring task → B(B+1)/2 tasks over
-#: blocks of ~n/B rows. Per-task memory is O((n/B)²·dim) bounded by
-#: chunked pair expansion; at cluster scale set B ≈ n / 10k so block
-#: size (and task memory) stays constant as n grows.
+#: blocks of ~n/B rows. Per-task memory is O((n/B)·dim) for the two
+#: block matrices plus O(chunk·dim) for the lazily-generated pair
+#: slices (never the |A|×|B| index matrix); at cluster scale set
+#: B ≈ n / 10k so block size (and task memory) stays constant as n
+#: grows.
 EMBED_BLOCKS = 8
 
 
@@ -689,25 +691,35 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         idb = Bs["vec_id"].to_numpy()
         va = np.vstack(A["v"].to_numpy())
         vb = va if bj == bi else np.vstack(Bs["v"].to_numpy())
-        if bj == bi:
-            # within one block: ordered pairs once
-            ia, ib = np.nonzero(ida[:, None] < idb[None, :])
-        else:
-            # cross-block: EVERY A×B combo is a distinct unordered
-            # pair (ids live in different residue classes, never
-            # equal); normalize to (min, max) below so orientation
-            # doesn't depend on which block sorted lower
-            ia, ib = np.nonzero(np.ones((len(ida), len(idb)), dtype=bool))
-        if len(ia) == 0:
-            return empty
+        # Pair indices are generated LAZILY per chunk (a slice of A
+        # rows against all of B via repeat/tile) — never the full
+        # |A|×|B| index matrix, so per-task peak memory is O(chunk·dim)
+        # regardless of block size. Within one block (bi == bj) each
+        # unordered pair is kept once via the id< mask; cross-block,
+        # every A×B combo is a distinct unordered pair (ids live in
+        # different residue classes, never equal) — normalized to
+        # (min, max) below so orientation doesn't depend on which
+        # block sorted lower.
         out = []
         chunk = 1 << 16  # caps pair-expansion memory per task
-        for s in range(0, len(ia), chunk):
-            sa, sb = ia[s : s + chunk], ib[s : s + chunk]
+        nb = len(idb)
+        rows_per = max(1, chunk // nb)
+        b_idx = np.arange(nb)
+        for s in range(0, len(ida), rows_per):
+            a_idx = np.arange(s, min(s + rows_per, len(ida)))
+            sa = np.repeat(a_idx, nb)
+            sb = np.tile(b_idx, len(a_idx))
+            if bj == bi:
+                m = ida[sa] < idb[sb]
+                sa, sb = sa[m], sb[m]
+                if len(sa) == 0:
+                    continue
             dots = np.cumsum(va[sa] * vb[sb], axis=1)[:, -1]
             keep = dots >= raw_cut
             pa, pb = ida[sa][keep], idb[sb][keep]
             out.append((np.minimum(pa, pb), np.maximum(pa, pb), dots[keep]))
+        if not out:
+            return empty
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate([o[0] for o in out]),

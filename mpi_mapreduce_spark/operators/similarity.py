@@ -332,7 +332,11 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag compares each score against its label's exact interpolated
     5th percentile of those quantized scores (computed once per label
     and broadcast back — labels × 1 row, not a window over the
-    corpus)."""
+    corpus). The cut itself is quantized back to the same 1e-6 grid
+    the scores live on: when the interpolation neighbors are equal,
+    Spark's a*(1-t)+a*t can come back a±ulp while DuckDB returns
+    exactly a, and an unquantized strict < would flip boundary
+    rows."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", VEC.as_double(F.col("embedding")).alias("e")
     )
@@ -358,7 +362,9 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_centroid"),
     )
     cuts = scored.groupBy("label").agg(
-        F.percentile("cos_centroid", F.lit(OUTLIER_PCT)).alias("p_cut")
+        ex.quantize(
+            F.percentile("cos_centroid", F.lit(OUTLIER_PCT)), 6
+        ).alias("p_cut")
     )
     return scored.join(F.broadcast(cuts), "label").select(
         "vec_id",
@@ -391,7 +397,9 @@ ORACLE_OUTLIERS = f"""
              ) * 1000000.0) / 1000000.0 AS cos_centroid
       FROM e JOIN cent c USING (label)
     ), cuts AS (
-      SELECT label, quantile_cont(cos_centroid, {OUTLIER_PCT}) AS p_cut
+      SELECT label,
+             {ex.sql_quantize(f'quantile_cont(cos_centroid, {OUTLIER_PCT})', 6)}
+               AS p_cut
       FROM scored GROUP BY label
     )
     SELECT s.vec_id, s.label, s.cos_centroid,

@@ -206,7 +206,11 @@ def weighted_sample_k(
 
     Keys are quantized to 9 decimals before ranking (doc_id breaks
     ties), so cross-engine libm pow() last-ulp differences can't
-    reorder the boundary. Plan: stateless per-row key computation +
+    reorder the boundary. Weights are floored at 1 (greatest(w, 1)):
+    a zero weight would divide by zero, where Spark's non-ANSI 1.0/0
+    yields NULL but DuckDB's IEEE division yields inf — divergent
+    values AND ordering; the floor keeps both engines on the same
+    finite key. Plan: stateless per-row key computation +
     global top-k — physicalizes as TakeOrderedAndProject (per-
     partition heaps), shuffling only k rows per partition at 100 TB."""
     u = (
@@ -214,7 +218,12 @@ def weighted_sample_k(
         + F.lit(0.5)
     ) / F.lit(float(SAMPLE_MOD))
     es_key = ex.quantize(
-        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+        F.pow(
+            u,
+            F.lit(1.0)
+            / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0)),
+        ),
+        9,
     )
     return (
         df.withColumn("es_key", es_key)
@@ -241,15 +250,20 @@ def weighted_sample_k_per_stratum(
     WITHIN each stratum, so every stratum yields exactly min(k, size)
     rows with inclusion probability scaling by weight inside it — the
     per-language quality-weighted draw a mixture recipe asks for.
-    Same determinism/quantization story as weighted_sample_k; the
-    global top-k becomes one window per stratum (skew note of
-    take_k_per_stratum_salted applies)."""
+    Same determinism/quantization/zero-weight-floor story as
+    weighted_sample_k; the global top-k becomes one window per
+    stratum (skew note of take_k_per_stratum_salted applies)."""
     u = (
         (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
         + F.lit(0.5)
     ) / F.lit(float(SAMPLE_MOD))
     es_key = ex.quantize(
-        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+        F.pow(
+            u,
+            F.lit(1.0)
+            / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0)),
+        ),
+        9,
     )
     w = W.partitionBy(stratum_col).orderBy(
         es_key.desc(), F.col(key).asc()
@@ -275,13 +289,13 @@ ORACLE_WEIGHTED_PER_LANG = f"""
       SELECT doc_id, lang, n_chars,
              ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
                        / {SAMPLE_MOD}.0,
-                   1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+                   1.0 / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000000.0)
                / 1000000000.0 AS es_key,
              ROW_NUMBER() OVER (
                PARTITION BY lang
                ORDER BY ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
                                   / {SAMPLE_MOD}.0,
-                              1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+                              1.0 / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000000.0)
                           / 1000000000.0 DESC,
                         doc_id ASC
              ) AS rnk
@@ -294,7 +308,7 @@ ORACLE_WEIGHTED_SAMPLE = f"""
     SELECT doc_id, lang, n_chars,
            ROUND(POW(((doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} + 0.5)
                      / {SAMPLE_MOD}.0,
-                 1.0 / CAST(n_chars AS DOUBLE)) * 1000000000.0)
+                 1.0 / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000000.0)
              / 1000000000.0 AS es_key
     FROM documents
     ORDER BY es_key DESC, doc_id ASC
