@@ -37,6 +37,91 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: bucket fan-out for the two-phase global rank (matches the session's
+#: shuffle parallelism; any value works — it only shapes balance)
+RANK_BUCKETS = 32
+
+
+def two_phase_rank(
+    df: DataFrame,
+    ord_col: str,
+    key_col: str,
+    out: str = "_r",
+    n_col: str = "_n",
+    buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Exact global row_number over ``(ord_col ASC, key_col ASC)``
+    WITHOUT an unpartitioned window — the scale-safe form of global
+    distribution ranking (ntile / percent_rank / cume_dist are all
+    pure functions of this rank and the total count, computed by the
+    callers with integer arithmetic).
+
+    Two phases, one declarative DAG (no driver collect):
+
+    1. A 1-row aggregate computes ``buckets-1`` approx-percentile
+       boundaries of ``ord_col`` plus the exact total count; it is
+       broadcast-cross-joined back, and each row gets a map-side
+       bucket id = #boundaries strictly below its value. Ties share a
+       bucket by construction, and bucketing is order-monotone, so
+       boundary quality affects only balance — never the final rank
+       (approx_percentile's merge-order wobble is harmless here).
+    2. ``row_number`` per bucket (a PARTITIONED window — each bucket
+       sorts in parallel), plus a per-bucket count aggregate whose
+       cumulative offsets come from a tiny triangular self-join
+       (≤ buckets² pairs) broadcast back on the bucket id. Global
+       rank = bucket offset + local row_number.
+
+    Adds ``out`` (the 1-based global rank, long) and ``n_col`` (the
+    total count, long, same on every row). At 100 TB: the only
+    full-data exchange is the bucketed window shuffle — same volume a
+    partitioned sort needs anyway, with no single-partition straggler;
+    everything else is a map-side broadcast or a ≤``buckets``-row
+    frame."""
+    tmp_bs, tmp_bkt, tmp_lr, tmp_off = "_bs", "_bkt", "_lr", "_off"
+    df = df.drop(out, n_col, tmp_bs, tmp_bkt, tmp_lr, tmp_off)
+    percs = [i / buckets for i in range(1, buckets)]
+    stats = df.agg(
+        F.percentile_approx(ord_col, percs, 10000).alias(tmp_bs),
+        F.count("*").cast("long").alias(n_col),
+    )
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        tmp_bkt,
+        F.size(F.filter(tmp_bs, lambda x: x < F.col(ord_col))).cast("int"),
+    )
+    w = W.partitionBy(tmp_bkt).orderBy(ord_col, key_col)
+    loc = b.withColumn(tmp_lr, F.row_number().over(w).cast("long"))
+    counts = b.groupBy(tmp_bkt).agg(F.count("*").alias("_c"))
+    lo = counts.select(
+        F.col(tmp_bkt).alias("_lo_bkt"), F.col("_c").alias("_lo_c")
+    )
+    offs = (
+        counts.join(lo, F.col("_lo_bkt") < F.col(tmp_bkt), "left")
+        .groupBy(tmp_bkt)
+        .agg(F.coalesce(F.sum("_lo_c"), F.lit(0)).cast("long").alias(tmp_off))
+    )
+    return (
+        loc.join(F.broadcast(offs), tmp_bkt)
+        .withColumn(out, F.col(tmp_off) + F.col(tmp_lr))
+        .drop(tmp_bs, tmp_bkt, tmp_lr, tmp_off, "_c")
+    )
+
+
+def _sql_ntile(r: str, n: str, k: int) -> str:
+    """NTILE(k) as integer arithmetic on a unique 1-based global rank
+    column ``r`` and total-count column ``n``: the first n%k buckets
+    take ceil(n/k) rows, the rest floor(n/k) — exactly the SQL NTILE
+    contract, reproduced with DIV/% so both engines agree bit-for-bit
+    (no window needed once the rank exists)."""
+    q = f"({n} DIV {k})"
+    rem = f"({n} % {k})"
+    hi = f"({rem} * ({q} + 1))"
+    return (
+        f"CASE WHEN {n} < {k} THEN {r} "
+        f"WHEN {r} <= {hi} THEN ({r} + {q}) DIV ({q} + 1) "
+        f"ELSE {rem} + ({r} - {hi} + {q} - 1) DIV {q} END"
+    )
+
+
 def events_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour per-user stats via a RANGE frame (peer-inclusive,
     ordered on epoch seconds): every event sees the exact count/sum of
@@ -61,26 +146,31 @@ def events_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranking over per-customer spend: ntile deciles,
-    percent_rank and cume_dist in one window pass. The order key
-    carries a unique custkey tiebreak — without it ntile bucket
+    percent_rank and cume_dist from ONE exact global rank. The order
+    key carries a unique custkey tiebreak — without it ntile bucket
     boundaries split ties engine-arbitrarily.
 
-    Scale note: an unpartitioned window is a single-partition global
-    sort — fine for per-customer aggregates (cardinality is customers,
-    not fact rows), but for billion-row inputs switch to the two-phase
-    form: approx_percentile boundaries broadcast + map-side bucket
-    assignment (exact rank only where the product needs it)."""
+    Scale: uses :func:`two_phase_rank` (broadcast approx-percentile
+    boundaries + map-side bucket assignment + partitioned per-bucket
+    row_number), so there is no unpartitioned window / single-
+    partition global sort anywhere in the plan; ntile, percent_rank
+    and cume_dist are then pure integer/single-division arithmetic on
+    (rank, n) — bit-identical to the oracle's window functions because
+    the order is total."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         ex.quantized_sum("o_totalprice", 2).alias("spend")
     )
-    w = W.orderBy("spend", "o_custkey")
-    return spend.select(
+    ranked = two_phase_rank(spend, "spend", "o_custkey")
+    return ranked.select(
         F.col("o_custkey").alias("custkey"),
         "spend",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.expr(_sql_ntile("_r", "_n", 10)).cast("long").alias("decile"),
+        F.expr(
+            "CASE WHEN _n = 1 THEN 0.0"
+            " ELSE CAST(_r - 1 AS DOUBLE) / (_n - 1) END"
+        ).alias("pct_rank"),
+        F.expr("CAST(_r AS DOUBLE) / _n").alias("cume"),
     )
 
 
@@ -392,9 +482,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the concatenated segment code marketing pipelines key on.
 
     Plan: one grouped aggregate over orders (map-side combine), the
-    corpus max date broadcast back as a scalar, three ntile windows
-    over the customer-sized frame (orders of magnitude smaller than
-    orders; at true scale score on a sampled quantile grid instead)."""
+    corpus max date broadcast back as a scalar, then three exact
+    global ranks via :func:`two_phase_rank` (broadcast quantile
+    boundaries + map-side bucket assignment + per-bucket partitioned
+    row_number) with each quintile score derived from its rank by
+    integer arithmetic — no unpartitioned window anywhere, so the
+    query holds at billions of customers. Recency ranks descending
+    via the negated integer day count (same total order). The three
+    ranks run as independent branches off the per-customer frame and
+    re-join on custkey (narrow customer-cardinality shuffles) rather
+    than chaining, which would nest each rank's whole plan inside the
+    next one's boundary/count branches."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d"), "o_totalprice"
     )
@@ -414,20 +512,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_w = W.orderBy(F.desc("recency_days"), F.asc("custkey"))
-    f_w = W.orderBy(F.asc("frequency"), F.asc("custkey"))
-    m_w = W.orderBy(F.asc("monetary"), F.asc("custkey"))
-    return per_cust.select(
+    neg = per_cust.withColumn("_neg_rec", -F.col("recency_days"))
+    r_rank = two_phase_rank(neg, "_neg_rec", "custkey", out="_rr").select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
-    ).withColumn(
-        "segment",
-        F.concat_ws("", "r_score", "f_score", "m_score"),
+        F.expr(_sql_ntile("_rr", "_n", 5)).cast("int").alias("r_score"),
+    )
+    f_rank = two_phase_rank(per_cust, "frequency", "custkey", out="_rf").select(
+        "custkey",
+        F.expr(_sql_ntile("_rf", "_n", 5)).cast("int").alias("f_score"),
+    )
+    m_rank = two_phase_rank(per_cust, "monetary", "custkey", out="_rm").select(
+        "custkey",
+        F.expr(_sql_ntile("_rm", "_n", 5)).cast("int").alias("m_score"),
+    )
+    return (
+        r_rank.join(f_rank, "custkey")
+        .join(m_rank, "custkey")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+        )
     )
 
 

@@ -174,3 +174,67 @@ def test_ohlc_open_close_ordering(spark, sf_dir):
         assert bar.high == max(r.value for r in rows)
         assert bar.low == min(r.value for r in rows)
         assert bar.n == len(rows)
+
+
+def test_two_phase_rank_matches_global_row_number(spark):
+    """two_phase_rank must equal an unpartitioned row_number over the
+    same (value, key) order — including tie groups — and carry the
+    exact total count on every row."""
+    from pyspark.sql.window import Window as W
+
+    data = [(i, (i * 37) % 13) for i in range(101)]  # ties in v
+    df = spark.createDataFrame(data, ["k", "v"])
+    got = {
+        r.k: (r._r, r._n)
+        for r in A.two_phase_rank(df, "v", "k").select("k", "_r", "_n").collect()
+    }
+    w = W.orderBy("v", "k")
+    want = {
+        r.k: r.rn
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert len(got) == 101
+    for k, (r, n) in got.items():
+        assert n == 101
+        assert r == want[k], k
+
+
+def test_sql_ntile_formula_matches_ntile(spark):
+    """The integer-arithmetic NTILE reconstruction must agree with
+    Spark's ntile() for sizes around the uneven-bucket edges."""
+    from pyspark.sql.window import Window as W
+
+    for n in (1, 4, 5, 37, 100):
+        for k in (5, 10):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("_r"), F.lit(n).alias("_n")
+            )
+            got = {
+                r._r: r.b
+                for r in df.select(
+                    "_r", F.expr(A._sql_ntile("_r", "_n", k)).alias("b")
+                ).collect()
+            }
+            want = {
+                r._r: r.b
+                for r in df.select(
+                    "_r",
+                    F.ntile(k).over(W.orderBy("_r")).alias("b"),
+                ).collect()
+            }
+            assert got == want, (n, k)
+
+
+def test_rank_queries_have_no_unpartitioned_window(spark, sf_dir):
+    """The scale contract of the two-phase rewrite: every Window node
+    in the physical plan carries a partition spec (a Window line
+    prints as `Window [fns], [partSpec], [orderSpec]` — two `], [`
+    separators; the unpartitioned form has one)."""
+    for fn in (A.customer_spend_deciles, A.customer_rfm_segments):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert lines, fn.__name__
+        for ln in lines:
+            assert ln.count("], [") == 2, (fn.__name__, ln)
