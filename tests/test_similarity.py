@@ -30,9 +30,15 @@ def test_knn_shape_and_selfexclusion(spark, sf_dir):
 
 
 def test_ann_returns_valid_neighbors_on_table(spark, sf_dir):
+    """The banded output carries the exact top-k rows and the two
+    LSH-vs-exact invariant flags, which must be TRUE everywhere (they
+    are theorems for a correct implementation, not measurements)."""
     rows = S.ann_lsh_topk(spark, sf_dir).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
     assert all(r.vec_id != r.query_id for r in rows)
     assert all(r.rank <= S.TOP_K for r in rows)
+    assert all(r.found_iff_probed for r in rows)
+    assert all(r.lsh_rank_bounded for r in rows)
 
 
 @pytest.fixture(scope="module")
