@@ -20,7 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: one per engine area (MapReduce parity, relational
 # agg/join, windows, dedup, similarity, text analysis, iterative
-# graph, sketch rollups, sequence mining).
+# graph, sketch rollups, sequence mining, CDC, real multimodal
+# decode) — broadened round 3 so regressions in the round-2 heavy
+# additions are visible round-over-round.
 HEADLINE = [
     "graph_nation_pagerank",
     "events_transition_matrix",
@@ -40,6 +42,11 @@ HEADLINE = [
     "events_asof_purchase_click",
     "events_incident_correlation",
     "pipeline_curate_corpus",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "cdc_user_value_scd2",
+    "text_bigram_lm_score",
+    "multimodal_wav_decode",
 ]
 
 

@@ -90,7 +90,13 @@ def pagerank(
     beats eager per-round materialization (each localCheckpoint is a
     blocking job of its own). Set it >0 for long/unbounded loops
     where lineage depth or replay cost matters (the
-    dedup.connected_components regime)."""
+    dedup.connected_components regime).
+
+    Quiet-box A/B at sf0.1 (6 alternating full construct+count runs,
+    warm JVM): lazy min 2.24 s vs eager-every-round min 2.84 s — the
+    lazy default stands. Neither setting reproduces the 1.6 s figure
+    from the round-1 bench record, so that number was measured under
+    host contention, not a real regression in this loop."""
     n = nodes.count()
     base = (SCALE // n) * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
