@@ -258,12 +258,25 @@ def partition_by_djb2(kv: DataFrame, num_partitions: int):
     engine's native path never does this. Provided as the compat/
     parity form of the reference's partitioner-UDF extension point;
     a custom Python partitioner costs one pickle round-trip per row,
-    so it is compat-only, not the 100 TB path."""
+    so it is compat-only, not the 100 TB path.
+
+    The routing function is a CLOSURE (djb2 inlined locally), per the
+    repo rule that worker-side Python must pickle by value: a
+    module-level reference would make every worker import this
+    package, which the driver's foreign-cwd harness (and a cluster
+    without --py-files) cannot do."""
     n = num_partitions
+
+    def _route(k: str) -> int:
+        h = 5381
+        for b in k.encode("utf-8"):
+            h = (h * 33 + b) & 0xFFFFFFFFFFFFFFFF
+        return h % n
+
     return (
         kv.select("key", "val")
         .rdd.map(lambda r: (r["key"], r["val"]))
-        .partitionBy(n, lambda k: djb2(k) % n)
+        .partitionBy(n, _route)
     )
 
 
