@@ -361,8 +361,79 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the same self-validating banded output as
+    ann_lsh_topk: exact top-k rows (oracle-expressible) plus two
+    theorems-for-a-correct-implementation booleans pinned TRUE by the
+    oracle. ``found_iff_probed`` here keys on the trained quantizer:
+    an exact neighbor is an IVF candidate iff its argmax cell is one
+    of the query's nprobe nearest cells — the centroids are
+    deterministic (bounded hash-ordered sample, fixed-seed-free
+    arithmetic k-means), so the validation recompute sees the same
+    cell geometry as the search. Recall itself stays pytest-pinned on
+    clustered data (module docstring: noise corpora have no
+    accelerable structure)."""
     corpus, queries, dim = _table_corpus_queries(spark, sf_dir)
-    return ann_ivf(corpus, queries, ivf_centroids(corpus))
+    cents = ivf_centroids(corpus)
+    exact = knn_topk(corpus, queries)
+    ivf = ann_ivf(corpus, queries, cents)
+
+    celled = corpus.select(
+        "vec_id", _cell_expr(F.col("v"), cents).alias("ncell")
+    )
+    probe_set = (
+        queries.select(
+            F.col("query_id").alias("p_qid"),
+            F.explode(
+                _probe_cells_expr(F.col("qv"), cents, IVF_PROBES)
+            ).alias("p_cell"),
+        )
+        .distinct()
+        .withColumn("probed_hit", F.lit(1))
+    )
+    found = ivf.select(
+        F.col("query_id").alias("f_qid"),
+        F.col("vec_id").alias("f_vid"),
+        F.lit(1).alias("found_hit"),
+    )
+    ivf_ranks = ivf.select(
+        F.col("query_id").alias("r_qid"),
+        F.col("rank").alias("r_rank"),
+        F.col("cosine").alias("ivf_cosine"),
+    )
+    out = (
+        exact.join(celled, "vec_id")
+        .join(
+            F.broadcast(probe_set),
+            (F.col("query_id") == F.col("p_qid"))
+            & (F.col("ncell") == F.col("p_cell")),
+            "left",
+        )
+        .join(
+            F.broadcast(found),
+            (F.col("query_id") == F.col("f_qid"))
+            & (F.col("vec_id") == F.col("f_vid")),
+            "left",
+        )
+        .join(
+            F.broadcast(ivf_ranks),
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("rank") == F.col("r_rank")),
+            "left",
+        )
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rank",
+        (
+            F.col("probed_hit").isNotNull() == F.col("found_hit").isNotNull()
+        ).alias("found_iff_probed"),
+        (
+            F.col("ivf_cosine").isNull()
+            | (F.col("ivf_cosine") <= F.col("cosine"))
+        ).alias("ivf_rank_bounded"),
+    )
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +597,13 @@ ORACLE_ANN_LSH = _KNN_CTE + f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
+ORACLE_ANN_IVF = _KNN_CTE + f"""
+    SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank,
+           TRUE AS found_iff_probed,
+           TRUE AS ivf_rank_bounded
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -537,8 +615,7 @@ QUERIES = {
 ORACLE = {
     "knn_bruteforce": ORACLE_KNN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
-    # ann_ivf_topk: rows-only; recall pinned in tests on clustered
-    # data (the trained quantizer isn't SQL-expressible)
 }

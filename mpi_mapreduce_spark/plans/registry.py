@@ -105,7 +105,8 @@ DRIVER_CAP = 50
 #:   two NEW real-decode queries), in prior registration order;
 #: - approx_distinct_counts / approx_percentile_order_prices, whose
 #:   banded oracles landed after their round-1 no_oracle rows;
-#: - ann_lsh_topk, upgraded this round from rows-only to banded;
+#: - ann_lsh_topk / ann_ivf_topk, upgraded this round from rows-only
+#:   to banded (exact top-k + invariant flags);
 #: - re-checks of every query whose implementation changed this round
 #:   (quantize/guard fixes, two-phase rank, lazy pair chunking);
 #: - six cross-module sanity re-checks to round out the cap.
@@ -148,20 +149,20 @@ _ROUND_PRIORITY = [
     "q20_excess_shippers",
     "q21_suppliers_kept_waiting",
     "q22_idle_customer_balances",
-    # -- banded oracles the driver has not seen yet (3) --
+    # -- banded oracles the driver has not seen yet (4) --
     "approx_distinct_counts",
     "approx_percentile_order_prices",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     # -- changed this round: re-attest (4) --
     "embedding_label_outliers",
     "training_weighted_sample",
     "training_weighted_sample_per_lang",
     "dedup_embedding",
-    # -- cross-module sanity re-checks (6) --
+    # -- cross-module sanity re-checks (5) --
     "q1_pricing_summary",
     "dedup_exact",
     "events_sessionize",
-    "text_quality_score",
     "training_pack_sequences",
     "pipeline_curate_corpus",
 ]

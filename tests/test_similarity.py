@@ -63,9 +63,14 @@ def clustered(spark):
 
 
 def test_ivf_returns_valid_neighbors_on_table(spark, sf_dir):
+    """Banded output: exact top-k rows + IVF-vs-exact invariant flags,
+    TRUE everywhere by theorem (mirrors the LSH banded test)."""
     rows = S.ann_ivf_topk(spark, sf_dir).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
     assert all(r.vec_id != r.query_id for r in rows)
     assert all(r.rank <= S.TOP_K for r in rows)
+    assert all(r.found_iff_probed for r in rows)
+    assert all(r.ivf_rank_bounded for r in rows)
 
 
 def test_ivf_recall_on_clustered_data(clustered, spark):
