@@ -758,19 +758,16 @@ def _band_hyperplanes(dim: int, bits: int, bands: int) -> "list":
     return rng.randn(bands * bits, dim)
 
 
-def embedding_neardup_lsh(
+def embedding_lsh_candidates(
     emb: DataFrame,
     dim: int,
-    threshold: float = EMBED_DUP_THRESHOLD,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
 ) -> DataFrame:
-    """Banded-LSH candidate generation + exact cosine rescore over a
-    normalized ``(vec_id, v)`` frame. Every stage is a shuffle
-    equi-join on the small (band, bucket) key — no cross product, no
-    driver materialization; candidate volume is Σ_bucket |bucket|²
-    summed over bands, dropDuplicates collapses multi-band hits before
-    the (exact) rescore so each surviving pair is scored once."""
+    """Co-bucketed candidate ID pairs ``(vec_a < vec_b)`` — a pair
+    appears iff ALL sign bits agree in at least one band. Shared by
+    the rescoring search and the banded validation query (which must
+    recompute exactly this set to check found-iff-cobucketed)."""
     from pyspark.sql.functions import pandas_udf
 
     hps = _band_hyperplanes(dim, band_bits, n_bands)
@@ -813,12 +810,28 @@ def embedding_neardup_lsh(
     # shuffle (measured 90 s vs 3 s at sf0.1 for dim-64 doubles);
     # vectors rejoin per-id after the distinct, so the wide rows never
     # hit a shuffle more than once.
-    cands = (
+    return (
         left.join(right, ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
     )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact cosine rescore over a
+    normalized ``(vec_id, v)`` frame. Every stage is a shuffle
+    equi-join on the small (band, bucket) key — no cross product, no
+    driver materialization; candidate volume is Σ_bucket |bucket|²
+    summed over bands, dropDuplicates collapses multi-band hits before
+    the (exact) rescore so each surviving pair is scored once."""
+    cands = embedding_lsh_candidates(emb, dim, band_bits, n_bands)
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
@@ -849,7 +862,58 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(emb, dim=64)
 
 
-ORACLE_DEDUP_EMBEDDING = f"""
+def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded attestation of the LSH scale path, registered SEPARATELY
+    so :func:`dedup_embedding_lsh` keeps its pure linear plan: for
+    every EXACT near-dup pair (oracle-expressible — same definition as
+    dedup_embedding), emit the exact cosine plus ``found_iff_cobucketed``
+    — TRUE by theorem for a correct implementation:
+
+    ⇐ LSH output pairs come only from co-bucketed candidates;
+    ⇒ a co-bucketed pair whose exact cosine clears the threshold
+      survives the exact rescore filter (this pipeline has no bucket
+      cap), so it must be in the LSH output.
+
+    The flag exercises banding, bucket joins, the id-pair dedup and
+    the rescore end-to-end; the residual approximation (boundary pairs
+    whose buckets never collide) is exactly what the flag's two sides
+    agree to exclude, and recall stays pytest-pinned. The oracle
+    recomputes the exact side and pins the flag TRUE."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
+    )
+    exact = dedup_embedding(spark, sf_dir)
+    found = embedding_neardup_lsh(emb, dim=64).select(
+        F.col("vec_a").alias("f_a"),
+        F.col("vec_b").alias("f_b"),
+        F.lit(1).alias("found_hit"),
+    )
+    cobucketed = embedding_lsh_candidates(emb, dim=64).select(
+        F.col("vec_a").alias("c_a"),
+        F.col("vec_b").alias("c_b"),
+        F.lit(1).alias("cobucket_hit"),
+    )
+    out = exact.join(
+        found,
+        (F.col("vec_a") == F.col("f_a")) & (F.col("vec_b") == F.col("f_b")),
+        "left",
+    ).join(
+        cobucketed,
+        (F.col("vec_a") == F.col("c_a")) & (F.col("vec_b") == F.col("c_b")),
+        "left",
+    )
+    return out.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        (
+            F.col("found_hit").isNotNull() == F.col("cobucket_hit").isNotNull()
+        ).alias("found_iff_cobucketed"),
+    )
+
+
+_DEDUP_EMBEDDING_CTE = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -859,8 +923,22 @@ ORACLE_DEDUP_EMBEDDING = f"""
              list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
       FROM v
     )
+"""
+
+ORACLE_DEDUP_EMBEDDING = _DEDUP_EMBEDDING_CTE + f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0 AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0
+          >= {EMBED_DUP_THRESHOLD}
+"""
+
+# banded shape: exact side recomputed, invariant flag pinned TRUE (the
+# hyperplane bucket structure itself is not SQL-expressible)
+ORACLE_DEDUP_EMBEDDING_LSH_VALIDATE = _DEDUP_EMBEDDING_CTE + f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0 AS cosine,
+           TRUE AS found_iff_cobucketed
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0
           >= {EMBED_DUP_THRESHOLD}
@@ -965,6 +1043,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_lsh_validate": dedup_embedding_lsh_validate,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_connected_components": dedup_connected_components,
@@ -984,11 +1063,13 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh_validate": ORACLE_DEDUP_EMBEDDING_LSH_VALIDATE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests.
     # dedup_embedding_lsh: rows-only by contract (approximate recall
     # near the threshold); precision/recall pinned vs dedup_embedding
-    # in tests/test_dedup.py.
+    # in tests/test_dedup.py, and the found-iff-cobucketed invariant
+    # is driver-attested via dedup_embedding_lsh_validate above.
 }
