@@ -546,6 +546,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded attestation of the MinHash+LSH path (the pattern of
+    :func:`dedup_embedding_lsh_validate`): for every EXACT banded
+    near-dup pair (word-3-gram Jaccard ≥ 0.5 — the oracle-expressible
+    dedup_ngram_jaccard definition), emit the exact jaccard plus
+    ``found_iff_candidate`` — TRUE by theorem for a correct
+    implementation:
+
+    ⇐ MinHash output pairs are candidates by construction;
+    ⇒ a candidate pair (shares an uncapped band bucket) with true
+      Jaccard ≥ threshold survives the exact-verify filter, so it must
+      be in the MinHash output.
+
+    The candidate condition — "some 2-row minhash band collides in a
+    bucket of width ≤ 64" — is recomputed via the same deterministic
+    xxhash64 expressions the search uses (_minhash_candidates), so the
+    flag exercises signatures, banding, the bucket cap, pair expansion
+    and the verify join end-to-end. Probabilistic recall (a true pair
+    whose bands never collide) makes both sides of the iff false
+    together, keeping the flag TRUE. The oracle recomputes the exact
+    side and pins the flag as literal TRUE."""
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    srows = shingle_rows(_docs(spark, sf_dir)).persist()
+    found = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("f_a"),
+        F.col("doc_b").alias("f_b"),
+        F.lit(1).alias("found_hit"),
+    )
+    cands = _minhash_candidates(srows).select(
+        F.col("doc_a").alias("c_a"),
+        F.col("doc_b").alias("c_b"),
+        F.lit(1).alias("cand_hit"),
+    )
+    out = exact.join(
+        found,
+        (F.col("doc_a") == F.col("f_a")) & (F.col("doc_b") == F.col("f_b")),
+        "left",
+    ).join(
+        cands,
+        (F.col("doc_a") == F.col("c_a")) & (F.col("doc_b") == F.col("c_b")),
+        "left",
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (
+            F.col("found_hit").isNotNull() == F.col("cand_hit").isNotNull()
+        ).alias("found_iff_candidate"),
+    )
+
+
+# banded shape: exact side recomputed (the dedup_ngram_jaccard oracle,
+# wrapped), invariant flag pinned TRUE (the xxhash64 minhash
+# signatures aren't SQL-expressible)
+ORACLE_MINHASH_LSH_VALIDATE = f"""
+    SELECT doc_a, doc_b, jaccard, TRUE AS found_iff_candidate
+    FROM ({ORACLE_NGRAM_JACCARD})
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1040,6 +1101,7 @@ QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_validate": dedup_minhash_lsh_validate,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -1064,10 +1126,13 @@ ORACLE = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh_validate": ORACLE_DEDUP_EMBEDDING_LSH_VALIDATE,
+    "dedup_minhash_lsh_validate": ORACLE_MINHASH_LSH_VALIDATE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
-    # aren't expressible in the oracle); recall pinned in tests.
+    # aren't expressible in the oracle); recall pinned in tests, and
+    # minhash's found-iff-candidate invariant is driver-attested via
+    # dedup_minhash_lsh_validate above.
     # dedup_embedding_lsh: rows-only by contract (approximate recall
     # near the threshold); precision/recall pinned vs dedup_embedding
     # in tests/test_dedup.py, and the found-iff-cobucketed invariant

@@ -149,20 +149,20 @@ _ROUND_PRIORITY = [
     "q20_excess_shippers",
     "q21_suppliers_kept_waiting",
     "q22_idle_customer_balances",
-    # -- banded oracles the driver has not seen yet (5) --
+    # -- banded oracles the driver has not seen yet (6) --
     "approx_distinct_counts",
     "approx_percentile_order_prices",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_lsh_validate",
+    "dedup_minhash_lsh_validate",
     # -- changed this round: re-attest (4) --
     "embedding_label_outliers",
     "training_weighted_sample",
     "training_weighted_sample_per_lang",
     "dedup_embedding",
-    # -- cross-module sanity re-checks (4) --
+    # -- cross-module sanity re-checks (3) --
     "q1_pricing_summary",
-    "dedup_exact",
     "training_pack_sequences",
     "pipeline_curate_corpus",
 ]
