@@ -885,14 +885,20 @@ def embedding_neardup_lsh(
     threshold: float = EMBED_DUP_THRESHOLD,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact cosine rescore over a
     normalized ``(vec_id, v)`` frame. Every stage is a shuffle
     equi-join on the small (band, bucket) key — no cross product, no
     driver materialization; candidate volume is Σ_bucket |bucket|²
     summed over bands, dropDuplicates collapses multi-band hits before
-    the (exact) rescore so each surviving pair is scored once."""
-    cands = embedding_lsh_candidates(emb, dim, band_bits, n_bands)
+    the (exact) rescore so each surviving pair is scored once.
+
+    ``cands`` lets a caller that already computed the candidate pairs
+    (the validate query, which also needs them for its iff flag) skip
+    a second banding pass."""
+    if cands is None:
+        cands = embedding_lsh_candidates(emb, dim, band_bits, n_bands)
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
@@ -945,12 +951,13 @@ def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
     )
     exact = dedup_embedding(spark, sf_dir)
-    found = embedding_neardup_lsh(emb, dim=64).select(
+    cands = embedding_lsh_candidates(emb, dim=64).persist()
+    found = embedding_neardup_lsh(emb, dim=64, cands=cands).select(
         F.col("vec_a").alias("f_a"),
         F.col("vec_b").alias("f_b"),
         F.lit(1).alias("found_hit"),
     )
-    cobucketed = embedding_lsh_candidates(emb, dim=64).select(
+    cobucketed = cands.select(
         F.col("vec_a").alias("c_a"),
         F.col("vec_b").alias("c_b"),
         F.lit(1).alias("cobucket_hit"),
