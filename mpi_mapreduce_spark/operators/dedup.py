@@ -95,7 +95,9 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard (blocked) — the verify baseline
 # ---------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, within ±1 length
     band (|floor(n_chars/50) difference| ≤ 1 — same blocking as the
     oracle's band expansion).
@@ -109,15 +111,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order jaccard over every banded pair: measured 425 s at
     sf0.1 vs ~3 s for this plan — exactly the quadratic trap §8 warns
     about. Pairs with zero shared shingles can't reach the 0.5
-    threshold, so skipping them is semantics-preserving. At 100 TB a
-    stopword-like hot shingle would quadratically blow one bucket —
-    production guard: drop shingles whose doc-frequency exceeds a cap
-    (they carry no near-dup signal)."""
-    docs = _docs(spark, sf_dir)
+    threshold, so skipping them is semantics-preserving.
+
+    ``max_shingle_df`` is the hot-shingle guard for 100 TB corpora: a
+    stopword-like shingle shared by k docs contributes k² index-join
+    rows, so one hot bucket can quadratically blow the stage. When
+    set, shingles whose doc-frequency exceeds the cap are dropped from
+    the VOCABULARY (both intersection and sizes — Jaccard over the
+    filtered shingle space, the standard stopword-filtered dedup
+    semantics); near-identical docs still share their distinctive
+    shingles, so true near-dups survive while the quadratic bucket
+    disappears. The registered query runs uncapped (exact, matching
+    the DuckDB oracle); tests/test_dedup.py pins the capped behavior
+    on planted hot-shingle data."""
     bands = docs.select(
         "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
     )
     srows = shingle_rows(docs).join(bands, "doc_id")
+    if max_shingle_df is not None:
+        keep = (
+            srows.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        srows = srows.join(keep, "s")
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), "s"
@@ -147,6 +165,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered exact form of :func:`ngram_jaccard_pairs` (uncapped
+    vocabulary — bit-exact vs the DuckDB oracle)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 ORACLE_NGRAM_JACCARD = f"""

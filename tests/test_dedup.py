@@ -195,3 +195,41 @@ def test_connected_components_chain_and_islands(spark):
     got = {r.doc_id: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_hot_shingle_cap_kills_quadratic_bucket_keeps_neardups(spark):
+    """The max_shingle_df guard: docs related ONLY through a corpus-wide
+    hot shingle must stop pairing, while true near-dups (sharing many
+    distinctive shingles) must survive with Jaccard over the filtered
+    vocabulary."""
+    from mpi_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # one 3-gram every doc will share
+    rows = []
+    # 20 unrelated docs whose ONLY common shingle is the hot one
+    for i in range(20):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e"
+        rows.append((i, f"{hot} {body}"))
+    # one true near-dup pair: long shared distinctive tail, one edit
+    tail = " ".join(f"shared{j}" for j in range(30))
+    rows.append((100, f"{hot} {tail}"))
+    rows.append((101, f"{hot} {tail} extra"))
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "doc_id long, text string, n_chars long"
+    )
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()
+    }
+    capped_rows = ngram_jaccard_pairs(df, max_shingle_df=5).collect()
+    capped = {(r.doc_a, r.doc_b) for r in capped_rows}
+
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # the hot shingle alone never cleared the 0.5 threshold, but the
+    # capped run must also never even CONSIDER those buckets — no
+    # unrelated pair can appear either way
+    assert all(a >= 100 for a, b in capped)
+    # capped jaccard is over the filtered vocabulary: still high for
+    # the true pair
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in capped_rows}[(100, 101)]
+    assert j >= 0.5
