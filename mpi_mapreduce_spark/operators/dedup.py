@@ -70,11 +70,15 @@ def _shingled(docs: DataFrame) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first exact dedup: every doc flagged as the canonical copy
-    or a duplicate of an earlier one. Single shuffle on the content
-    (at scale: on xxhash64(content) with an equality re-check, so the
-    shuffle key is 8 bytes, not the document)."""
+    or a duplicate of an earlier one. Single shuffle, grouped on
+    ``(xxhash64(content), content)``: the 8-byte hash leads the
+    compound key so shuffle-sort comparisons resolve on the hash and
+    touch the document bytes only for true duplicates (or the rare
+    collision — the trailing content key IS the equality re-check, so
+    collisions cannot merge groups). Semantics identical to grouping
+    on content alone."""
     docs = _docs(spark, sf_dir)
-    w = W.partitionBy("text").orderBy("doc_id")
+    w = W.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
     return docs.select(
         "doc_id",
         (F.row_number().over(w) > 1).alias("is_dup"),
@@ -215,9 +219,11 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     corpus is never re-paired with itself (that work happened when it
     was ingested); only batch×corpus pairs are generated.
 
-    - exact: left-semi join of batch text against distinct corpus text
-      (at 100 TB: on xxhash64(text) with equality re-check, 8-byte
-      shuffle key).
+    - exact: left-semi join of batch text against distinct corpus
+      text on the compound key ``(xxhash64(text), text)`` — the
+      leading 8-byte hash resolves almost every comparison, the
+      trailing text key is the equality re-check that makes hash
+      collisions harmless.
     - near: the same inverted-index shingle join as
       dedup_ngram_jaccard, restricted to batch-left/corpus-right, with
       the ±1 length-band block. Work ∝ Σ_shingle |batch share|·|corpus
@@ -226,10 +232,12 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
 
     Exact text equality implies identical shingle sets (Jaccard 1), so
     is_exact_dup ⊆ is_near_dup — asserted in tests."""
+    batch_h = batch.withColumn("h", F.xxhash64("text"))
+    corpus_keys = (
+        corpus.select(F.xxhash64("text").alias("h"), "text").distinct()
+    )
     exact_ids = (
-        batch.join(
-            corpus.select("text").distinct(), "text", "left_semi"
-        )
+        batch_h.join(corpus_keys, ["h", "text"], "left_semi")
         .select("doc_id")
         .withColumn("is_exact_dup", F.lit(True))
     )
