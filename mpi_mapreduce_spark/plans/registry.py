@@ -156,15 +156,15 @@ _ROUND_PRIORITY = [
     "ann_ivf_topk",
     "dedup_embedding_lsh_validate",
     "dedup_minhash_lsh_validate",
-    # -- changed this round: re-attest (4) --
+    # -- changed this round: re-attest (6) --
     "embedding_label_outliers",
     "training_weighted_sample",
     "training_weighted_sample_per_lang",
     "dedup_embedding",
-    # -- cross-module sanity re-checks (3) --
+    "dedup_exact",
+    "dedup_incremental",
+    # -- cross-module sanity re-check (1) --
     "q1_pricing_summary",
-    "training_pack_sequences",
-    "pipeline_curate_corpus",
 ]
 
 
