@@ -427,6 +427,38 @@ def training_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source quota: max docs any single source may contribute — the
+#: crawl-curation guard against one domain dominating the corpus
+DOMAIN_QUOTA = 15
+
+
+def quota_per_stratum(
+    df: DataFrame, stratum_col: str, quota: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum quota capping: within each stratum,
+    rank rows by the multiplicative hash coin (key tiebreak) and keep
+    rank ≤ quota — an unbiased uniform subsample of over-represented
+    strata, reproducible at any parallelism. Returns the full mapping
+    (every row + its rank + keep flag) so the decision is auditable.
+
+    Plan: one window shuffle partitioned by the stratum; strata are
+    domains/sources (many, shallow), so no single-partition sort
+    exists and the skew note of take_k_per_stratum_salted applies if
+    one source dominates row counts."""
+    coin = (F.col(key) * F.lit(SAMPLE_MULTIPLIER)) % F.lit(SAMPLE_MOD)
+    w = W.partitionBy(stratum_col).orderBy(coin.asc(), F.col(key).asc())
+    return df.withColumn(
+        "src_rank", F.row_number().over(w).cast("long")
+    ).withColumn("keep", F.col("src_rank") <= quota)
+
+
+def training_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at DOMAIN_QUOTA documents (full keep/drop
+    mapping over the corpus)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return quota_per_stratum(d, "source", DOMAIN_QUOTA)
+
+
 #: curation pipeline: quality cutoff (corpus scores span ~0.57-0.83)
 CURATE_QUALITY_MIN = 0.65
 
@@ -605,6 +637,7 @@ QUERIES = {
     "training_take_k_per_lang": training_take_k_per_lang,
     "training_weighted_sample": training_weighted_sample,
     "training_weighted_sample_per_lang": training_weighted_sample_per_lang,
+    "training_domain_quota": training_domain_quota,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -672,6 +705,20 @@ _MIX_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "training_domain_quota": f"""
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} ASC,
+                          doc_id ASC
+               ) AS BIGINT) AS src_rank,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id * {SAMPLE_MULTIPLIER}) % {SAMPLE_MOD} ASC,
+                          doc_id ASC
+               ) <= {DOMAIN_QUOTA} AS keep
+        FROM documents
+    """,
     "training_mixture_resample": f"""
         WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
         n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),

@@ -163,8 +163,8 @@ _ROUND_PRIORITY = [
     "dedup_embedding",
     "dedup_exact",
     "dedup_incremental",
-    # -- cross-module sanity re-check (1) --
-    "q1_pricing_summary",
+    # -- new this round (1) --
+    "training_domain_quota",
 ]
 
 

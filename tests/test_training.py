@@ -296,3 +296,21 @@ def test_weighted_per_stratum_exact_sizes(spark, sf_dir):
             d.where(F.col("lang") == lang), "n_chars", k
         ).collect()
         assert {r.doc_id for r in solo} == by_lang[lang], lang
+
+
+def test_domain_quota_caps_every_source(spark, sf_dir):
+    """No source exceeds the quota among kept docs; every source with
+    >= quota docs keeps exactly quota; the mapping covers the corpus."""
+    import mpi_mapreduce_spark.operators.training as T
+
+    rows = T.training_domain_quota(spark, sf_dir).collect()
+    total = {}
+    kept = {}
+    for r in rows:
+        total[r.source] = total.get(r.source, 0) + 1
+        if r.keep:
+            kept[r.source] = kept.get(r.source, 0) + 1
+        assert r.keep == (r.src_rank <= T.DOMAIN_QUOTA)
+    assert sum(total.values()) > 0
+    for src, n in total.items():
+        assert kept.get(src, 0) == min(n, T.DOMAIN_QUOTA), src
