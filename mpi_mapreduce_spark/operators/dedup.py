@@ -1135,6 +1135,147 @@ ORACLE_CONNECTED_COMPONENTS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-grams (duplicated-passage / memorization risk)
+# ---------------------------------------------------------------------------
+
+#: word-8-gram granularity for repeated-passage detection — long enough
+#: that natural-language collisions are rare (Lee et al. 2022 use 50
+#: BPE tokens for exact substring dedup; 8 words is the word-level
+#: analogue at this fixture's doc lengths), short enough to catch
+#: partially-copied passages exact dedup misses.
+REPEAT_NGRAM_N = 8
+
+
+def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Positional word n-grams: one row per gram occurrence —
+    ``(doc_id, q, glen, s)`` where ``q`` is the 0-based token index the
+    gram starts at and ``glen`` its token length (= n, except the
+    whole-doc gram of a doc shorter than n tokens).
+
+    Same codegen'd row-shaped plan as :func:`shingle_rows` (posexplode
+    → one window of lag/leads → concat), generalized to any n and
+    keeping positions so callers can map grams back onto token spans
+    (boilerplate stripping, span removal). ``q`` is a re-rank of the
+    raw split positions (empties dropped), computed by the SAME window
+    spec as the leads — one WindowExec, no second sort. Token-less
+    docs contribute nothing."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p0", "tok"),
+    ).where(F.col("tok") != "")
+    w = W.partitionBy("doc_id").orderBy("p0")
+    t = tok.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("q"),
+        "tok",
+        F.lag("tok", 1).over(w).alias("prev"),
+        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)],
+    )
+    gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+    full = t.where(F.col(f"t{n-1}").isNotNull()).select(
+        "doc_id", "q", F.lit(n).cast("long").alias("glen"), gram.alias("s")
+    )
+    # doc shorter than n tokens: its whole token string is the single
+    # gram (concat_ws skips the null leads); glen = token count
+    glen_short = F.lit(1) + sum(
+        F.when(F.col(f"t{j}").isNotNull(), 1).otherwise(0)
+        for j in range(1, n)
+    )
+    short = t.where(
+        F.col("prev").isNull() & F.col(f"t{n-1}").isNull()
+    ).select(
+        "doc_id", "q", glen_short.cast("long").alias("glen"), gram.alias("s")
+    )
+    return full.unionByName(short)
+
+
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage exposure: the fraction of a
+    doc's distinct word-8-grams that also occur in at least one OTHER
+    document. Catches partial copying (shared paragraphs, templated
+    spans) that whole-document dedup_exact misses and that Jaccard
+    near-dup only sees when most of the doc matches.
+
+    Plan: gram rows (linear in tokens) → doc-frequency groupBy on the
+    gram string (map-side combine; hot grams are single aggregated
+    keys, never a pair expansion — unlike the inverted-index join in
+    ngram_jaccard there is NO quadratic term anywhere) → equi-join df
+    back onto gram rows → per-doc grouped count. Every stage shuffles
+    on one key and is linear in the gram-row count; at 100 TB the gram
+    string would be replaced by its xxhash64 (8-byte shuffle key) at
+    the cost of the DuckDB-checkable property.
+
+    ``flagged`` uses integer arithmetic (2·dup ≥ total), no float
+    threshold; ``dup_frac`` is quantized for the bit-exact oracle
+    compare."""
+    return repeated_ngram_stats(_docs(spark, sf_dir))
+
+
+def repeated_ngram_stats(
+    docs: DataFrame, n: int = REPEAT_NGRAM_N
+) -> DataFrame:
+    """Core of :func:`dedup_repeated_ngrams` over any (doc_id, text)
+    frame — separated so tests can plant shared passages."""
+    grams = positional_ngram_rows(docs, n).select("doc_id", "s").distinct()
+    dfreq = grams.groupBy("s").agg(F.count("*").alias("df"))
+    per = (
+        grams.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        ex.quantize(
+            F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("dup_frac"),
+        (F.col("n_dup_grams") * 2 >= F.col("n_grams")).alias("flagged"),
+    )
+
+
+def _ngram_concat_sql(n: int) -> str:
+    """DuckDB expression for tok[i+1..i+n] joined by spaces."""
+    return " || ' ' || ".join(f"tok[i+{j}]" for j in range(1, n + 1))
+
+
+ORACLE_REPEATED_NGRAMS = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {REPEAT_NGRAM_N}
+                  THEN list_distinct(list_transform(
+                       range(len(tok) - {REPEAT_NGRAM_N - 1}),
+                       i -> {_ngram_concat_sql(REPEAT_NGRAM_N)}))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM toks WHERE len(tok) > 0
+    ), r AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM r GROUP BY s
+    )
+    SELECT r.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*)) * 1000000.0) / 1000000.0 AS dup_frac,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 2
+             >= count(*) AS flagged
+    FROM r JOIN dfreq USING (s)
+    GROUP BY r.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
@@ -1148,6 +1289,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_repeated_ngrams": dedup_repeated_ngrams,
 }
 
 ORACLE = {
@@ -1168,6 +1310,7 @@ ORACLE = {
     "dedup_minhash_lsh_validate": ORACLE_MINHASH_LSH_VALIDATE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
+    "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests, and
     # minhash's found-iff-candidate invariant is driver-attested via

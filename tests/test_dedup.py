@@ -233,3 +233,46 @@ def test_hot_shingle_cap_kills_quadratic_bucket_keeps_neardups(spark):
     # the true pair
     j = {(r.doc_a, r.doc_b): r.jaccard for r in capped_rows}[(100, 101)]
     assert j >= 0.5
+
+
+def test_repeated_ngrams_planted_shared_passage(spark):
+    """Two docs sharing an 8-word passage are exposed; a unique doc and
+    a short doc (<8 tokens, whole-doc gram) are not."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " one two three four five six seven eight"),
+            (2, "x1 x2 x3 x4 " + passage + " y1 y2 y3 y4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+            (4, "short doc here"),
+            (5, "short doc here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.repeated_ngram_stats(docs).collect()
+    }
+    # the shared passage is exactly one 8-gram in each of docs 1 and 2
+    assert out[1].n_dup_grams == 1 and out[2].n_dup_grams == 1
+    assert out[3].n_dup_grams == 0 and not out[3].flagged
+    # short identical docs share their single whole-doc gram
+    assert out[4].n_grams == 1 and out[4].n_dup_grams == 1 and out[4].flagged
+    assert out[5].flagged
+    # n_grams: doc 1 has 16 tokens -> 9 positional grams, all distinct
+    assert out[1].n_grams == 9
+
+
+def test_positional_ngram_rows_positions_and_lengths(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.q): (r.glen, r.s)
+        for r in D.positional_ngram_rows(docs, 3).collect()
+    }
+    assert rows[(1, 0)] == (3, "a b c")
+    assert rows[(1, 1)] == (3, "b c d")
+    assert rows[(1, 2)] == (3, "c d e")
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == (2, "p q")
