@@ -1190,6 +1190,21 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
     return full.unionByName(short)
 
 
+def token_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, tok): lowercased whitespace tokens with CONSECUTIVE
+    0-based positions (re-ranked after empty-token filtering, so gram
+    start offsets from :func:`positional_ngram_rows` line up as token
+    spans). One window pass, codegen'd."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p0", "tok"),
+    ).where(F.col("tok") != "")
+    w = W.partitionBy("doc_id").orderBy("p0")
+    return tok.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("p"), "tok"
+    )
+
+
 def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-passage exposure: the fraction of a
     doc's distinct word-8-grams that also occur in at least one OTHER

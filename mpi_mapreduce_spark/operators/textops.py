@@ -494,6 +494,145 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-source boilerplate stripping
+# ---------------------------------------------------------------------------
+
+#: word-5-gram spans; a span is boilerplate WITHIN a source when it
+#: occurs in >= BOILER_MIN_DF distinct docs of that source (navbars,
+#: footers, cookie banners repeat across a domain's pages — CCNet-
+#: style cross-document repetition, scoped per source so one site's
+#: template can't poison another's content)
+BOILER_N = 5
+BOILER_MIN_DF = 2
+
+
+def strip_boilerplate(docs: DataFrame) -> DataFrame:
+    """Remove per-source boilerplate spans from documents, token-
+    exactly: any token covered by an occurrence of a boilerplate
+    5-gram is dropped; the cleaned text is the remaining tokens in
+    original order. Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Plan (all linear, no pairwise term anywhere):
+    positional gram rows → distinct (source, gram, doc) → grouped
+    doc-frequency per source (map-side combine) → equi-join flagged
+    grams back to their occurrences → explode occurrence spans to
+    covered token positions → anti-join against token rows → per-doc
+    ordered re-assembly (array_sort over collected (p, tok) structs —
+    deterministic, positions are unique). At 100 TB each stage
+    shuffles on one bounded key (gram string / doc_id); the rebuild
+    groups by doc_id, the same partitioning the corpus is read with.
+    Docs whose every token is boilerplate come back with empty
+    clean_text (left join), not silently dropped."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        positional_ngram_rows,
+        token_rows,
+    )
+
+    grams = positional_ngram_rows(docs, BOILER_N)
+    g = grams.join(docs.select("doc_id", "source"), "doc_id")
+    boiler = (
+        g.select("source", "s", "doc_id")
+        .distinct()
+        .groupBy("source", "s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= BOILER_MIN_DF)
+        .select("source", "s")
+    )
+    covered = (
+        g.join(boiler, ["source", "s"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("q"), F.col("q") + F.col("glen") - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = token_rows(docs)
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    ntok = tokpos.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return ntok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`strip_boilerplate` over documents."""
+    return strip_boilerplate(_docs(spark, sf_dir))
+
+
+def _boiler_gram_sql() -> str:
+    return " || ' ' || ".join(f"tok[i+{j}]" for j in range(1, BOILER_N + 1))
+
+
+ORACLE_BOILERPLATE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), toks2 AS (
+      SELECT * FROM toks WHERE len(tok) > 0
+    ), tokpos AS (
+      SELECT doc_id, unnest(range(len(tok))) AS p, unnest(tok) AS t
+      FROM toks2
+    ), grams AS (
+      SELECT doc_id, source,
+             CASE WHEN len(tok) >= {BOILER_N}
+                  THEN list_transform(range(len(tok) - {BOILER_N - 1}),
+                       i -> {{'q': i,
+                              'glen': CAST({BOILER_N} AS BIGINT),
+                              's': {_boiler_gram_sql()}}})
+                  ELSE [{{'q': CAST(0 AS BIGINT),
+                          'glen': len(tok),
+                          's': array_to_string(tok, ' ')}}] END AS gs
+      FROM toks2
+    ), g AS (
+      SELECT doc_id, source, unnest(gs, recursive := true) FROM grams
+    ), boiler AS (
+      SELECT source, s
+      FROM (SELECT source, s, count(DISTINCT doc_id) AS df
+            FROM g GROUP BY source, s)
+      WHERE df >= {BOILER_MIN_DF}
+    ), covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id, unnest(range(g.q, g.q + g.glen)) AS p
+        FROM g JOIN boiler USING (source, s)
+      )
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.t
+      FROM tokpos t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.doc_id IS NULL
+    ), clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), ntok AS (
+      SELECT doc_id, len(tok) AS n_tokens FROM toks2
+    )
+    SELECT n.doc_id, n.n_tokens,
+           n.n_tokens - COALESCE(c.n_kept, 0) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM ntok n LEFT JOIN clean c USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_heavy_hitters": text_heavy_hitters,
@@ -507,6 +646,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_distribution_drift": text_distribution_drift,
+    "text_boilerplate_strip": text_boilerplate_strip,
 }
 
 
@@ -518,6 +658,7 @@ def _oracle_hits(lang: str) -> str:
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_distribution_drift": ORACLE_DRIFT,
+    "text_boilerplate_strip": ORACLE_BOILERPLATE,
     "text_heavy_hitters": f"""
         WITH toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),

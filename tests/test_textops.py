@@ -156,3 +156,45 @@ def test_bigram_lm_score_matches_hand_model(spark, tmp_path):
         for r in TX.text_bigram_lm_score(spark, d).collect()
     }
     assert got == want
+
+
+def test_boilerplate_strip_removes_shared_spans_only(spark):
+    """A 5-gram footer shared by two docs of one source is stripped
+    from both; the same words in a doc of ANOTHER source survive, and
+    unique content is untouched."""
+    from mpi_mapreduce_spark.operators.textops import strip_boilerplate
+
+    footer = "copyright acme corp all rights"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + footer, "siteA"),
+            (2, "delta epsilon " + footer + " zeta", "siteA"),
+            (3, footer + " totally different body here", "siteB"),
+            (4, "plain unique body with no repeats", "siteA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(docs).collect()}
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[1].n_removed == 5
+    assert out[2].clean_text == "delta epsilon zeta"
+    # siteB's single page keeps the words — boilerplate is per-source
+    assert out[3].n_removed == 0
+    assert out[3].clean_text.startswith(footer)
+    assert out[4].n_removed == 0
+
+
+def test_boilerplate_strip_fully_boiler_doc_kept_empty(spark):
+    from mpi_mapreduce_spark.operators.textops import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie notice please accept", "s"),
+            (2, "cookie notice please accept", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(docs).collect()}
+    # whole doc (<5 tokens -> whole-doc gram) is boilerplate in both
+    assert out[1].clean_text == "" and out[1].n_removed == 4
+    assert out[2].clean_text == "" and out[2].n_tokens == 4
