@@ -561,6 +561,125 @@ ORACLE_OUTLIERS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the storage/bandwidth lever for 100 TB ANN
+# ---------------------------------------------------------------------------
+
+#: symmetric int8 levels: q_i = round(x_i * 127 / max|x|), so the
+#: vector's own max magnitude maps to ±127 (per-vector scale — the
+#: standard scalar-quantization scheme ANN stores use to cut embedding
+#: bytes 4x before an exact-rescore pass)
+INT8_LEVELS = 127
+INT8_EPS = 1e-12
+
+
+def int8_quant_stats(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction audit:
+    (vec_id, dim, q_sum, scale, l2_err, max_abs_err).
+
+    ``q_sum`` (exact int64 sum of the quantized codes) pins the codes
+    themselves in the oracle hash, not just derived errors. One
+    Arrow-batched stage computes everything; per-element math is plain
+    IEEE ops (float32 widened exactly to float64, one multiply, one
+    divide, floor of x+0.5) so DuckDB reproduces it bit-for-bit, and
+    the l2 fold is a strict sequential cumsum — the same left fold as
+    list_dot_product (see functions.vectors). Stateless projection:
+    no shuffle at any scale; at 100 TB this runs as a map over the
+    corpus scan, and the int8 codes it would emit are the 4x-smaller
+    payload the rescore stages read."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<dim:long,q_sum:long,scale:double,"
+        "l2_err:double,max_abs_err:double>"
+    )
+    def _stats(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("dim", "q_sum", "scale", "l2_err", "max_abs_err")}
+            )
+        m = np.vstack(xs.to_numpy()).astype(np.float64)
+        mag = np.maximum(np.max(np.abs(m), axis=1), INT8_EPS)
+        q = np.floor(m * float(INT8_LEVELS) / mag[:, None] + 0.5)
+        scale = mag / float(INT8_LEVELS)
+        diff = m - q * scale[:, None]
+        sq = diff * diff
+        return pd.DataFrame(
+            {
+                "dim": np.full(len(m), m.shape[1], dtype=np.int64),
+                "q_sum": q.sum(axis=1).astype(np.int64),
+                "scale": scale,
+                # cumsum = sequential left fold (bit-equal to
+                # list_dot_product's fold in the oracle)
+                "l2_err": np.sqrt(np.cumsum(sq, axis=1)[:, -1]),
+                "max_abs_err": np.max(np.abs(diff), axis=1),
+            }
+        )
+
+    return emb.select(
+        "vec_id", _stats(VEC.as_double(F.col("embedding"))).alias("st")
+    )
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered audit of int8 quantization over the embeddings
+    table. ``within_bound`` pins the analytic error bound (round-to-
+    nearest ⇒ |err| ≤ scale/2) as an always-TRUE invariant the oracle
+    asserts literally; errors are quantized at 1e-9 (they live at the
+    1e-5 scale of scale/2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = int8_quant_stats(emb)
+    return s.select(
+        "vec_id",
+        F.col("st.dim").alias("dim"),
+        F.col("st.q_sum").alias("q_sum"),
+        ex.quantize(F.col("st.scale"), 9).alias("scale_q"),
+        ex.quantize(F.col("st.l2_err"), 9).alias("l2_err_q"),
+        ex.quantize(F.col("st.max_abs_err"), 9).alias("max_abs_err_q"),
+        (
+            F.col("st.max_abs_err")
+            <= F.col("st.scale") * 0.5 + F.lit(INT8_EPS)
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_INT8_QUANTIZE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e,
+             greatest(list_max(list_transform(e, x -> abs(x))), {INT8_EPS})
+               AS mag
+      FROM e
+    ), q AS (
+      SELECT vec_id, e, mag / {INT8_LEVELS}.0 AS scale,
+             list_transform(e, x -> floor(x * {INT8_LEVELS}.0 / mag + 0.5))
+               AS qv
+      FROM m
+    ), d AS (
+      SELECT vec_id, e, scale, qv,
+             list_transform(range(len(e)),
+                            i -> e[i+1] - qv[i+1] * scale) AS diff
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS dim,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           ROUND(scale * 1000000000.0) / 1000000000.0 AS scale_q,
+           ROUND(sqrt(list_dot_product(diff, diff)) * 1000000000.0)
+             / 1000000000.0 AS l2_err_q,
+           ROUND(list_max(list_transform(diff, x -> abs(x)))
+                 * 1000000000.0) / 1000000000.0 AS max_abs_err_q,
+           list_max(list_transform(diff, x -> abs(x)))
+             <= scale * 0.5 + {INT8_EPS} AS within_bound
+    FROM d
+"""
+
+
 _KNN_CTE = f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -610,6 +729,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
+    "embedding_int8_quantize": embedding_int8_quantize,
 }
 
 ORACLE = {
@@ -618,4 +738,5 @@ ORACLE = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
+    "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,
 }

@@ -168,3 +168,38 @@ def test_label_outlier_fraction_near_pct(spark, sf_dir):
         assert n_out <= cap, (label, n_out, cap, len(rs))
         if len({r.cos_centroid for r in rs}) > 20:
             assert n_out > 0, (label, "no outliers flagged")
+
+
+def test_int8_quantization_numpy_recount(spark):
+    """Codes, scale, and errors match an independent numpy recompute;
+    the analytic |err| <= scale/2 bound holds on every vector."""
+    import numpy as np
+
+    random.seed(7)
+    vecs = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in S.int8_quant_stats(emb).select("vec_id", "st.*").collect()}
+    for i, v in vecs:
+        e = np.array([np.float32(x) for x in v], dtype=np.float64)
+        mag = max(np.max(np.abs(e)), S.INT8_EPS)
+        q = np.floor(e * 127.0 / mag + 0.5)
+        scale = mag / 127.0
+        diff = e - q * scale
+        r = out[i]
+        assert r.dim == 16
+        assert r.q_sum == int(q.sum())
+        assert r.scale == pytest.approx(scale, abs=0.0)
+        assert r.max_abs_err == pytest.approx(np.max(np.abs(diff)), abs=0.0)
+        assert r.max_abs_err <= scale * 0.5 + S.INT8_EPS
+        assert abs(r.l2_err - math.sqrt(float(np.dot(diff, diff)))) < 1e-12
+    # extreme elements map to exactly +/-127-coded values: err 0 there
+    one_hot = spark.createDataFrame(
+        [(0, [1.0, 0.0, -1.0, 0.5])], "vec_id long, embedding array<float>"
+    )
+    r0 = S.int8_quant_stats(one_hot).select("st.*").collect()[0]
+    assert r0.q_sum == 0 + 127 - 127 + 64  # floor(63.5+0.5)=64
