@@ -623,6 +623,89 @@ def training_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + sharding (training-order writer)
+# ---------------------------------------------------------------------------
+
+#: epochs materialized by the registered query; production would pass
+#: the epoch number in
+EPOCH_COUNT = 2
+#: output shards per epoch — at 100 TB this is the output-file fan-out
+#: (tens of thousands), here small so every shard's ordering is dense
+EPOCH_SHARDS = 8
+#: decorrelates consecutive epochs' orders (any odd constant works;
+#: distinct from SPLIT_/SAMPLE_MULTIPLIER so epoch order is
+#: independent of split and sample coins)
+EPOCH_STEP = 1_000_003
+#: coin modulus — 2^31-1 (Mersenne prime): enough resolution that ties
+#: are rare (SAMPLE_MOD's 10k buckets are fine for rate coins but
+#: would collapse a shuffle ORDER into ties broken by doc_id)
+EPOCH_MOD = 2_147_483_647
+
+
+def epoch_shard_order(
+    df: DataFrame,
+    key: str = "doc_id",
+    epochs: int = EPOCH_COUNT,
+    shards: int = EPOCH_SHARDS,
+) -> DataFrame:
+    """(epoch, key, shard, pos): a deterministic global shuffle of the
+    corpus per training epoch, materialized as shard assignment plus
+    position within the shard — the write order a dataloader consumes.
+
+    Every epoch permutes differently (coin mixes the epoch), yet the
+    whole mapping is pure key arithmetic: reproducible across reruns,
+    engines, and any partitioning, with no rand() and no global sort —
+    ordering is a row_number per (epoch, shard), so parallelism =
+    epochs x shards and window state is bounded by the largest shard.
+    Coin stays in int64: (key + 1 + epoch·step) · multiplier < 2^63
+    for keys < ~1e9 (same documented bound as split_bucket; beyond
+    that, xxhash64 — losing only the DuckDB-checkable property)."""
+    k = F.col(key)
+    epoch = F.explode(
+        F.array(*[F.lit(e) for e in range(epochs)])
+    ).alias("epoch")
+    e = df.select(k.alias(key), epoch)
+    coin = (
+        (k + 1 + F.col("epoch") * F.lit(EPOCH_STEP))
+        * F.lit(SAMPLE_MULTIPLIER)
+    ) % F.lit(EPOCH_MOD)
+    w = W.partitionBy("epoch", "shard").orderBy("coin", key)
+    return (
+        e.select("epoch", key, coin.alias("coin"))
+        .withColumn("shard", F.col("coin") % F.lit(shards))
+        .select(
+            "epoch",
+            key,
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered 2-epoch shuffle/shard order over documents."""
+    return epoch_shard_order(_docs(spark, sf_dir))
+
+
+ORACLE_EPOCH_SHARD = f"""
+    WITH e AS (
+      SELECT doc_id, unnest([{", ".join(str(e) for e in range(EPOCH_COUNT))}]) AS epoch
+      FROM documents
+    ), c AS (
+      SELECT doc_id, epoch,
+             ((doc_id + 1 + epoch * {EPOCH_STEP}) * {SAMPLE_MULTIPLIER})
+               % {EPOCH_MOD} AS coin
+      FROM e
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+           coin % {EPOCH_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY epoch, coin % {EPOCH_SHARDS}
+                              ORDER BY coin, doc_id) AS pos
+    FROM c
+"""
+
+
 QUERIES = {
     "training_mixture_resample": training_mixture_resample,
     "training_chunk_documents": training_chunk_documents,
@@ -638,6 +721,7 @@ QUERIES = {
     "training_weighted_sample": training_weighted_sample,
     "training_weighted_sample_per_lang": training_weighted_sample_per_lang,
     "training_domain_quota": training_domain_quota,
+    "training_epoch_shard": training_epoch_shard,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -705,6 +789,7 @@ _MIX_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "training_epoch_shard": ORACLE_EPOCH_SHARD,
     "training_domain_quota": f"""
         SELECT doc_id, source,
                CAST(ROW_NUMBER() OVER (

@@ -314,3 +314,31 @@ def test_domain_quota_caps_every_source(spark, sf_dir):
     assert sum(total.values()) > 0
     for src, n in total.items():
         assert kept.get(src, 0) == min(n, T.DOMAIN_QUOTA), src
+
+
+def test_epoch_shard_is_a_permutation_and_epochs_differ(spark):
+    """Each epoch's (shard, pos) mapping is a bijection over the
+    corpus; positions are dense 1..shard_size; epoch orders differ;
+    re-running yields the identical mapping (determinism)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = T.epoch_shard_order(docs, epochs=2, shards=4).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for rows in by_epoch.values():
+        assert len(rows) == 200
+        assert len({r.doc_id for r in rows}) == 200
+        # dense positions within each shard
+        shards = {}
+        for r in rows:
+            shards.setdefault(r.shard, []).append(r.pos)
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    order0 = [(r.shard, r.pos) for r in sorted(by_epoch[0], key=lambda r: r.doc_id)]
+    order1 = [(r.shard, r.pos) for r in sorted(by_epoch[1], key=lambda r: r.doc_id)]
+    assert order0 != order1  # epochs shuffle differently
+    rerun = T.epoch_shard_order(docs, epochs=2, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
