@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Reproducible 10x scale rehearsal behind SCALING.md.
+
+Replicates the sf0.1 fixture with shifted keys (documents 10x — text
+REPEATED verbatim, deliberately stressing dedup buckets with planted
+duplication; events 10x with shifted users and a +7d-per-replica time
+offset; embeddings 5x), copies the unscaled TPC-H tables as controls,
+and times registered operators cold on the scratch data.
+
+    python tools/scale_rehearsal.py gen   [scratch_dir]
+    python tools/scale_rehearsal.py time  name1,name2,... [scratch_dir] [sf_dir]
+
+Method (matches SCALING.md): wall-clock, single cold run per operator
+on an otherwise idle box — factors are bounds, not benchmarks. The
+question per row: does cost grow like the data (or the declared
+output), or did a quadratic sneak in?
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/scale10x"
+DOC_REPL = 10
+EVT_REPL = 10
+EMB_REPL = 5
+COPY_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+
+def gen(sf_dir: str, scratch: str) -> None:
+    import duckdb
+
+    os.makedirs(scratch, exist_ok=True)
+    con = duckdb.connect()
+    src = lambda t: f"read_parquet('{sf_dir}/{t}.parquet')"  # noqa: E731
+
+    n_docs = con.sql(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()[0]
+    con.sql(
+        f"""COPY (
+          SELECT doc_id + k * {n_docs} AS doc_id, text, lang, source, n_chars
+          FROM {src('documents')} CROSS JOIN (SELECT unnest(range({DOC_REPL})) AS k)
+        ) TO '{scratch}/documents.parquet' (FORMAT parquet)"""
+    )
+    n_evt, n_usr = con.sql(
+        f"SELECT max(event_id)+1, max(user_id)+1 FROM {src('events')}"
+    ).fetchone()
+    con.sql(
+        f"""COPY (
+          SELECT event_id + k * {n_evt} AS event_id,
+                 ts + INTERVAL (k * 7) DAY AS ts,
+                 user_id + k * {n_usr} AS user_id,
+                 event_type, value, props
+          FROM {src('events')} CROSS JOIN (SELECT unnest(range({EVT_REPL})) AS k)
+        ) TO '{scratch}/events.parquet' (FORMAT parquet)"""
+    )
+    n_vec = con.sql(f"SELECT max(vec_id)+1 FROM {src('embeddings')}").fetchone()[0]
+    con.sql(
+        f"""COPY (
+          SELECT vec_id + k * {n_vec} AS vec_id, embedding, label
+          FROM {src('embeddings')} CROSS JOIN (SELECT unnest(range({EMB_REPL})) AS k)
+        ) TO '{scratch}/embeddings.parquet' (FORMAT parquet)"""
+    )
+    for t in COPY_TABLES:
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{scratch}/{t}.parquet")
+    for t in ("documents", "events", "embeddings"):
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{scratch}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+def time_ops(names: list[str], scratch: str, sf_dir: str) -> None:
+    from mpi_mapreduce_spark.plans.registry import QUERIES
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    print("| operator | sf0.1 | 10x data | factor |")
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, scratch).count()
+        big = time.perf_counter() - t0
+        print(
+            f"| {name} | {base:.1f} s | {big:.1f} s "
+            f"| {big / max(base, 1e-9):.1f}x |  # {n} rows",
+            flush=True,
+        )
+    spark.stop()
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gen"
+    if mode == "gen":
+        scratch = sys.argv[2] if len(sys.argv) > 2 else SCRATCH
+        gen(SF_DIR, scratch)
+    elif mode == "time":
+        names = sys.argv[2].split(",")
+        scratch = sys.argv[3] if len(sys.argv) > 3 else SCRATCH
+        sf_dir = sys.argv[4] if len(sys.argv) > 4 else SF_DIR
+        time_ops(names, scratch, sf_dir)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
