@@ -84,6 +84,10 @@ def time_ops(names: list[str], scratch: str, sf_dir: str) -> None:
     spark = get_spark(app_name="mpi_mapreduce_spark-scale")
     print("| operator | sf0.1 | 10x data | factor |")
     for name in names:
+        # warm at base scale first (JVM/codegen/parquet footers), so
+        # the base and 10x timings are both steady-state and the
+        # factor isn't polluted by one-time session costs
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         base = time.perf_counter() - t0
