@@ -1213,6 +1213,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("comp").alias("component"))
 
 
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually emits: every
+    document mapped to its near-dup cluster (ngram-Jaccard components;
+    docs in no pair are their own singleton cluster), the cluster
+    size, and whether this doc is the kept canonical copy (min doc_id
+    = the component representative the min-label propagation already
+    computes).
+
+    Composition of existing pieces — pair query → iterative CC → one
+    left join back onto the corpus + a grouped cluster-size count.
+    The corpus-wide join is on doc_id (the table's natural key) and
+    the size count shuffles one row per doc; everything heavy is
+    inside the already-analyzed pair/CC stages."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    comp = connected_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+ORACLE_CANONICAL_CORPUS = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           doc_id = component AS is_canonical
+    FROM labeled
+"""
+
+
 ORACLE_CONNECTED_COMPONENTS = f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
@@ -1400,6 +1456,7 @@ QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
+    "dedup_canonical_corpus": dedup_canonical_corpus,
 }
 
 ORACLE = {
@@ -1421,6 +1478,7 @@ ORACLE = {
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
+    "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests, and
     # minhash's found-iff-candidate invariant is driver-attested via

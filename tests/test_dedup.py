@@ -276,3 +276,20 @@ def test_positional_ngram_rows_positions_and_lengths(spark):
     assert rows[(1, 2)] == (3, "c d e")
     assert (1, 3) not in rows
     assert rows[(2, 0)] == (2, "p q")
+
+
+def test_canonical_corpus_keeps_one_per_cluster(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.dedup import dedup_canonical_corpus
+
+    rows = dedup_canonical_corpus(spark, sf_dir).collect()
+    n_docs = D._docs(spark, sf_dir).count()
+    assert len(rows) == n_docs  # every doc gets a decision
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        # exactly one canonical per cluster, and it's the min doc_id
+        canon = [r.doc_id for r in members if r.is_canonical]
+        assert canon == [min(r.doc_id for r in members)]
+        assert comp == canon[0]
+        assert all(r.cluster_size == len(members) for r in members)
