@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.functions import exact as ex
 
 
 def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,9 +99,77 @@ def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "documents"))
 
 
+#: a key whose heaviest value is ≥ this multiple of the uniform share
+#: gets a salting recommendation (AQE's skewed-partition factor is 5
+#: per partition; 16 per KEY is well past what AQE can rebalance)
+SKEW_SALT_FACTOR = 16
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-key skew diagnostics: for each candidate key column,
+    the distinct-key count, the heaviest key and its row count, the
+    skew factor (max_count · n_keys / n_rows — 1.0 is uniform), and
+    whether the §4 salting guidance applies.
+
+    This is the report that decides the salting/AQE strategy BEFORE a
+    100 TB backfill runs: one grouped count per key column (map-side
+    combine), a one-row aggregate over the counts, and a broadcast
+    join back to name the heaviest key (min key string on ties, so the
+    result is deterministic). Nothing here is ever wider than one row
+    per distinct key."""
+    outs = []
+    for c in key_cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        stats = counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_count"),
+        )
+        hot = (
+            counts.join(
+                F.broadcast(stats), F.col("cnt") == F.col("max_count")
+            )
+            .groupBy("n_keys", "n_rows", "max_count")
+            .agg(F.min("k").alias("hot_key"))
+        )
+        outs.append(
+            hot.select(
+                F.lit(c).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                "hot_key",
+                ex.quantize(
+                    F.col("max_count").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_factor"),
+                (
+                    F.col("max_count") * F.col("n_keys")
+                    >= F.lit(SKEW_SALT_FACTOR) * F.col("n_rows")
+                ).alias("recommend_salting"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def dq_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report over the events table's two natural shuffle keys."""
+    return skew_report(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
 QUERIES = {
     "dq_audit_orders": dq_audit_orders,
     "dq_profile_documents": dq_profile_documents,
+    "dq_skew_report_events": dq_skew_report_events,
 }
 
 def _profile_oracle(table: str, cols: list[str]) -> str:
@@ -121,7 +190,34 @@ def _profile_oracle(table: str, cols: list[str]) -> str:
     return " UNION ALL ".join(parts)
 
 
+def _skew_oracle(table: str, cols: list[str]) -> str:
+    ctes, selects = [], []
+    for c in cols:
+        ctes.append(
+            f"""c_{c} AS (
+              SELECT CAST({c} AS VARCHAR) AS k, COUNT(*) AS cnt
+              FROM {table} GROUP BY 1
+            ), s_{c} AS (
+              SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                     MAX(cnt) AS max_count
+              FROM c_{c}
+            )"""
+        )
+        selects.append(
+            f"""SELECT '{c}' AS key_col, n_rows, n_keys, max_count,
+               (SELECT MIN(k) FROM c_{c} WHERE c_{c}.cnt = s_{c}.max_count)
+                 AS hot_key,
+               ROUND((CAST(max_count AS DOUBLE) * n_keys / n_rows)
+                     * 1000000.0) / 1000000.0 AS skew_factor,
+               max_count * n_keys >= {SKEW_SALT_FACTOR} * n_rows
+                 AS recommend_salting
+            FROM s_{c}"""
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 ORACLE = {
+    "dq_skew_report_events": _skew_oracle("events", ["user_id", "event_type"]),
     "dq_profile_documents": _profile_oracle(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
     ),
