@@ -633,6 +633,143 @@ ORACLE_BOILERPLATE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative)
+# ---------------------------------------------------------------------------
+
+#: merge rounds materialized by the registered query — enough to show
+#: the loop converging on real pair statistics; a production tokenizer
+#: run sets this to its vocab budget (the per-round cost is
+#: vocabulary-sized either way)
+BPE_MERGE_ROUNDS = 5
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Train the first N byte-pair-encoding merges on the corpus:
+    per round, the most frequent adjacent symbol pair (weighted by
+    word frequency, ties broken lexicographically) is merged
+    everywhere, classic Sennrich-style, starting from characters.
+
+    Returns (merge_rank, lhs, rhs, merged, pair_freq) — the merge
+    table a tokenizer ships.
+
+    Scale shape: the corpus is touched ONCE (token count); every
+    round after that runs over the DISTINCT-WORD vocabulary weighted
+    by frequency — O(vocab symbols) per round, independent of corpus
+    size, which is what makes BPE trainable on 100 TB at all. The
+    per-round driver round-trip is one 1-row collect (the argmax
+    pair); word reps are localCheckpoint'ed so lineage doesn't grow
+    per round (same iterative hygiene as graph.pagerank).
+
+    Merge application is delimiter-exact string replace (pattern
+    ``' lhs rhs '``), left-to-right non-overlapping in both engines —
+    a shared-delimiter run like ``l l l l`` therefore merges once per
+    scan rather than twice (the classic greedy would pair twice);
+    this deterministic variant is pinned identically in the DuckDB
+    oracle's chained-CTE rounds."""
+    spark = docs.sparkSession
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    words = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+            ).alias("rep"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        syms = words.select(
+            "rep",
+            "freq",
+            F.posexplode(F.split(F.trim("rep"), " ")).alias("p", "sym"),
+        )
+        w = W.partitionBy("rep").orderBy("p")
+        pairs = syms.select(
+            "rep", "freq", "sym", F.lead("sym", 1).over(w).alias("nxt")
+        ).where(F.col("nxt").isNotNull())
+        top = (
+            pairs.groupBy(F.concat_ws(" ", "sym", "nxt").alias("pair"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].c
+        lhs, rhs = pair.split(" ")
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        words = words.select(
+            F.replace(
+                "rep", F.lit(f" {pair} "), F.lit(f" {lhs + rhs} ")
+            ).alias("rep"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_freq long",
+    )
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered 5-round BPE merge training over documents."""
+    return bpe_train_merges(_docs(spark, sf_dir))
+
+
+def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    ctes = [
+        """toks AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ), wf AS (
+          SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+        ), w0 AS (
+          SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS rep,
+                 freq
+          FROM wf
+        )"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""p{k} AS (
+              SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
+                SELECT unnest(list_transform(range(len(l) - 1),
+                              i -> l[i+1] || ' ' || l[i+2])) AS pair, freq
+                FROM (SELECT string_split(trim(rep), ' ') AS l, freq
+                      FROM w{k-1})
+              ) GROUP BY pair
+            ), t{k} AS (
+              SELECT pair, c FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1
+            ), w{k} AS (
+              SELECT replace(w.rep, ' ' || t.pair || ' ',
+                             ' ' || replace(t.pair, ' ', '') || ' ') AS rep,
+                     freq
+              FROM w{k-1} w CROSS JOIN t{k} t
+            )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {k} AS merge_rank,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged,
+               c AS pair_freq
+            FROM t{k}"""
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
+ORACLE_BPE_MERGES = _bpe_oracle()
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_heavy_hitters": text_heavy_hitters,
@@ -647,6 +784,7 @@ QUERIES = {
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_distribution_drift": text_distribution_drift,
     "text_boilerplate_strip": text_boilerplate_strip,
+    "text_bpe_train_merges": text_bpe_train_merges,
 }
 
 
@@ -659,6 +797,7 @@ ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_distribution_drift": ORACLE_DRIFT,
     "text_boilerplate_strip": ORACLE_BOILERPLATE,
+    "text_bpe_train_merges": ORACLE_BPE_MERGES,
     "text_heavy_hitters": f"""
         WITH toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),

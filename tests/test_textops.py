@@ -198,3 +198,33 @@ def test_boilerplate_strip_fully_boiler_doc_kept_empty(spark):
     # whole doc (<5 tokens -> whole-doc gram) is boilerplate in both
     assert out[1].clean_text == "" and out[1].n_removed == 4
     assert out[2].clean_text == "" and out[2].n_tokens == 4
+
+
+def test_bpe_train_merges_hand_model(spark):
+    """Merges match a by-hand run: frequency argmax, lexicographic
+    ties, and the documented one-merge-per-scan run semantics."""
+    from mpi_mapreduce_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aa b")], "doc_id long, text string"
+    )
+    out = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_freq)
+        for r in bpe_train_merges(docs, rounds=4).orderBy("merge_rank").collect()
+    ]
+    # round 1: 'a a' freq 3 (from aa x3); round 2: 'a b' freq 1; then dry
+    assert out == [(1, "a", "a", "aa", 3), (2, "a", "b", "ab", 1)]
+
+    runs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out2 = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_freq)
+        for r in bpe_train_merges(runs, rounds=3).orderBy("merge_rank").collect()
+    ]
+    # ' a a a a ': merge1 'a a'(3 overlapping counts) -> ' aa a a '
+    # (one merge per scan); merge2 ties 'a a'/'aa a' at 1 -> lexicographic
+    # 'a a' -> ' aa aa '; merge3 'aa aa'
+    assert out2 == [
+        (1, "a", "a", "aa", 3),
+        (2, "a", "a", "aa", 1),
+        (3, "aa", "aa", "aaaa", 1),
+    ]
