@@ -722,7 +722,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_docs(spark, sf_dir))
 
 
-def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """The shared chained-CTE merge rounds (word identity carried so
+    the encode oracle can join final reps back onto documents)."""
     ctes = [
         """toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -731,7 +733,8 @@ def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
         ), wf AS (
           SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
         ), w0 AS (
-          SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+          SELECT w,
+                 ' ' || array_to_string(string_split(w, ''), ' ') || ' '
                    AS rep,
                  freq
           FROM wf
@@ -749,12 +752,17 @@ def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
             ), t{k} AS (
               SELECT pair, c FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1
             ), w{k} AS (
-              SELECT replace(w.rep, ' ' || t.pair || ' ',
+              SELECT w.w,
+                     replace(w.rep, ' ' || t.pair || ' ',
                              ' ' || replace(t.pair, ' ', '') || ' ') AS rep,
                      freq
               FROM w{k-1} w CROSS JOIN t{k} t
             )"""
         )
+    return "WITH " + ", ".join(ctes)
+
+
+def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     selects = " UNION ALL ".join(
         f"""SELECT {k} AS merge_rank,
                string_split(pair, ' ')[1] AS lhs,
@@ -764,10 +772,75 @@ def _bpe_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
             FROM t{k}"""
         for k in range(1, rounds + 1)
     )
-    return "WITH " + ", ".join(ctes) + " " + selects
+    return _bpe_ctes(rounds) + " " + selects
 
 
 ORACLE_BPE_MERGES = _bpe_oracle()
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side of the trained tokenizer: apply the
+    ``BPE_MERGE_ROUNDS`` trained merges to every word and report
+    per-document token statistics — (doc_id, n_words, n_bpe_tokens,
+    avg_tokens_per_word). The sequence-length accounting every
+    training-data budget (packing, context windows, cost estimates)
+    is computed from.
+
+    The merge table is tiny (collected once, ≤ rounds rows); merges
+    are applied IN RANK ORDER as chained literal replaces over the
+    DISTINCT-WORD vocabulary, and per-doc sums come from one
+    token-to-vocab equi-join — corpus cost is the join + grouped sum,
+    the merge arithmetic amortizes over word types."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_merges(docs).collect()  # bounded: <= rounds rows
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    rep = F.concat(
+        F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+    )
+    for m in merges:
+        rep = F.replace(
+            rep, F.lit(f" {m.lhs} {m.rhs} "), F.lit(f" {m.merged} ")
+        )
+    vocab = toks.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(rep), " ")).alias("n_sym")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            ex.quantize(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("avg_tokens_per_word"),
+        )
+    )
+
+
+ORACLE_BPE_ENCODE = _bpe_ctes() + f"""
+    , dtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(string_split(trim(v.rep), ' '))) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND((CAST(SUM(len(string_split(trim(v.rep), ' '))) AS DOUBLE)
+                  / COUNT(*)) * 1000000.0) / 1000000.0
+             AS avg_tokens_per_word
+    FROM dtoks JOIN w{BPE_MERGE_ROUNDS} v USING (w)
+    GROUP BY doc_id
+"""
 
 
 QUERIES = {
@@ -785,6 +858,7 @@ QUERIES = {
     "text_distribution_drift": text_distribution_drift,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_bpe_train_merges": text_bpe_train_merges,
+    "text_bpe_encode": text_bpe_encode,
 }
 
 
@@ -798,6 +872,7 @@ ORACLE = {
     "text_distribution_drift": ORACLE_DRIFT,
     "text_boilerplate_strip": ORACLE_BOILERPLATE,
     "text_bpe_train_merges": ORACLE_BPE_MERGES,
+    "text_bpe_encode": ORACLE_BPE_ENCODE,
     "text_heavy_hitters": f"""
         WITH toks AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),

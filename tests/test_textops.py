@@ -228,3 +228,28 @@ def test_bpe_train_merges_hand_model(spark):
         (2, "a", "a", "aa", 1),
         (3, "aa", "aa", "aaaa", 1),
     ]
+
+
+def test_bpe_encode_counts_match_hand_tokenization(spark):
+    from mpi_mapreduce_spark.operators.textops import (
+        bpe_train_merges,
+        text_bpe_encode,  # noqa: F401  (registered form tested via core)
+    )
+    from mpi_mapreduce_spark.operators import textops as TX
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "aa b")], "doc_id long, text string"
+    )
+    # merges: (a,a)->aa then (a,b)->ab (see train hand-model). After
+    # applying: 'aa'->[aa] 1 tok, 'ab'->[ab] 1 tok, 'b'->[b] 1 tok.
+    merges = bpe_train_merges(docs).collect()
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
+    rep = F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" "))
+    for m in merges:
+        rep = F.replace(rep, F.lit(f" {m.lhs} {m.rhs} "), F.lit(f" {m.merged} "))
+    vocab = toks.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(rep), " ")).alias("n_sym")
+    )
+    out = {r.w: r.n_sym for r in vocab.collect()}
+    assert out == {"aa": 1, "ab": 1, "b": 1}
