@@ -503,6 +503,81 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: naive integer decimation factor for the audio downsample op
+DECIM_FACTOR = 4
+
+
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer decimation (every DECIM_FACTOR-th sample) over
+    genuinely decoded WAV-PCM audio — the downsample step a
+    frame-rate/bandwidth normalizer runs before feature extraction.
+    Emits per-media in/out sample counts, decimated peak, and RMS
+    before/after.
+
+    Deliberately NAIVE decimation: a production resampler low-pass
+    filters first (an FIR is more pure byte math, not a codec
+    dependency — left for the day the op needs it); what this op pins
+    is the decode → stride-indexing → stats pipeline, with the oracle
+    re-deriving the kept samples arithmetically so an off-by-one in
+    the stride start or the parse shifts the hash. Same linear Arrow
+    pipeline shape as multimodal_wav_decode."""
+    _, parse = make_wav_codec()
+    k = DECIM_FACTOR
+
+    def decim(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "n_in": [],
+                "n_out": [],
+                "peak_out": [],
+                "rms_in": [],
+                "rms_out": [],
+            }
+
+            def rms(x):
+                return (
+                    float(np.sqrt(np.sum((x * x).astype(np.float64)) / len(x)))
+                    if len(x)
+                    else 0.0
+                )
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = parse(bytes(payload))["samples"]
+                d = s[::k]
+                rows["media_id"].append(mid)
+                rows["n_in"].append(len(s))
+                rows["n_out"].append(len(d))
+                rows["peak_out"].append(
+                    int(np.max(np.abs(d))) if len(d) else 0
+                )
+                rows["rms_in"].append(rms(s))
+                rows["rms_out"].append(rms(d))
+            yield pd.DataFrame(rows)
+
+    media = wav_media_table(spark, sf_dir)
+    out = media.mapInPandas(
+        decim,
+        schema=(
+            "media_id long, n_in long, n_out long, peak_out long, "
+            "rms_in double, rms_out double"
+        ),
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return out.select(
+        "media_id",
+        "n_in",
+        "n_out",
+        "peak_out",
+        ex.quantize(F.col("rms_in"), 6).alias("rms_in"),
+        ex.quantize(F.col("rms_out"), 6).alias("rms_out"),
+    )
+
+
 def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One genuine 24-bit BMP payload per document, built
     executor-side."""
@@ -588,6 +663,7 @@ QUERIES = {
     "multimodal_frame_energy": multimodal_frame_energy,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_bmp_decode": multimodal_bmp_decode,
+    "multimodal_audio_decimate": multimodal_audio_decimate,
 }
 
 ORACLE = {
@@ -677,6 +753,31 @@ ORACLE = {
                CAST(MAX(ABS(v)) AS BIGINT) AS peak,
                ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*))
                      * 1000000.0) / 1000000.0 AS rms
+        FROM s GROUP BY media_id
+    """,
+    # Decimation keeps samples with i % K == 0; the oracle re-derives
+    # them from the generating formula, so a stride-start off-by-one
+    # or a parse bug shifts the hash.
+    "multimodal_audio_decimate": f"""
+        WITH s AS (
+          SELECT doc_id AS media_id, i,
+                 ((doc_id * {WAV_MUL} + i * {WAV_INC}) % 65536) - 32768 AS v
+          FROM documents,
+               LATERAL (SELECT unnest(range({WAV_N})) AS i)
+        )
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(SUM(CASE WHEN i % {DECIM_FACTOR} = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out,
+               CAST(MAX(CASE WHEN i % {DECIM_FACTOR} = 0 THEN ABS(v) END)
+                    AS BIGINT) AS peak_out,
+               ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*))
+                     * 1000000.0) / 1000000.0 AS rms_in,
+               ROUND(sqrt(SUM(CASE WHEN i % {DECIM_FACTOR} = 0
+                                   THEN CAST(v AS DOUBLE) * v ELSE 0 END)
+                          / SUM(CASE WHEN i % {DECIM_FACTOR} = 0
+                                     THEN 1 ELSE 0 END))
+                     * 1000000.0) / 1000000.0 AS rms_out
         FROM s GROUP BY media_id
     """,
     # Same scheme for BMP; top_row_sum uses image y = 0 (the LAST

@@ -175,3 +175,26 @@ def test_wav_decode_query_matches_numpy_recount(spark, sf_dir):
         assert r.peak == int(np.max(np.abs(s)))
         rms = float(np.sqrt(np.sum((s * s).astype(np.float64)) / M.WAV_N))
         assert r.rms == round(rms * 1e6) / 1e6
+
+
+def test_audio_decimate_matches_numpy_stride(spark, sf_dir):
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        DECIM_FACTOR,
+        WAV_INC,
+        WAV_MUL,
+        WAV_N,
+        multimodal_audio_decimate,
+    )
+
+    out = {r.media_id: r for r in multimodal_audio_decimate(spark, sf_dir).collect()}
+    assert out  # fixture non-empty
+    for mid, r in list(out.items())[:5]:
+        i = np.arange(WAV_N, dtype=np.int64)
+        s = (mid * WAV_MUL + i * WAV_INC) % 65536 - 32768
+        d = s[::DECIM_FACTOR]
+        assert r.n_in == WAV_N and r.n_out == len(d)
+        assert r.peak_out == int(np.max(np.abs(d)))
+        want = float(np.sqrt(np.sum((d * d).astype(np.float64)) / len(d)))
+        assert abs(r.rms_out - round(want * 1e6) / 1e6) < 1e-9
