@@ -646,6 +646,112 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: screening slack ≥ the 1e-6 quantize step of the final cosine — see
+#: the displacement proof in knn_topk_int8_screened
+INT8_SCREEN_MARGIN = 1e-6
+
+
+def knn_topk_int8_screened(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k via int8-screened search: approximate every
+    query-corpus score from the 4x-smaller int8 codes, keep only
+    vectors whose error interval can still reach the top-k, and
+    exact-rescore that candidate set. Output is PROVABLY the true
+    top-k (same result as knn_topk), which is why it carries the full
+    exact oracle rather than a banded one.
+
+    Bound: exact = approx ± err with err = scale·‖q‖₁/2 (per-element
+    quantization error ≤ scale/2, folded through the dot). With
+    L = k-th largest lower bound (approx − err), any vector with
+    approx + err + margin < L has exact score > margin below at least
+    k others, so after the 1e-6 quantize its rounded cosine is
+    STRICTLY smaller — it cannot displace a top-k row even via the
+    vec_id tiebreak. margin = the quantize step closes the rounding
+    edge case.
+
+    At 100 TB the point is bandwidth: the screening pass reads 1 byte
+    per element instead of 8 (the codes column is what an index node
+    stores), and only the candidate sliver — here a few % of rows,
+    pytest-asserted — touches the full-precision vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<codes: array<double>, scale: double>")
+    def _codes(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.DataFrame({"codes": [], "scale": []})
+        m = np.vstack(xs.to_numpy())
+        mag = np.maximum(np.max(np.abs(m), axis=1), INT8_EPS)
+        q = np.floor(m * float(INT8_LEVELS) / mag[:, None] + 0.5)
+        return pd.DataFrame(
+            {"codes": list(q), "scale": mag / float(INT8_LEVELS)}
+        )
+
+    c8 = corpus.select("vec_id", "v", _codes(F.col("v")).alias("c8"))
+    q = queries.select(
+        "query_id",
+        "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("l1q"),
+    )
+    approx = F.col("c8.scale") * VEC.dot_arrow(F.col("qv"), F.col("c8.codes"))
+    err = F.col("c8.scale") * F.lit(0.5) * F.col("l1q")
+    scored = (
+        c8.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "qv",
+            "v",
+            approx.alias("approx"),
+            err.alias("err"),
+        )
+        .withColumn("lb", F.col("approx") - F.col("err"))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("lb"), F.asc("vec_id"))
+    s1 = scored.withColumn("rnk", F.row_number().over(wr))
+    s2 = s1.withColumn(
+        "cut",
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k, F.col("lb"))).over(
+                W.partitionBy("query_id")
+            ),
+            F.lit(-2.0),  # corpus smaller than k: keep everything
+        ),
+    )
+    cand = s2.where(
+        F.col("approx") + F.col("err") + F.lit(INT8_SCREEN_MARGIN)
+        >= F.col("cut")
+    )
+    rescored = cand.select(
+        "query_id",
+        "vec_id",
+        ex.quantize(VEC.dot_arrow(F.col("qv"), F.col("v")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered int8-screened exact top-k over the embeddings table
+    (full exact oracle — the screening provably never changes the
+    result; see knn_topk_int8_screened)."""
+    corpus, queries, _ = _table_corpus_queries(spark, sf_dir)
+    return knn_topk_int8_screened(corpus, queries)
+
+
 ORACLE_INT8_QUANTIZE = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -730,6 +836,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "ann_int8_topk": ann_int8_topk,
 }
 
 ORACLE = {
@@ -739,4 +846,6 @@ ORACLE = {
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,
+    # full exact oracle: the int8 screening is output-invariant
+    "ann_int8_topk": ORACLE_KNN,
 }

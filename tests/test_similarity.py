@@ -203,3 +203,38 @@ def test_int8_quantization_numpy_recount(spark):
     )
     r0 = S.int8_quant_stats(one_hot).select("st.*").collect()[0]
     assert r0.q_sum == 0 + 127 - 127 + 64  # floor(63.5+0.5)=64
+
+
+def test_int8_screened_topk_equals_bruteforce(spark, sf_dir):
+    """The int8 screening is output-invariant: same rows, same ranks,
+    same quantized cosines as the exact search; and the error-bound
+    math actually prunes (numpy recount of the candidate rule)."""
+    import numpy as np
+
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.knn_bruteforce(spark, sf_dir).collect()
+    }
+    screened = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in S.ann_int8_topk(spark, sf_dir).collect()
+    }
+    assert screened == exact
+    # recount the screening rule in numpy to show it prunes
+    corpus, queries, _ = S._table_corpus_queries(spark, sf_dir)
+    V = {r.vec_id: np.array(r.v) for r in corpus.collect()}
+    kept_frac = []
+    for r in queries.collect():
+        qv = np.array(r.qv)
+        ids = np.array([i for i in V if i != r.query_id])
+        M = np.vstack([V[i] for i in ids])
+        mag = np.maximum(np.max(np.abs(M), axis=1), S.INT8_EPS)
+        codes = np.floor(M * 127.0 / mag[:, None] + 0.5)
+        scale = mag / 127.0
+        approx = scale * (codes @ qv)
+        err = scale * 0.5 * np.sum(np.abs(qv))
+        lb = approx - err
+        cut = np.sort(lb)[-S.TOP_K]
+        kept = np.sum(approx + err + S.INT8_SCREEN_MARGIN >= cut)
+        kept_frac.append(kept / len(ids))
+    assert max(kept_frac) < 0.5, f"screening never pruned: {kept_frac}"
