@@ -82,9 +82,140 @@ def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"events_hll_user_rollup": events_hll_user_rollup}
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (fixed-bin histogram table)
+# ---------------------------------------------------------------------------
+
+QSK_BIN_W = 10.0  #: bin width → guaranteed quantile error ≤ one bin
+QSK_QS = (50, 90, 99)  #: reported percentiles
+
+
+def daily_value_histograms(events: DataFrame) -> DataFrame:
+    """The stored quantile-sketch table: one fixed-bin histogram row
+    per (day, bin) over ``value``. Mergeable by integer ADDITION
+    (coarser rollups sum counts per bin — commutative/associative like
+    the HLL union), with a hard error bound: any quantile read off the
+    merged histogram is within one bin width of exact."""
+    return events.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(QSK_BIN_W)).cast("long").alias("bin"),
+    ).groupBy("day", "bin").agg(F.count("*").alias("cnt"))
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles of ``value`` answered the sketch-table way: daily
+    histograms → summed bins → bin-upper-edge estimates, plus the
+    exact order statistic and the pinned one-bin error band.
+
+    Per percentile q: target rank = ceil(q·n/100); the estimate is
+    the upper edge of the first bin whose cumulative count reaches the
+    target, and the exact value is the target-th smallest element.
+    The exact side is computed TWO-PHASE (the repo's exact-rank
+    pattern): the merged histogram locates the bin holding the target
+    rank, only THAT bin's rows are ranked (a partition-bounded sort of
+    n/bins rows), never the whole table. The cumulative window runs
+    over the ~60 merged bin rows — bounded by value-range/width, not
+    by data size. ``within_band`` (0 < est − exact ≤ W) is TRUE by
+    the floor/cumulative construction; the oracle recomputes both
+    sides exactly, so this query carries a FULL oracle — the sketch
+    estimate itself is deterministic, unlike the HLL binary."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(QSK_BIN_W)).cast("long").alias("bin"),
+        "value",
+    )
+    sketch = ev.groupBy("day", "bin").agg(F.count("*").alias("cnt"))
+    merged = sketch.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql.window import Window as W
+
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = merged.agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in QSK_QS], "q int")
+    tgt = qs.crossJoin(F.broadcast(tot)).select(
+        "q",
+        F.ceil((F.col("q") * F.col("n")).cast("double") / F.lit(100.0))
+        .cast("long")
+        .alias("target"),
+    )
+    binq = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bin").alias("bin_q"))
+    )
+    cum_before = cum.select(
+        F.col("bin").alias("bin_q"),
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+    )
+    b2 = binq.join(cum_before, "bin_q")
+    ev_b = ev.join(F.broadcast(b2), ev.bin == b2.bin_q).select(
+        "q", "target", "bin_q", "cum_before", "value"
+    )
+    wv = W.partitionBy("q").orderBy("value")
+    exact = (
+        ev_b.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == F.col("target") - F.col("cum_before"))
+        .select("q", "bin_q", F.col("value").alias("exact_raw"))
+    )
+    est_raw = (F.col("bin_q") + 1) * F.lit(QSK_BIN_W)
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return exact.select(
+        "q",
+        ex.quantize(est_raw, 6).alias("est"),
+        ex.quantize(F.col("exact_raw"), 6).alias("exact_q"),
+        (
+            (est_raw - F.col("exact_raw") > 0)
+            & (est_raw - F.col("exact_raw") <= F.lit(QSK_BIN_W) + F.lit(1e-9))
+        ).alias("within_band"),
+    )
+
+
+ORACLE_QUANTILE_SKETCH = f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / {QSK_BIN_W}) AS BIGINT) AS bin, value
+      FROM events
+    ), sk AS (
+      SELECT day, bin, COUNT(*) AS cnt FROM ev GROUP BY day, bin
+    ), merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sk GROUP BY bin
+    ), cum AS (
+      SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM merged
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM merged
+    ), qs AS (
+      SELECT unnest([{", ".join(str(q) for q in QSK_QS)}]) AS q
+    ), tgt AS (
+      SELECT CAST(q AS INTEGER) AS q,
+             CAST(CEIL(CAST(q * n AS DOUBLE) / 100.0) AS BIGINT) AS target
+      FROM qs, tot
+    ), binq AS (
+      SELECT q, target, MIN(bin) AS bin_q
+      FROM tgt JOIN cum ON cum.cum >= tgt.target
+      GROUP BY q, target
+    ), ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM ev
+    )
+    SELECT b.q,
+           ROUND(((b.bin_q + 1) * {QSK_BIN_W}) * 1000000.0) / 1000000.0
+             AS est,
+           ROUND(r.value * 1000000.0) / 1000000.0 AS exact_q,
+           (b.bin_q + 1) * {QSK_BIN_W} - r.value > 0
+             AND (b.bin_q + 1) * {QSK_BIN_W} - r.value <= {QSK_BIN_W} + 1e-9
+             AS within_band
+    FROM binq b JOIN ranked r ON r.rn = b.target
+"""
+
+
+QUERIES = {
+    "events_hll_user_rollup": events_hll_user_rollup,
+    "events_quantile_sketch": events_quantile_sketch,
+}
 
 ORACLE: dict[str, str] = {
+    "events_quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "events_hll_user_rollup": """
         SELECT event_type,
                COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -80,3 +80,41 @@ def test_sketch_table_round_trips_through_parquet(spark, sf_dir, tmp_path):
         .collect()
     }
     assert from_disk == in_mem
+
+
+def test_quantile_sketch_numpy_recount_and_merge_identity(spark, sf_dir):
+    """Estimates and exact order statistics match a numpy recount;
+    merging daily histograms equals histogramming the whole table."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.sketches import (
+        QSK_BIN_W,
+        QSK_QS,
+        daily_value_histograms,
+        events_quantile_sketch,
+    )
+    from mpi_mapreduce_spark.datamodel import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = np.sort(np.array([r.value for r in ev.select("value").collect()]))
+    out = {r.q: r for r in events_quantile_sketch(spark, sf_dir).collect()}
+    n = len(vals)
+    for q in QSK_QS:
+        target = int(np.ceil(q * n / 100.0))
+        exact = vals[target - 1]
+        r = out[q]
+        assert abs(r.exact_q - round(exact * 1e6) / 1e6) < 1e-9
+        assert r.within_band
+        assert 0 < r.est - exact <= QSK_BIN_W + 1e-9
+    # merge identity: summing the daily sketch equals a direct histogram
+    daily = daily_value_histograms(ev)
+    merged = {
+        r.bin: r.total
+        for r in daily.groupBy("bin").agg(F.sum("cnt").alias("total")).collect()
+    }
+    direct = {}
+    for v in vals:
+        b = int(np.floor(v / QSK_BIN_W))
+        direct[b] = direct.get(b, 0) + 1
+    assert merged == direct
