@@ -691,6 +691,68 @@ ORACLE_COHORT_LTV = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Truncated EWMA smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+EWMA_WINDOW = 20  #: truncation: fold over the last 20 values only
+
+
+def events_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially-weighted moving average of ``value``
+    per user — truncated at EWMA_WINDOW lags so the weight tail
+    ((1−α)^20 ≈ 1.2%) is dropped and the state is a bounded frame,
+    not an unbounded recursion.
+
+    The untruncated recurrence is inherently sequential per user;
+    the truncated form is a LEFT FOLD over the trailing frame
+    (init = oldest value, acc ← α·x + (1−α)·acc), which both engines
+    express with bit-identical arithmetic (F.aggregate here,
+    list_reduce in the oracle — both strict left folds, same literal
+    order α·x + (1−α)·acc). One shuffle on user_id, streaming ROWS
+    frame; the fold is interpreted HOF at 20 elements/row — the Arrow
+    escape hatch (functions/vectors.py rationale) applies if a
+    profile ever shows it hot."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    lst = F.collect_list("value").over(w)
+    a = F.lit(EWMA_ALPHA)
+    fold = F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ex.quantize(F.col("value"), 6).alias("value"),
+        ex.quantize(fold, 6).alias("ewma"),
+    )
+
+
+ORACLE_EWMA = f"""
+    WITH framed AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS lst
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(value * 1000000.0) / 1000000.0 AS value,
+           ROUND(list_reduce(lst,
+                 (acc, x) -> {EWMA_ALPHA} * x + (1.0 - {EWMA_ALPHA}) * acc)
+                 * 1000000.0) / 1000000.0 AS ewma
+    FROM framed
+"""
+
+
 QUERIES = {
     "customer_pseudonymize": customer_pseudonymize,
     "customer_rfm_segments": customer_rfm_segments,
@@ -706,10 +768,12 @@ QUERIES = {
     "order_price_histogram": order_price_histogram,
     "text_pii_redaction": text_pii_redaction,
     "events_ohlc_bars": events_ohlc_bars,
+    "events_user_value_ewma": events_user_value_ewma,
 }
 
 ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
+    "events_user_value_ewma": ORACLE_EWMA,
     "customer_rfm_segments": ORACLE_RFM,
     "events_interarrival_stats": ORACLE_INTERARRIVAL,
     "orders_cohort_ltv": ORACLE_COHORT_LTV,

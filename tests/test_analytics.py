@@ -238,3 +238,39 @@ def test_rank_queries_have_no_unpartitioned_window(spark, sf_dir):
         assert lines, fn.__name__
         for ln in lines:
             assert ln.count("], [") == 2, (fn.__name__, ln)
+
+
+def test_ewma_matches_pandas_recurrence(spark):
+    """Truncated EWMA equals a hand recurrence over the trailing
+    window, including the init-at-oldest-frame-value convention."""
+    from mpi_mapreduce_spark.operators import analytics as A
+    from mpi_mapreduce_spark.datamodel import load_table  # noqa: F401
+    import numpy as np
+
+    rows = [
+        (i, 7, f"2024-01-01 00:{i:02d}:00", float(v))
+        for i, v in enumerate([10, 20, 30, 40, 50])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+
+    import mpi_mapreduce_spark.operators.analytics as mod
+
+    orig = mod._t
+    mod._t = lambda s, d, n: df
+    try:
+        out = {r.event_id: r.ewma for r in A.events_user_value_ewma(spark, "x").collect()}
+    finally:
+        mod._t = orig
+    a = A.EWMA_ALPHA
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    for t in range(5):
+        frame = vals[max(0, t - A.EWMA_WINDOW + 1) : t + 1]
+        acc = frame[0]
+        for x in frame[1:]:
+            acc = a * x + (1.0 - a) * acc
+        assert abs(out[t] - round(acc * 1e6) / 1e6) < 1e-9
