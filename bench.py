@@ -63,12 +63,14 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, SF_DIR).count()
 
-    # Best of 2 timed reps per query: the box this runs on shows
-    # intermittent host-level noise (load spikes 2-5x unrelated to this
-    # process); min-of-reps measures the engine, not the neighbor.
+    # Best of 3 timed reps per query: the box this runs on shows
+    # intermittent host-level noise (individual queries spike 2-6x
+    # between identical runs, sustained for minutes); min-of-reps
+    # measures the engine, not the neighbor, and three reps give each
+    # query a fair chance of landing in a quiet window.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
