@@ -311,3 +311,88 @@ def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     valid = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.where(F.col(CORRUPT_COL).isNotNull())
     return valid, corrupt
+
+
+# ---------------------------------------------------------------------------
+# Incremental file-ingest ledger
+# ---------------------------------------------------------------------------
+
+#: ledger row layout: which source files have been ingested (path is
+#: the identity; size pins against in-place rewrites)
+LEDGER_SCHEMA = "file_path string, file_size long"
+
+
+def list_new_files(
+    spark: SparkSession, src_dir: str, ledger_dir: str, suffix: str
+) -> list[str]:
+    """Source files under ``src_dir`` (by ``suffix``) not yet recorded
+    in the ledger, sorted for determinism.
+
+    Listing is driver-side metadata work — the same cost class as
+    Spark's own file index; at real scale the listing comes from the
+    table catalog/manifest instead, and the ledger would live in a
+    transactional store. A file whose SIZE changed since it was
+    recorded raises: in-place rewrites break file-identity ingest and
+    must be quarantined upstream, not silently re-read or skipped."""
+    import os
+
+    seen: dict[str, int] = {}
+    if os.path.isdir(ledger_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(ledger_dir)
+    ):
+        for r in spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir).collect():
+            seen[r.file_path] = r.file_size
+    out = []
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(suffix):
+            continue
+        p = os.path.join(src_dir, name)
+        size = os.path.getsize(p)
+        if p in seen:
+            if seen[p] != size:
+                raise ValueError(
+                    f"ingested file rewritten in place: {p} "
+                    f"(ledger {seen[p]} bytes, now {size})"
+                )
+            continue
+        out.append(p)
+    return out
+
+
+def ingest_incremental(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    schema: str | None = None,
+    fmt: str = "parquet",
+) -> tuple[DataFrame | None, list[str]]:
+    """File-level incremental batch ingest: return (frame over ONLY
+    the not-yet-ingested files, their paths), or (None, []) when
+    nothing is new.
+
+    Protocol (the batch twin of streaming/sinks.py's exactly-once
+    discipline): read → write downstream → THEN record_ingested().
+    A crash between write and record re-reads those files next run
+    (at-least-once); an idempotent downstream sink turns that into
+    exactly-once. Recording before the write would silently drop data
+    on failure — strictly worse."""
+    new_files = list_new_files(spark, src_dir, ledger_dir, "." + fmt)
+    if not new_files:
+        return None, []
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(new_files), new_files
+
+
+def record_ingested(
+    spark: SparkSession, ledger_dir: str, files: list[str]
+) -> None:
+    """Append the given files to the ledger (call AFTER the downstream
+    write succeeds)."""
+    import os
+
+    rows = [(p, os.path.getsize(p)) for p in files]
+    spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
+        ledger_dir
+    )

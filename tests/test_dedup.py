@@ -293,3 +293,20 @@ def test_canonical_corpus_keeps_one_per_cluster(spark, sf_dir):
         assert canon == [min(r.doc_id for r in members)]
         assert comp == canon[0]
         assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_embedding_lsh_plan_is_cogrouped_gather(spark, sf_dir):
+    """The rescore must be the cogrouped block gather, not per-pair
+    vector joins: candidates stay skinny and vectors fan out O(n·B).
+    No nested-loop/cartesian anywhere; the banded frame carries an
+    explicit repartition so the bucket join parallelizes off a
+    single-file scan."""
+    plan = (
+        D.dedup_embedding_lsh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -317,3 +317,60 @@ def test_read_robust_quarantines_malformed_json(spark, tmp_path):
     # count() would prune to the corrupt column alone, which the
     # scan forbids (QUERY_ONLY_CORRUPT_RECORD_COLUMN) - materialize
     assert len(corrupt.collect()) == 2
+
+
+def test_incremental_ingest_ledger(spark, tmp_path):
+    """Only unrecorded files are read; the ledger survives multiple
+    commits; a crash before record_ingested re-reads (at-least-once);
+    an in-place rewrite of an ingested file raises."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    os.makedirs(src)
+
+    def drop(name, ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / "stage"))
+            if f.endswith(".parquet")
+        )
+        os.replace(
+            str(tmp_path / "stage" / part), os.path.join(src, name)
+        )
+
+    drop("a.parquet", [1, 2])
+    drop("b.parquet", [3])
+    df, files = ingest_incremental(spark, src, ledger)
+    assert len(files) == 2 and df.count() == 3
+    record_ingested(spark, ledger, files)
+
+    # nothing new -> no frame
+    df2, files2 = ingest_incremental(spark, src, ledger)
+    assert df2 is None and files2 == []
+
+    # new file: only it is read
+    drop("c.parquet", [4, 5])
+    df3, files3 = ingest_incremental(spark, src, ledger)
+    assert [os.path.basename(f) for f in files3] == ["c.parquet"]
+    assert sorted(r.id for r in df3.collect()) == [4, 5]
+    # crash before record: the same file comes back (at-least-once)
+    df4, files4 = ingest_incremental(spark, src, ledger)
+    assert files4 == files3
+    record_ingested(spark, ledger, files4)
+    assert ingest_incremental(spark, src, ledger)[1] == []
+
+    # in-place rewrite of an ingested file is an error, not a skip
+    drop("c.parquet", [6, 7, 8])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rewritten in place"):
+        ingest_incremental(spark, src, ledger)
