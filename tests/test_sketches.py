@@ -118,3 +118,34 @@ def test_quantile_sketch_numpy_recount_and_merge_identity(spark, sf_dir):
         b = int(np.floor(v / QSK_BIN_W))
         direct[b] = direct.get(b, 0) + 1
     assert merged == direct
+
+
+def test_streaming_sketch_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Appended per-micro-batch partial histograms sum to exactly the
+    batch-computed sketch table (merge-by-addition parity)."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.sketches import daily_value_histograms
+    from mpi_mapreduce_spark.streaming.sketch_maintain import (
+        read_sketch_table,
+        start_sketch_maintenance,
+    )
+
+    table = str(tmp_path / "sketch")
+    q = start_sketch_maintenance(
+        spark, sf_dir, table, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (str(r.day), r.bin): r.cnt
+        for r in read_sketch_table(spark, table).collect()
+    }
+    batch = {
+        (str(r.day), r.bin): r.cnt
+        for r in daily_value_histograms(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert streamed == batch
