@@ -1341,6 +1341,76 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
     return full.unionByName(short)
 
 
+#: containment threshold: fraction of the SMALLER doc's shingles that
+#: the pair shares — catches a short doc pasted inside a long one,
+#: which symmetric Jaccard (and its length-band blocking) cannot see
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    |A∩B| / min(|A|,|B|) ≥ 0.8 over word-3-gram shingle sets.
+
+    The complement to dedup_ngram_jaccard: a 50-word doc wholly pasted
+    into a 5000-word doc has Jaccard ≈ 1% (invisible) but containment
+    = 1.0 — exactly the quote/aggregation/subset-copy case an LLM
+    corpus needs flagged. Because the relationship is cross-length by
+    nature, there is NO length-band blocking here; the inverted-index
+    join is the blocking (pairs must share a shingle), with the same
+    hot-shingle df cap available as the production guard
+    (ngram_jaccard_pairs docstring) — work is Σ_shingle df², never a
+    band cross-product."""
+    docs = _docs(spark, sf_dir)
+    srows = shingle_rows(docs)
+    sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = srows.select(F.col("doc_id").alias("doc_a"), "s")
+    b = srows.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ex.quantize(
+                F.col("ni").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / least(len(a.sh), len(b.sh))) * 1000000.0) / 1000000.0
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh))) * 1000000.0) / 1000000.0
+          >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def token_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, p, tok): lowercased whitespace tokens with CONSECUTIVE
     0-based positions (re-ranked after empty-token filtering, so gram
@@ -1457,6 +1527,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_canonical_corpus": dedup_canonical_corpus,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE = {
@@ -1479,6 +1550,7 @@ ORACLE = {
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,
+    "dedup_containment": ORACLE_CONTAINMENT,
     # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
     # aren't expressible in the oracle); recall pinned in tests, and
     # minhash's found-iff-candidate invariant is driver-attested via

@@ -310,3 +310,37 @@ def test_embedding_lsh_plan_is_cogrouped_gather(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_catches_subset_copy_jaccard_misses(spark):
+    """A short doc pasted into a much longer one: containment flags
+    the pair, symmetric Jaccard (threshold 0.5) does not."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+    import mpi_mapreduce_spark.operators.dedup as mod
+
+    short = " ".join(f"w{i}" for i in range(12))
+    long = short + " " + " ".join(f"x{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, short, len(short)),
+            (2, long, len(long)),
+            (3, "totally unrelated content here now", 34),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    orig = mod._docs
+    mod._docs = lambda s, d: docs
+    try:
+        cont = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in mod.dedup_containment(spark, "x").collect()
+        }
+    finally:
+        mod._docs = orig
+    assert (1, 2) in cont and cont[(1, 2)] >= CONTAINMENT_THRESHOLD
+    assert all(3 not in p for p in cont)
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) not in jac  # the case jaccard structurally misses
