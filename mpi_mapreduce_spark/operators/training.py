@@ -706,6 +706,155 @@ ORACLE_EPOCH_SHARD = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-shard export (the trainer-facing binary artifact)
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 8
+EOS_ID = 0  #: document separator in the token stream
+#: polynomial word hash modulus (Mersenne 2^31-1, shared with the
+#: fingerprint op) — ids are 1..FP_MOD so EOS_ID=0 never collides
+from mpi_mapreduce_spark.functions.text import FP_MOD  # noqa: E402
+
+
+def token_id_stream(docs: DataFrame, shards: int = SHARD_COUNT) -> DataFrame:
+    """(shard, doc_id, p, wid): every document as a token-id sequence
+    with an EOS separator appended, sharded by doc_id.
+
+    Word ids come from an order-sensitive polynomial hash
+    (Σ (i+1)·codepoint(ch_i) mod 2^31−1, then +1 so EOS keeps id 0) —
+    pure integer arithmetic both engines reproduce exactly, computed
+    once per DISTINCT word and joined back (vocabulary-sized work,
+    like the BPE trainer). ASCII-identical across engines; exotic
+    codepoints would need a shared byte-level definition."""
+    from mpi_mapreduce_spark.operators.dedup import token_rows
+
+    toks = token_rows(docs)
+    vocab = toks.select(F.col("tok").alias("w")).distinct()
+    chars = vocab.select(
+        "w", F.posexplode(F.split("w", "")).alias("i", "ch")
+    ).where(F.col("ch") != "")
+    ids = chars.groupBy("w").agg(
+        (
+            F.sum((F.col("i") + 1).cast("long") * F.ascii("ch").cast("long"))
+            % F.lit(FP_MOD)
+            + 1
+        ).alias("wid")
+    )
+    body = toks.join(ids, toks.tok == ids.w).select("doc_id", "p", "wid")
+    eos = toks.groupBy("doc_id").agg(
+        (F.max("p") + 1).alias("p")
+    ).select("doc_id", "p", F.lit(EOS_ID).cast("long").alias("wid"))
+    return body.unionByName(eos).select(
+        (F.col("doc_id") % shards).alias("shard"), "doc_id", "p", "wid"
+    )
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level manifest of the token-id export: doc count, token
+    count (EOS excluded) and an order-sensitive checksum
+    (Σ rank·wid mod 2^31−1 over the shard's stream order) — the
+    receipt that pins the exact byte stream write_token_shards emits,
+    hash-compared against the oracle's independent derivation. One
+    vocab join + one partitioned window per shard; no global sort."""
+    stream = token_id_stream(_docs(spark, sf_dir))
+    w = W.partitionBy("shard").orderBy("doc_id", "p")
+    r = stream.withColumn("rn", F.row_number().over(w).cast("long"))
+    return r.groupBy("shard").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("wid") != EOS_ID, 1).otherwise(0)).alias(
+            "n_tokens"
+        ),
+        (
+            F.sum((F.col("rn") * F.col("wid")) % F.lit(FP_MOD)) % F.lit(FP_MOD)
+        ).alias("checksum"),
+    )
+
+
+def write_token_shards(
+    docs: DataFrame, out_dir: str, shards: int = SHARD_COUNT
+) -> DataFrame:
+    """Materialize the token-id stream as the binary artifact a
+    trainer mmaps: one ``shard_{k}.bin`` of little-endian uint32 ids
+    per shard (EOS separators included), written executor-side via
+    temp-file + atomic rename (deterministic content ⇒ idempotent
+    re-write), plus a returned doc-boundary INDEX frame
+    (doc_id, shard, offset, n_tokens) for random access.
+
+    The per-shard write is one applyInPandas task — the shard is the
+    parallelism unit exactly as in training_pack_sequences; at real
+    scale shard count is set so a shard fits a task comfortably."""
+    import os
+
+    stream = token_id_stream(docs, shards)
+    w = W.partitionBy("shard").orderBy("doc_id", "p")
+    r = stream.withColumn("rn", F.row_number().over(w).cast("long"))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        (shard,) = key
+        pdf = pdf.sort_values(["doc_id", "p"])
+        ids = pdf["wid"].to_numpy().astype("<u4")
+        tmp = os.path.join(out_dir, f".shard_{shard}.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(ids.tobytes())
+        os.replace(tmp, os.path.join(out_dir, f"shard_{shard}.bin"))
+        return pd.DataFrame(
+            {
+                "shard": [int(shard)],
+                "n_ids": [len(ids)],
+                "n_bytes": [len(ids) * 4],
+            }
+        )
+
+    manifest = r.groupBy("shard").applyInPandas(
+        dump, "shard long, n_ids long, n_bytes long"
+    )
+    index = r.groupBy("doc_id", "shard").agg(
+        (F.min("rn") - 1).alias("offset"),
+        (F.count("*") - 1).alias("n_tokens"),  # EOS excluded
+    )
+    return manifest, index
+
+
+ORACLE_SHARD_MANIFEST = f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), tokpos AS (
+      SELECT doc_id, unnest(range(len(tok))) AS p, unnest(tok) AS w
+      FROM toks0 WHERE len(tok) > 0
+    ), ids AS (
+      SELECT w,
+             CAST(list_sum(list_transform(range(len(w)),
+                  i -> (i + 1) * ascii(w[i+1]))) % {FP_MOD} + 1 AS BIGINT)
+               AS wid
+      FROM (SELECT DISTINCT w FROM tokpos)
+    ), stream AS (
+      SELECT t.doc_id, t.p, i.wid FROM tokpos t JOIN ids i USING (w)
+      UNION ALL
+      SELECT doc_id, MAX(p) + 1, {EOS_ID} FROM tokpos GROUP BY doc_id
+    ), rn AS (
+      SELECT doc_id % {SHARD_COUNT} AS shard, doc_id, wid,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {SHARD_COUNT}
+                                ORDER BY doc_id, p) AS rn
+      FROM stream
+    )
+    SELECT shard,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN wid <> {EOS_ID} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens,
+           CAST(CAST(SUM((rn * wid) % {FP_MOD}) AS BIGINT) % {FP_MOD}
+                AS BIGINT) AS checksum
+    FROM rn GROUP BY shard
+"""
+
+
 QUERIES = {
     "training_mixture_resample": training_mixture_resample,
     "training_chunk_documents": training_chunk_documents,
@@ -722,6 +871,7 @@ QUERIES = {
     "training_weighted_sample_per_lang": training_weighted_sample_per_lang,
     "training_domain_quota": training_domain_quota,
     "training_epoch_shard": training_epoch_shard,
+    "training_shard_manifest": training_shard_manifest,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -789,6 +939,7 @@ _MIX_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "training_shard_manifest": ORACLE_SHARD_MANIFEST,
     "training_epoch_shard": ORACLE_EPOCH_SHARD,
     "training_domain_quota": f"""
         SELECT doc_id, source,

@@ -342,3 +342,42 @@ def test_epoch_shard_is_a_permutation_and_epochs_differ(spark):
     assert order0 != order1  # epochs shuffle differently
     rerun = T.epoch_shard_order(docs, epochs=2, shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_token_shard_export_roundtrip(spark, tmp_path):
+    """shard_{k}.bin bytes reconstruct every document's token-id
+    sequence through the boundary index, ids match a python
+    polynomial-hash recount, and EOS separates documents."""
+    import os
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(10)]
+        + [(10, "") , (11, "solo")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    manifest, index = T.write_token_shards(docs, out, shards=4)
+    man = {r.shard: r for r in manifest.collect()}
+    idx = {r.doc_id: r for r in index.collect()}
+
+    def wid(w):
+        return sum((i + 1) * ord(c) for i, c in enumerate(w)) % T.FP_MOD + 1
+
+    blobs = {
+        s: np.frombuffer(
+            open(os.path.join(out, f"shard_{s}.bin"), "rb").read(), "<u4"
+        )
+        for s in man
+    }
+    for s, r in man.items():
+        assert r.n_bytes == 4 * r.n_ids == 4 * len(blobs[s])
+    # doc 10 is token-less: no index entry, no stream rows
+    assert 10 not in idx
+    for d in list(range(10)) + [11]:
+        r = idx[d]
+        seq = blobs[r.shard][r.offset : r.offset + r.n_tokens + 1]
+        text = f"alpha beta doc{d} gamma" if d <= 9 else "solo"
+        want = [wid(w) for w in text.split()] + [T.EOS_ID]
+        assert list(seq) == want, (d, list(seq), want)
