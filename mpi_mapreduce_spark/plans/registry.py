@@ -166,12 +166,14 @@ _ROUND_PRIORITY = [
     # -- new this round (1) --
     "training_domain_quota",
 ]
-# Queries ADDED after this window was frozen (dedup_repeated_ngrams,
-# text_boilerplate_strip, embedding_int8_quantize, training_epoch_shard)
-# register after position 50 on purpose: displacing re-attests of
-# changed implementations would leave stale green rows. They pass the
-# full rehearsal (tools/rehearse.py) and are first in line for the
-# round-4 window.
+# Queries ADDED after this window was frozen (the round-3 session's
+# 14 new operators: repeated-ngram/containment/canonical dedup,
+# boilerplate strip, BPE train+encode, int8 quantize + screened top-k,
+# epoch shard, shard manifest, quantile sketch, skew report, EWMA,
+# audio decimation) register after position 50 on purpose: displacing
+# re-attests of changed implementations would leave stale green rows.
+# All pass the full rehearsal (tools/rehearse.py) and are first in
+# line for the round-4 window.
 
 
 def _promote(names: list[str]) -> None:
