@@ -707,6 +707,72 @@ ORACLE_EPOCH_SHARD = f"""
 
 
 # ---------------------------------------------------------------------------
+# Near-dup-cluster-safe split
+# ---------------------------------------------------------------------------
+
+def training_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the near-dup CLUSTER, not
+    the document: every member of an ngram-Jaccard component lands on
+    the same side, so a near-duplicate of a training document can
+    never leak into test (the contamination channel a doc-keyed split
+    leaves open, and one n-gram contamination checks only catch after
+    the fact). Singletons hash by their own id — identical placement
+    to with_split for the non-duplicated bulk of the corpus.
+
+    Composition: pair query → iterative CC → coalesce(component,
+    doc_id) → the SAME split arithmetic as training_split_assign, fed
+    the component id. Output keeps both ids so the oracle verifies
+    every member-to-side mapping."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        connected_components,
+        dedup_ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    comp = connected_components(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component")
+    )
+    return with_split(labeled, key="component").select(
+        "doc_id", "component", "bucket", "split"
+    )
+
+
+def _cluster_safe_oracle() -> str:
+    from mpi_mapreduce_spark.operators.dedup import ORACLE_NGRAM_JACCARD
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component,
+           (component * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS} AS bucket,
+           CASE WHEN (component * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS}
+                     < {TRAIN_LT} THEN 'train'
+                WHEN (component * {SPLIT_MULTIPLIER}) % {SPLIT_BUCKETS}
+                     < {VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """
+
+
+# ---------------------------------------------------------------------------
 # Token-shard export (the trainer-facing binary artifact)
 # ---------------------------------------------------------------------------
 
@@ -872,6 +938,7 @@ QUERIES = {
     "training_domain_quota": training_domain_quota,
     "training_epoch_shard": training_epoch_shard,
     "training_shard_manifest": training_shard_manifest,
+    "training_split_cluster_safe": training_split_cluster_safe,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -939,6 +1006,7 @@ _MIX_VALUES = ", ".join(
 )
 
 ORACLE = {
+    "training_split_cluster_safe": _cluster_safe_oracle(),
     "training_shard_manifest": ORACLE_SHARD_MANIFEST,
     "training_epoch_shard": ORACLE_EPOCH_SHARD,
     "training_domain_quota": f"""

@@ -381,3 +381,26 @@ def test_token_shard_export_roundtrip(spark, tmp_path):
         text = f"alpha beta doc{d} gamma" if d <= 9 else "solo"
         want = [wid(w) for w in text.split()] + [T.EOS_ID]
         assert list(seq) == want, (d, list(seq), want)
+
+
+def test_cluster_safe_split_keeps_neardups_together(spark, sf_dir):
+    """Every near-dup component lands entirely on one side; singleton
+    placement is identical to the doc-keyed split."""
+    out = T.training_split_cluster_safe(spark, sf_dir).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    # at least one real multi-doc cluster exists in the fixture
+    from collections import Counter
+
+    sizes = Counter(r.component for r in out)
+    assert max(sizes.values()) >= 2
+    # singletons: same side as the plain doc-keyed split
+    plain = {
+        r.doc_id: r.split
+        for r in T.training_split_assign(spark, sf_dir).collect()
+    }
+    for r in out:
+        if sizes[r.component] == 1:
+            assert r.split == plain[r.doc_id]
