@@ -414,6 +414,96 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: signature-estimated Jaccard: fraction of agreeing minhash slots
+#: (E[fraction] = true J); at 32 hashes the 0.5 cut is ≥ 16 matches
+EST_JACCARD_MIN_MATCHES = MINHASH_HASHES // 2
+
+
+def nightly_dedup_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
+):
+    """The production nightly dedup job, composed end-to-end from the
+    pieces the registry tests separately: the ingest LEDGER picks up
+    only tonight's new document files, each new doc is flagged against
+    the persisted SIGNATURE INDEX (band-key candidates, then
+    signature-estimated Jaccard — the corpus is never re-read, only
+    its 32-longs/doc index), tonight's signatures are appended to the
+    index, and the ledger is committed LAST (sources/io.py protocol:
+    a crash replays the night; the signature append is idempotent only
+    per-file, so production would key the append by file like the
+    exactly-once sinks — documented, not duplicated here).
+
+    Returns (decisions DataFrame — doc_id, is_near_dup, keep — or
+    None when nothing is new, list of ingested files). Decisions are
+    eagerly materialized BEFORE the index append so their lineage
+    cannot observe tonight's own signatures as match candidates."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    sig_new = minhash_signature_table(shingle_rows(batch))
+    have_index = os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    )
+    if have_index:
+        sig_old = spark.read.parquet(index_dir)
+        bands_n = minhash_band_keys(sig_new).select(
+            F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+        )
+        bands_o = minhash_band_keys(sig_old).select(
+            F.col("doc_id").alias("doc_c"), "band_id", "band_hash"
+        )
+        cands = (
+            bands_n.join(bands_o, ["band_id", "band_hash"])
+            .select("doc_b", "doc_c")
+            .distinct()
+        )
+        b = sig_new.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_HASHES)],
+        )
+        c = sig_old.select(
+            F.col("doc_id").alias("doc_c"),
+            *[F.col(f"mh{i}").alias(f"c{i}") for i in range(MINHASH_HASHES)],
+        )
+        matches = sum(
+            F.when(F.col(f"b{i}") == F.col(f"c{i}"), 1).otherwise(0)
+            for i in range(MINHASH_HASHES)
+        )
+        near = (
+            cands.join(b, "doc_b")
+            .join(c, "doc_c")
+            .where(matches >= EST_JACCARD_MIN_MATCHES)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_near_dup", F.lit(True))
+        )
+        decisions = (
+            batch.select("doc_id")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            )
+        )
+    else:
+        decisions = batch.select("doc_id").withColumn(
+            "is_near_dup", F.lit(False)
+        )
+    decisions = (
+        decisions.withColumn("keep", ~F.col("is_near_dup")).localCheckpoint()
+    )
+    sig_new.write.mode("append").parquet(index_dir)
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH — the scale path
 # ---------------------------------------------------------------------------

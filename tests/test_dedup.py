@@ -344,3 +344,50 @@ def test_containment_catches_subset_copy_jaccard_misses(spark):
     assert all(3 not in p for p in cont)
     jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
     assert (1, 2) not in jac  # the case jaccard structurally misses
+
+
+def test_nightly_dedup_update_two_nights(spark, tmp_path):
+    """Night 1 seeds the index; night 2 reads ONLY the new file, flags
+    the near-copy of a night-1 doc, keeps the novel doc, and the
+    ledger makes a third run a no-op."""
+    import os
+
+    from mpi_mapreduce_spark.operators.dedup import nightly_dedup_update
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = next(
+            f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+        )
+        os.replace(str(tmp_path / "stage" / part), os.path.join(src, name))
+
+    drop(
+        "n1.parquet",
+        [(1, base * 4), (2, "completely different material " * 6)],
+    )
+    d1, f1 = nightly_dedup_update(spark, src, ledger, index)
+    assert len(f1) == 1
+    assert {r.doc_id: r.keep for r in d1.collect()} == {1: True, 2: True}
+
+    drop(
+        "n2.parquet",
+        [(3, base * 4 + "tail tweak"), (4, "novel text nobody saw before " * 5)],
+    )
+    d2, f2 = nightly_dedup_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    got = {r.doc_id: r.keep for r in d2.collect()}
+    assert got == {3: False, 4: True}
+
+    d3, f3 = nightly_dedup_update(spark, src, ledger, index)
+    assert d3 is None and f3 == []
+    # index now holds all four signatures
+    assert spark.read.parquet(index).count() == 4
