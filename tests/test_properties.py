@@ -97,3 +97,41 @@ def test_split_assignment_depends_only_on_key(spark, ids):
     }
     for i in half_ids:
         assert half[i] == full[i]
+
+
+# lowercase-word documents — the tokenizer's input shape
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_words, min_size=1, max_size=5), n=st.integers(2, 5))
+def test_positional_ngrams_match_python_reference(spark, docs, n):
+    """positional_ngram_rows agrees with a direct python derivation on
+    arbitrary token sequences: full n-grams at every offset, the
+    whole-doc gram for short docs, nothing for empty docs."""
+    from mpi_mapreduce_spark.operators.dedup import positional_ngram_rows
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.q): (r.glen, r.s)
+        for r in positional_ngram_rows(df, n).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        if len(ws) >= n:
+            for q in range(len(ws) - n + 1):
+                want[(i, q)] = (n, " ".join(ws[q : q + n]))
+        else:
+            want[(i, 0)] = (len(ws), " ".join(ws))
+    assert got == want
