@@ -22,7 +22,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # agg/join, windows, dedup, similarity, text analysis, iterative
 # graph, sketch rollups, sequence mining, CDC, real multimodal
 # decode) — broadened round 3 so regressions in the round-2 heavy
-# additions are visible round-over-round.
+# additions are visible round-over-round, and round 4 with the
+# heaviest round-3 operators (containment, canonical corpus, BPE
+# encode, shard manifest) per the round-3 verdict.
 HEADLINE = [
     "graph_nation_pagerank",
     "events_transition_matrix",
@@ -47,6 +49,10 @@ HEADLINE = [
     "cdc_user_value_scd2",
     "text_bigram_lm_score",
     "multimodal_wav_decode",
+    "dedup_containment",
+    "dedup_canonical_corpus",
+    "text_bpe_encode",
+    "training_shard_manifest",
 ]
 
 

@@ -99,6 +99,27 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard (blocked) — the verify baseline
 # ---------------------------------------------------------------------------
 
+def _cap_hot_shingles(
+    srows: DataFrame, max_shingle_df: int | None
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap from the
+    VOCABULARY — the shared production guard for every inverted-index
+    self-join (work per shingle is df², so one boilerplate 3-gram with
+    df=10⁶ at 100 TB would emit 10¹² pairs from a single join key).
+    Semantics: similarity over the filtered shingle space, the standard
+    stopword-filtered dedup convention. ``None`` disables (the exact,
+    oracle-matched form)."""
+    if max_shingle_df is None:
+        return srows
+    keep = (
+        srows.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    return srows.join(keep, "s")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, max_shingle_df: int | None = None
 ) -> DataFrame:
@@ -131,15 +152,9 @@ def ngram_jaccard_pairs(
     bands = docs.select(
         "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
     )
-    srows = shingle_rows(docs).join(bands, "doc_id")
-    if max_shingle_df is not None:
-        keep = (
-            srows.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_shingle_df)
-            .select("s")
-        )
-        srows = srows.join(keep, "s")
+    srows = _cap_hot_shingles(
+        shingle_rows(docs).join(bands, "doc_id"), max_shingle_df
+    )
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), "s"
@@ -414,6 +429,80 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_minhash_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded attestation of the index-backed incremental path: the
+    SQL-checkable columns are dedup_incremental's exact decisions
+    (is_exact_dup / is_near_dup / keep — the ORACLE_DEDUP_INCREMENTAL
+    derivation), plus ``mh_implies_true_dup`` — the PRECISION
+    invariant of :func:`dedup_incremental_minhash`: every batch doc
+    the minhash path flags must have a true UNBANDED Jaccard ≥ 0.5
+    partner in the corpus, because the minhash pipeline verifies its
+    band-key candidates at TRUE Jaccard before flagging. TRUE by
+    theorem; recall misses (a true pair whose bands never collide)
+    leave the implication vacuously true and stay pytest-pinned.
+
+    The unbanded true-dup set is recomputed via a direct
+    inverted-index shingle join — no signatures, no band keys, no
+    length bands, an independent code path from the minhash pipeline —
+    so a precision bug anywhere in signatures/banding/verify flips the
+    flag FALSE. (Unbanded, because the minhash path has no length-band
+    block: it may legitimately flag a cross-band pair the banded exact
+    query misses.) The oracle recomputes the exact columns and pins
+    the flag literal TRUE."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    sb = shingle_rows(batch).select(F.col("doc_id").alias("doc_b"), "s")
+    sc = shingle_rows(corpus).select(F.col("doc_id").alias("doc_c"), "s")
+    nb = sb.groupBy("doc_b").agg(F.count("*").alias("nb"))
+    nc = sc.groupBy("doc_c").agg(F.count("*").alias("nc"))
+    inter = (
+        sb.join(sc, "s").groupBy("doc_b", "doc_c").agg(F.count("*").alias("ni"))
+    )
+    ni = F.col("ni").cast("double")
+    true_dup = (
+        inter.join(nb, "doc_b")
+        .join(nc, "doc_c")
+        .where(
+            ex.quantize(ni / (F.col("nb") + F.col("nc") - ni), 6)
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("has_true_dup", F.lit(True))
+    )
+    exact = dedup_incremental(spark, sf_dir)
+    mh = dedup_incremental_minhash(spark, sf_dir).select(
+        "doc_id", F.col("is_near_dup").alias("mh_near")
+    )
+    return (
+        exact.join(mh, "doc_id")
+        .join(true_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "is_near_dup",
+            "keep",
+            (
+                ~F.col("mh_near")
+                | F.coalesce("has_true_dup", F.lit(False))
+            ).alias("mh_implies_true_dup"),
+        )
+    )
+
+
+# banded shape: exact decisions recomputed (the dedup_incremental
+# oracle, wrapped), precision invariant pinned TRUE (the xxhash64
+# minhash signatures aren't SQL-expressible)
+ORACLE_INCREMENTAL_MINHASH_VALIDATE = f"""
+    SELECT doc_id, is_exact_dup, is_near_dup, keep,
+           TRUE AS mh_implies_true_dup
+    FROM ({ORACLE_DEDUP_INCREMENTAL})
+"""
+
+
 #: signature-estimated Jaccard: fraction of agreeing minhash slots
 #: (E[fraction] = true J); at 32 hashes the 0.5 cut is ≥ 16 matches
 EST_JACCARD_MIN_MATCHES = MINHASH_HASHES // 2
@@ -427,16 +516,27 @@ def nightly_dedup_update(
     only tonight's new document files, each new doc is flagged against
     the persisted SIGNATURE INDEX (band-key candidates, then
     signature-estimated Jaccard — the corpus is never re-read, only
-    its 32-longs/doc index), tonight's signatures are appended to the
-    index, and the ledger is committed LAST (sources/io.py protocol:
-    a crash replays the night; the signature append is idempotent only
-    per-file, so production would key the append by file like the
-    exactly-once sinks — documented, not duplicated here).
+    its 32-longs/doc index) AND against the rest of tonight's batch
+    (a band self-join of the new signatures, keep-first: the lower
+    doc_id of an intra-batch near-dup pair keeps, the higher drops —
+    without this, two near-identical docs arriving the same night
+    would both persist forever, since the ledger never re-examines
+    their files).
+
+    Crash-replay safety: the index write is KEYED by a deterministic
+    batch id (``batch=b<sha256 of the sorted file list>``) and written
+    with overwrite, so a crash between the index write and the ledger
+    commit replays the night with an overwrite, never a duplicate
+    append; and the match side EXCLUDES tonight's own partition, so a
+    replayed batch can never match its own persisted signatures (which
+    would flip every replayed doc to 32/32-self-match = drop). The
+    ledger is still committed LAST (sources/io.py protocol).
 
     Returns (decisions DataFrame — doc_id, is_near_dup, keep — or
     None when nothing is new, list of ingested files). Decisions are
-    eagerly materialized BEFORE the index append so their lineage
-    cannot observe tonight's own signatures as match candidates."""
+    eagerly materialized BEFORE the index write; with the partition
+    exclusion this is belt-and-braces, not load-bearing."""
+    import hashlib
     import os
 
     from mpi_mapreduce_spark.sources.io import (
@@ -447,59 +547,99 @@ def nightly_dedup_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    sig_new = minhash_signature_table(shingle_rows(batch))
+    # deterministic batch key ("b" prefix keeps partition-value
+    # inference from ever parsing an all-digit hash as a number)
+    bkey = "b" + hashlib.sha256(
+        "\n".join(sorted(files)).encode()
+    ).hexdigest()[:16]
+    # one batch-sized materialization: signatures feed the index write,
+    # both sides of the intra-batch join, and the cross verify
+    sig_new = minhash_signature_table(shingle_rows(batch)).localCheckpoint()
+
+    b = sig_new.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"b{i}") == F.col(f"c{i}"), 1).otherwise(0)
+        for i in range(MINHASH_HASHES)
+    )
+    bands_n = minhash_band_keys(sig_new)
+
+    # intra-batch near-dups: band self-join, keep-first (doc_c < doc_b
+    # → doc_b is the dup); verified at signature-estimated Jaccard
+    intra_cands = (
+        bands_n.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        .join(
+            bands_n.select(
+                F.col("doc_id").alias("doc_c"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .where(F.col("doc_c") < F.col("doc_b"))
+        .select("doc_b", "doc_c")
+        .distinct()
+    )
+    c_new = sig_new.select(
+        F.col("doc_id").alias("doc_c"),
+        *[F.col(f"mh{i}").alias(f"c{i}") for i in range(MINHASH_HASHES)],
+    )
+    near = (
+        intra_cands.join(b, "doc_b")
+        .join(c_new, "doc_c")
+        .where(matches >= EST_JACCARD_MIN_MATCHES)
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+
     have_index = os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(index_dir)
+        for f in fs
     )
     if have_index:
-        sig_old = spark.read.parquet(index_dir)
-        bands_n = minhash_band_keys(sig_new).select(
-            F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+        # exclude tonight's own partition: on a crash replay the batch's
+        # signatures are already persisted under this bkey
+        sig_old = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch") != F.lit(bkey))
+            .select("doc_id", *[f"mh{i}" for i in range(MINHASH_HASHES)])
         )
         bands_o = minhash_band_keys(sig_old).select(
             F.col("doc_id").alias("doc_c"), "band_id", "band_hash"
         )
-        cands = (
-            bands_n.join(bands_o, ["band_id", "band_hash"])
+        cross_cands = (
+            bands_n.select(
+                F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+            )
+            .join(bands_o, ["band_id", "band_hash"])
             .select("doc_b", "doc_c")
             .distinct()
         )
-        b = sig_new.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_HASHES)],
-        )
-        c = sig_old.select(
+        c_old = sig_old.select(
             F.col("doc_id").alias("doc_c"),
             *[F.col(f"mh{i}").alias(f"c{i}") for i in range(MINHASH_HASHES)],
         )
-        matches = sum(
-            F.when(F.col(f"b{i}") == F.col(f"c{i}"), 1).otherwise(0)
-            for i in range(MINHASH_HASHES)
-        )
-        near = (
-            cands.join(b, "doc_b")
-            .join(c, "doc_c")
+        near = near.unionByName(
+            cross_cands.join(b, "doc_b")
+            .join(c_old, "doc_c")
             .where(matches >= EST_JACCARD_MIN_MATCHES)
             .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-            .withColumn("is_near_dup", F.lit(True))
         )
-        decisions = (
-            batch.select("doc_id")
-            .join(near, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
-            )
-        )
-    else:
-        decisions = batch.select("doc_id").withColumn(
-            "is_near_dup", F.lit(False)
-        )
+
+    near = near.distinct().withColumn("is_near_dup", F.lit(True))
     decisions = (
-        decisions.withColumn("keep", ~F.col("is_near_dup")).localCheckpoint()
+        batch.select("doc_id")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+        .withColumn("keep", ~F.col("is_near_dup"))
+        .localCheckpoint()
     )
-    sig_new.write.mode("append").parquet(index_dir)
+    sig_new.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch={bkey}")
+    )
     record_ingested(spark, ledger_dir, files)
     return decisions, files
 
@@ -791,6 +931,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded attestation of the SimHash path (the pattern of
+    :func:`dedup_minhash_lsh_validate`): for every EXACT banded
+    near-dup pair (word-3-gram Jaccard ≥ 0.5 — the oracle-expressible
+    dedup_ngram_jaccard definition), emit the exact jaccard plus
+    ``found_iff_close`` — "the pair is in dedup_simhash's output iff
+    its signatures' Hamming distance is ≤ 3" — TRUE by theorem for a
+    correct implementation:
+
+    ⇐ output pairs pass the hamming ≤ 3 filter by construction;
+    ⇒ hamming ≤ 3 over 64 bits split into 4 16-bit chunks forces at
+      least one identical chunk (pigeonhole), so the pair IS a
+      chunk-equi-join candidate and survives the filter into the
+      output.
+
+    The hamming side of the iff is recomputed directly from the
+    signature table — NOT via the chunk join — so the flag exercises
+    the chunk explode, the equi-join's pigeonhole completeness, and
+    the hamming verify end-to-end: a banding bug that drops a
+    hamming-≤3 pair flips the flag FALSE. SimHash's own relationship
+    to Jaccard stays heuristic (pinned separately in tests); the
+    oracle recomputes the exact side and pins the flag literal TRUE."""
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    sig = simhash_signatures(_docs(spark, sf_dir))
+    found = dedup_simhash(spark, sf_dir).select(
+        F.col("doc_a").alias("f_a"),
+        F.col("doc_b").alias("f_b"),
+        F.lit(1).alias("found_hit"),
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    out = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(
+            found,
+            (F.col("doc_a") == F.col("f_a")) & (F.col("doc_b") == F.col("f_b")),
+            "left",
+        )
+    )
+    close = TXT.hamming64(F.col("sig_a"), F.col("sig_b")) <= SIMHASH_MAX_HAMMING
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (F.col("found_hit").isNotNull() == close).alias("found_iff_close"),
+    )
+
+
+# banded shape: exact side recomputed (the dedup_ngram_jaccard oracle,
+# wrapped), invariant flag pinned TRUE (the xxhash64 simhash
+# signatures aren't SQL-expressible)
+ORACLE_SIMHASH_VALIDATE = f"""
+    SELECT doc_a, doc_b, jaccard, TRUE AS found_iff_close
+    FROM ({ORACLE_NGRAM_JACCARD})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
@@ -826,9 +1024,11 @@ def _block_cells(emb: DataFrame) -> DataFrame:
     return emb.join(F.broadcast(mdf), "blk")
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector near-dup pairs: cosine ≥ threshold over pre-normalized
-    doubles, so the pair test is a plain dot product.
+def embedding_neardup_exact(
+    emb: DataFrame, threshold: float = EMBED_DUP_THRESHOLD
+) -> DataFrame:
+    """Vector near-dup pairs: cosine ≥ threshold over a pre-normalized
+    ``(vec_id, v)`` frame, so the pair test is a plain dot product.
 
     EXACT all-pairs — by contract the exactness baseline (the pair
     threshold 0.4 sits inside a continuous cosine distribution, so no
@@ -847,19 +1047,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     at O(matches) while the final exact quantize+filter runs in the
     DataFrame plan.
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
-        )
-        .withColumn(
-            "blk", F.pmod(F.col("vec_id"), F.lit(EMBED_BLOCKS)).cast("int")
-        )
+    emb = emb.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(EMBED_BLOCKS)).cast("int")
     )
     cells = _block_cells(emb)
 
-    raw_cut = EMBED_DUP_THRESHOLD - 5e-7  # quantize(6) half-step guard
+    raw_cut = threshold - 5e-7  # quantize(6) half-step guard
 
     def _score(key, pdf):
         import numpy as np
@@ -923,7 +1116,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "vec_a", "vec_b", ex.quantize(F.col("cosine"), 6).alias("cosine")
-    ).where(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+    ).where(F.col("cosine") >= threshold)
+
+
+def _normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered exact embedding near-dup — see
+    :func:`embedding_neardup_exact`."""
+    return embedding_neardup_exact(_normalized_embeddings(spark, sf_dir))
 
 
 #: banded hyperplane LSH for the scale path: candidate iff ALL b sign
@@ -948,16 +1154,17 @@ def _band_hyperplanes(dim: int, bits: int, bands: int) -> "list":
     return rng.randn(bands * bits, dim)
 
 
-def embedding_lsh_candidates(
+def embedding_band_rows(
     emb: DataFrame,
     dim: int,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
 ) -> DataFrame:
-    """Co-bucketed candidate ID pairs ``(vec_a < vec_b)`` — a pair
-    appears iff ALL sign bits agree in at least one band. Shared by
-    the rescoring search and the banded validation query (which must
-    recompute exactly this set to check found-iff-cobucketed)."""
+    """Hyperplane sign-bucket rows ``(vec_id, band, bucket)`` over a
+    normalized ``(vec_id, v)`` frame — the shared banding stage of the
+    LSH candidate join AND the cheap collision-density probe
+    :func:`embedding_neardup_auto` runs (which needs the per-bucket
+    counts WITHOUT the pair expansion)."""
     from pyspark.sql.functions import pandas_udf
 
     hps = _band_hyperplanes(dim, band_bits, n_bands)
@@ -998,10 +1205,23 @@ def embedding_lsh_candidates(
     # fixture's threshold-hugging cosine distribution is ~all pairs
     # (see the banding-math comment above: that part is
     # information-theoretic, not a plan artifact).
-    banded = emb.select(
+    return emb.select(
         "vec_id",
         F.posexplode(_band_buckets(F.col("v"))).alias("band", "bucket"),
     ).repartition("vec_id")
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    dim: int,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Co-bucketed candidate ID pairs ``(vec_a < vec_b)`` — a pair
+    appears iff ALL sign bits agree in at least one band. Shared by
+    the rescoring search and the banded validation query (which must
+    recompute exactly this set to check found-iff-cobucketed)."""
+    banded = embedding_band_rows(emb, dim, band_bits, n_bands)
     left = banded.select(
         F.col("vec_id").alias("vec_a"), "band", "bucket"
     )
@@ -1139,11 +1359,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the exact oracle; precision is 1.0 by construction (exact
     rescore) and recall vs the exact op is pinned in
     tests/test_dedup.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
-    )
-    return embedding_neardup_lsh(emb, dim=64)
+    return embedding_neardup_lsh(_normalized_embeddings(spark, sf_dir), dim=64)
 
 
 def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,10 +1379,7 @@ def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose buckets never collide) is exactly what the flag's two sides
     agree to exclude, and recall stays pytest-pinned. The oracle
     recomputes the exact side and pins the flag TRUE."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
-    )
+    emb = _normalized_embeddings(spark, sf_dir)
     exact = dedup_embedding(spark, sf_dir)
     cands = embedding_lsh_candidates(emb, dim=64).persist()
     found = embedding_neardup_lsh(emb, dim=64, cands=cands).select(
@@ -1196,6 +1409,77 @@ def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("found_hit").isNotNull() == F.col("cobucket_hit").isNotNull()
         ).alias("found_iff_cobucketed"),
     )
+
+
+#: auto path selection: LSH only if its candidate-generation join
+#: volume undercuts brute-force scoring by ≥ 2× — the banding UDF, the
+#: pair distinct and the gather stages have to be paid for (SCALING.md
+#: round-3: on a threshold-hugging corpus the LSH path generates ≈ all
+#: pairs AND loses to the exact blocked plan).
+EMBED_AUTO_CAND_FRACTION = 0.5
+
+
+def embedding_neardup_auto(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> tuple[DataFrame, str]:
+    """Choose the embedding near-dup plan by MEASURED candidate
+    density, then run it — SCALING.md's round-3 finding made explicit:
+    banded LSH wins when its buckets prune, and a threshold-hugging
+    cosine distribution (where candidates ≈ all pairs) defeats banding
+    information-theoretically, at which point the exact blocked plan
+    is strictly better (no banding UDF, no distinct, same scoring
+    volume).
+
+    The probe is one cheap aggregate over the banding stage the LSH
+    path would run anyway: Σ_{band,bucket} C(k,2) — the number of
+    co-bucket pair slots the candidate equi-join would emit BEFORE the
+    distinct (its true join volume, multi-band multiplicity included)
+    — collected as two scalars (a bounded driver action, like AQE's
+    runtime statistics). LSH runs iff that volume undercuts the
+    n(n−1)/2 pairs brute force would score by
+    ``EMBED_AUTO_CAND_FRACTION``; ties and the empty frame fall back
+    to exact.
+
+    Returns ``(pairs, path)`` with path ∈ {"exact", "lsh"} so tests
+    pin the decision on both a separated corpus (distinct directions →
+    buckets prune → "lsh") and a threshold-hugging one (every pair
+    collides → "exact")."""
+    n = emb.count()
+    total_pairs = n * (n - 1) / 2.0
+    if total_pairs <= 0:
+        return embedding_neardup_exact(emb, threshold), "exact"
+    est = (
+        embedding_band_rows(emb, dim, band_bits, n_bands)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("k"))
+        .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("cp"))
+        .collect()[0]["cp"]
+        or 0.0
+    )
+    if est < EMBED_AUTO_CAND_FRACTION * total_pairs:
+        return (
+            embedding_neardup_lsh(emb, dim, threshold, band_bits, n_bands),
+            "lsh",
+        )
+    return embedding_neardup_exact(emb, threshold), "exact"
+
+
+def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered auto-selected embedding near-dup. On this fixture
+    the loose 0.4 threshold forces shallow-wide banding (b=2, L=12)
+    whose collision volume ≈ bands × all pairs, so the probe correctly
+    picks the EXACT path — hence the exact DuckDB oracle is the right
+    one and the result hash-matches :func:`dedup_embedding`. At a
+    production threshold (≥ 0.9, b=8 bands) the probe picks LSH —
+    pinned with both fixtures in tests/test_dedup.py."""
+    pairs, _path = embedding_neardup_auto(
+        _normalized_embeddings(spark, sf_dir), dim=64
+    )
+    return pairs
 
 
 _DEDUP_EMBEDDING_CTE = """
@@ -1437,21 +1721,27 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs(
+    docs: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT:
     |A∩B| / min(|A|,|B|) ≥ 0.8 over word-3-gram shingle sets.
 
-    The complement to dedup_ngram_jaccard: a 50-word doc wholly pasted
+    The complement to ngram_jaccard_pairs: a 50-word doc wholly pasted
     into a 5000-word doc has Jaccard ≈ 1% (invisible) but containment
     = 1.0 — exactly the quote/aggregation/subset-copy case an LLM
     corpus needs flagged. Because the relationship is cross-length by
     nature, there is NO length-band blocking here; the inverted-index
-    join is the blocking (pairs must share a shingle), with the same
-    hot-shingle df cap available as the production guard
-    (ngram_jaccard_pairs docstring) — work is Σ_shingle df², never a
-    band cross-product."""
-    docs = _docs(spark, sf_dir)
-    srows = shingle_rows(docs)
+    join is the blocking (pairs must share a shingle), so
+    ``max_shingle_df`` — the SAME :func:`_cap_hot_shingles` guard the
+    Jaccard path applies — is the production knob: work is Σ_shingle
+    df², and one boilerplate shingle with df=10⁶ would otherwise emit
+    10¹² pairs from a single join key. The cap filters the VOCABULARY
+    (sizes recomputed over the filtered rows, consistent with the
+    Jaccard path); a pasted subset-copy still shares its distinctive
+    shingles, so true containment survives while hot buckets vanish —
+    pinned on planted hot-shingle data in tests/test_dedup.py."""
+    srows = _cap_hot_shingles(shingle_rows(docs), max_shingle_df)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(F.col("doc_id").alias("doc_a"), "s")
     b = srows.select(F.col("doc_id").alias("doc_b"), "s")
@@ -1475,6 +1765,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered exact form of :func:`containment_pairs` (uncapped
+    vocabulary — bit-exact vs the DuckDB oracle; production callers
+    pass ``max_shingle_df`` for the 100 TB hot-shingle guard)."""
+    return containment_pairs(_docs(spark, sf_dir))
 
 
 ORACLE_CONTAINMENT = f"""
@@ -1609,11 +1906,14 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_validate": dedup_minhash_lsh_validate,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_validate": dedup_simhash_validate,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_validate": dedup_embedding_lsh_validate,
+    "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_incremental_minhash_validate": dedup_incremental_minhash_validate,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_canonical_corpus": dedup_canonical_corpus,
@@ -1634,17 +1934,22 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    # the probe picks the exact path on this fixture (see the
+    # dedup_embedding_auto docstring), so the exact oracle applies
+    "dedup_embedding_auto": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh_validate": ORACLE_DEDUP_EMBEDDING_LSH_VALIDATE,
     "dedup_minhash_lsh_validate": ORACLE_MINHASH_LSH_VALIDATE,
+    "dedup_simhash_validate": ORACLE_SIMHASH_VALIDATE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_minhash_validate": ORACLE_INCREMENTAL_MINHASH_VALIDATE,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,
     "dedup_containment": ORACLE_CONTAINMENT,
-    # dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 signatures
-    # aren't expressible in the oracle); recall pinned in tests, and
-    # minhash's found-iff-candidate invariant is driver-attested via
-    # dedup_minhash_lsh_validate above.
+    # dedup_minhash_lsh, dedup_simhash, dedup_incremental_minhash:
+    # rows-only (xxhash64 signatures aren't expressible in the
+    # oracle); recall pinned in tests, and each path's invariant is
+    # driver-attested via its *_validate twin above.
     # dedup_embedding_lsh: rows-only by contract (approximate recall
     # near the threshold); precision/recall pinned vs dedup_embedding
     # in tests/test_dedup.py, and the found-iff-cobucketed invariant

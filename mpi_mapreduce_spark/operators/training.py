@@ -839,13 +839,17 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def write_token_shards(
     docs: DataFrame, out_dir: str, shards: int = SHARD_COUNT
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Materialize the token-id stream as the binary artifact a
     trainer mmaps: one ``shard_{k}.bin`` of little-endian uint32 ids
     per shard (EOS separators included), written executor-side via
     temp-file + atomic rename (deterministic content ⇒ idempotent
-    re-write), plus a returned doc-boundary INDEX frame
-    (doc_id, shard, offset, n_tokens) for random access.
+    re-write). Returns ``(manifest, index)``: the per-shard write
+    manifest (shard, n_ids, n_bytes) and the doc-boundary INDEX frame
+    (doc_id, shard, offset, n_tokens) for random access. Both are
+    LAZY — the shard files are (re)written each time the manifest
+    frame is evaluated (idempotent by the atomic-rename discipline,
+    but callers should materialize it exactly once).
 
     The per-shard write is one applyInPandas task — the shard is the
     parallelism unit exactly as in training_pack_sequences; at real

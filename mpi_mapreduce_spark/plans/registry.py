@@ -97,83 +97,78 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-3 window (the driver checks the first DRIVER_CAP registered
+#: Round-4 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build):
-#: - the 37 queries with no driver CORRECTNESS row in rounds 1-2
-#:   (windows/streaming singles, graph, sketches, skew, dq, cdc,
-#:   analytics, asof-next, tpch q20-q22, multimodal tail — incl. the
-#:   two NEW real-decode queries), in prior registration order;
-#: - approx_distinct_counts / approx_percentile_order_prices, whose
-#:   banded oracles landed after their round-1 no_oracle rows;
-#: - ann_lsh_topk / ann_ivf_topk, upgraded this round from rows-only
-#:   to banded (exact top-k + invariant flags);
-#: - re-checks of every query whose implementation changed this round
-#:   (quantize/guard fixes, two-phase rank, lazy pair chunking);
-#: - six cross-module sanity re-checks to round out the cap.
+#: - the 15 round-3 queries registered after the round-3 window froze
+#:   (the only remaining never-driver-checked names, per VERDICT r3);
+#: - the 3 queries NEW this round (validate twins for the last two
+#:   rows-only dedup paths + the density-probed auto embedding path);
+#: - re-attests of every query whose implementation changed this
+#:   round (the hot-shingle-cap refactor touches ngram_jaccard_pairs
+#:   and its dependents; the exact-core/band-rows extraction touches
+#:   dedup_embedding and both embedding validate consumers);
+#: - 27 rotation re-checks of queries last attested in round 1
+#:   (TPC-H core, mapreduce parity, window/join/setops singles) so no
+#:   green row grows stale.
 _ROUND_PRIORITY = [
-    # -- never driver-checked (37) --
-    "multimodal_resize",
-    "multimodal_frame_energy",
-    "multimodal_wav_decode",
-    "multimodal_bmp_decode",
-    "events_tumbling_counts",
-    "events_trending_types",
-    "events_resampled_gapfill",
-    "events_sliding_counts",
-    "events_session_stats",
-    "events_first_per_user_type",
-    "events_user_totals",
-    "events_enriched_by_segment",
-    "graph_nation_pagerank",
-    "events_hll_user_rollup",
-    "events_asof_next_purchase",
-    "events_salted_type_stats",
-    "dq_audit_orders",
-    "dq_profile_documents",
-    "cdc_orders_rollforward",
-    "cdc_user_value_scd2",
-    "cdc_orders_snapshot_diff",
-    "customer_pseudonymize",
-    "customer_rfm_segments",
-    "events_interarrival_stats",
-    "orders_cohort_ltv",
-    "events_transition_matrix",
-    "events_value_anomalies",
-    "events_rolling_user_stats",
-    "events_retention_cohorts",
-    "orders_market_basket",
-    "customer_spend_deciles",
-    "order_price_histogram",
-    "text_pii_redaction",
-    "events_ohlc_bars",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_customer_balances",
-    # -- banded oracles the driver has not seen yet (6) --
-    "approx_distinct_counts",
-    "approx_percentile_order_prices",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_lsh_validate",
+    # -- never driver-checked (15, registered post-freeze in r3) --
+    "ann_int8_topk",
+    "dedup_canonical_corpus",
+    "dedup_containment",
+    "dedup_repeated_ngrams",
+    "dq_skew_report_events",
+    "embedding_int8_quantize",
+    "events_quantile_sketch",
+    "events_user_value_ewma",
+    "multimodal_audio_decimate",
+    "text_boilerplate_strip",
+    "text_bpe_encode",
+    "text_bpe_train_merges",
+    "training_epoch_shard",
+    "training_shard_manifest",
+    "training_split_cluster_safe",
+    # -- new this round (3) --
+    "dedup_simhash_validate",
+    "dedup_incremental_minhash_validate",
+    "dedup_embedding_auto",
+    # -- changed this round: re-attest (5) --
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
     "dedup_minhash_lsh_validate",
-    # -- changed this round: re-attest (6) --
-    "embedding_label_outliers",
-    "training_weighted_sample",
-    "training_weighted_sample_per_lang",
     "dedup_embedding",
-    "dedup_exact",
-    "dedup_incremental",
-    # -- new this round (1) --
-    "training_domain_quota",
+    "dedup_embedding_lsh_validate",
+    # -- rotation: last attested round 1 (27) --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "wordcount",
+    "map1_charclass",
+    "map2_letterfreq",
+    "map3_synthetic",
+    "window_topk_suppliers",
+    "events_funnel_conversion",
+    "join_range_price_band",
+    "customer_name_fuzzy_pairs",
+    "setops_customer_cohorts",
 ]
-# Queries ADDED after this window was frozen (the round-3 session's
-# 14 new operators: repeated-ngram/containment/canonical dedup,
-# boilerplate strip, BPE train+encode, int8 quantize + screened top-k,
-# epoch shard, shard manifest, quantile sketch, skew report, EWMA,
-# audio decimation) register after position 50 on purpose: displacing
-# re-attests of changed implementations would leave stale green rows.
-# All pass the full rehearsal (tools/rehearse.py) and are first in
-# line for the round-4 window.
+# With this window every one of the registered queries has at least
+# one green driver CORRECTNESS row across rounds 1-4 (the r3 verdict's
+# "never driver-checked" list is exactly the 15 promoted above).
 
 
 def _promote(names: list[str]) -> None:

@@ -346,6 +346,19 @@ def test_containment_catches_subset_copy_jaccard_misses(spark):
     assert (1, 2) not in jac  # the case jaccard structurally misses
 
 
+def _drop_doc_file(spark, tmp_path, src, name, rows):
+    """Stage a (doc_id, text) parquet file into the nightly src dir."""
+    import os
+
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "stage" / part), os.path.join(src, name))
+
+
 def test_nightly_dedup_update_two_nights(spark, tmp_path):
     """Night 1 seeds the index; night 2 reads ONLY the new file, flags
     the near-copy of a night-1 doc, keeps the novel doc, and the
@@ -362,13 +375,7 @@ def test_nightly_dedup_update_two_nights(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog again and again "
 
     def drop(name, rows):
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
-        part = next(
-            f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
-        )
-        os.replace(str(tmp_path / "stage" / part), os.path.join(src, name))
+        _drop_doc_file(spark, tmp_path, src, name, rows)
 
     drop(
         "n1.parquet",
@@ -391,3 +398,160 @@ def test_nightly_dedup_update_two_nights(spark, tmp_path):
     assert d3 is None and f3 == []
     # index now holds all four signatures
     assert spark.read.parquet(index).count() == 4
+
+
+def test_nightly_intra_batch_near_dups_keep_first(spark, tmp_path):
+    """Two near-identical docs arriving the SAME night: the lower
+    doc_id keeps, the higher is flagged — the round-3 hole where both
+    persisted forever (flags were computed only against the index,
+    and the ledger never re-examines a file)."""
+    import os
+
+    from mpi_mapreduce_spark.operators.dedup import nightly_dedup_update
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    _drop_doc_file(
+        spark,
+        tmp_path,
+        src,
+        "n1.parquet",
+        [
+            (1, base * 4),
+            (2, base * 4 + "tail tweak"),
+            (3, "completely different material " * 6),
+        ],
+    )
+    d1, _ = nightly_dedup_update(spark, src, ledger, index)
+    assert {r.doc_id: r.keep for r in d1.collect()} == {
+        1: True,
+        2: False,
+        3: True,
+    }
+
+
+def test_nightly_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between the index write and the ledger commit: the replay
+    must reproduce the SAME decisions (tonight's own persisted
+    signatures are excluded from the match side — without that, every
+    replayed doc self-matches 32/32 and flips keep→drop) and must not
+    duplicate index rows (the write is keyed by batch id and
+    overwrites)."""
+    import os
+    import shutil
+
+    from mpi_mapreduce_spark.operators.dedup import nightly_dedup_update
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    _drop_doc_file(
+        spark,
+        tmp_path,
+        src,
+        "n1.parquet",
+        [
+            (1, base * 4),
+            (2, base * 4 + "tail tweak"),
+            (3, "completely different material " * 6),
+        ],
+    )
+    d1, _ = nightly_dedup_update(spark, src, ledger, index)
+    first = {r.doc_id: (r.is_near_dup, r.keep) for r in d1.collect()}
+    n_index = spark.read.parquet(index).count()
+
+    # simulate the crash: index written, ledger commit lost
+    shutil.rmtree(ledger)
+    d2, f2 = nightly_dedup_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n1.parquet"]
+    assert {r.doc_id: (r.is_near_dup, r.keep) for r in d2.collect()} == first
+    assert spark.read.parquet(index).count() == n_index  # overwrite, not append
+
+
+def test_containment_hot_shingle_cap(spark):
+    """max_shingle_df on the containment path (the round-3 verdict's
+    one weak item): docs related ONLY through a corpus-wide hot
+    shingle must stop pairing at candidate-generation time, while a
+    true subset-copy keeps containment 1.0 over the filtered
+    vocabulary."""
+    hot = "the quick brown"
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e")
+        )
+    short = " ".join(f"w{j}" for j in range(12))
+    long_ = short + " " + " ".join(f"x{j}" for j in range(120))
+    rows.append((100, f"{hot} {short}"))
+    rows.append((101, f"{hot} {long_}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df, max_shingle_df=5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert capped == {(100, 101): 1.0}  # hot buckets gone, true pair kept
+
+
+def test_embedding_auto_path_selection(spark):
+    """The density probe: a separated corpus (tight planted pairs,
+    production-shape banding b=8/L=8 at threshold 0.9) must pick LSH
+    and find exactly the planted pairs; a threshold-hugging corpus
+    (every vector near-identical → every pair collides in every band)
+    must fall back to the exact blocked plan."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 16
+
+    def norm(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    rows, planted = [], set()
+    vid = 0
+    for c in range(20):
+        center = rng.randn(dim)
+        a, b = vid, vid + 1
+        for _ in range(2):
+            rows.append((vid, norm(center + 0.05 * rng.randn(dim))))
+            vid += 1
+        planted.add((a, b))
+    sep = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    pairs, path = D.embedding_neardup_auto(
+        sep, dim=dim, threshold=0.9, band_bits=8, n_bands=8
+    )
+    assert path == "lsh"
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert planted <= found
+
+    center = rng.randn(dim)
+    hug = spark.createDataFrame(
+        [(i, norm(center + 0.01 * rng.randn(dim))) for i in range(40)],
+        "vec_id long, v array<double>",
+    )
+    _, path2 = D.embedding_neardup_auto(
+        hug, dim=dim, threshold=0.9, band_bits=8, n_bands=8
+    )
+    assert path2 == "exact"
+
+
+def test_validate_twin_flags_pinned_true(spark, sf_dir):
+    """The two new banded twins: their invariant flags must be
+    literally TRUE on the fixture (the driver oracle pins the same)."""
+    sv = D.dedup_simhash_validate(spark, sf_dir)
+    assert sv.where(~F.col("found_iff_close")).count() == 0
+    iv = D.dedup_incremental_minhash_validate(spark, sf_dir)
+    assert iv.count() > 0
+    assert iv.where(~F.col("mh_implies_true_dup")).count() == 0

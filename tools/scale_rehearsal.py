@@ -7,8 +7,14 @@ duplication; events 10x with shifted users and a +7d-per-replica time
 offset; embeddings 5x), copies the unscaled TPC-H tables as controls,
 and times registered operators cold on the scratch data.
 
-    python tools/scale_rehearsal.py gen   [scratch_dir]
+    python tools/scale_rehearsal.py gen   [scratch_dir] [doc_evt_repl]
     python tools/scale_rehearsal.py time  name1,name2,... [scratch_dir] [sf_dir]
+
+``doc_evt_repl`` (default 10) scales documents and events; embeddings
+stay at 5× (the embedding ops have their own quadratic-by-contract
+story — see SCALING.md). The pseudo-name ``containment_capped:<df>``
+times the PRODUCTION form of dedup_containment (containment_pairs
+with the hot-shingle cap) which has no registered-query name.
 
 Method (matches SCALING.md): wall-clock, single cold run per operator
 on an otherwise idle box — factors are bounds, not benchmarks. The
@@ -37,9 +43,12 @@ COPY_TABLES = (
 )
 
 
-def gen(sf_dir: str, scratch: str) -> None:
+def gen(sf_dir: str, scratch: str, doc_evt_repl: int | None = None) -> None:
     import duckdb
 
+    global DOC_REPL, EVT_REPL
+    if doc_evt_repl is not None:
+        DOC_REPL = EVT_REPL = doc_evt_repl
     os.makedirs(scratch, exist_ok=True)
     con = duckdb.connect()
     src = lambda t: f"read_parquet('{sf_dir}/{t}.parquet')"  # noqa: E731
@@ -77,22 +86,36 @@ def gen(sf_dir: str, scratch: str) -> None:
         print(f"{t}: {n} rows")
 
 
-def time_ops(names: list[str], scratch: str, sf_dir: str) -> None:
+def _resolve(name):
     from mpi_mapreduce_spark.plans.registry import QUERIES
+
+    if name.startswith("containment_capped"):
+        cap = int(name.split(":")[1]) if ":" in name else 1000
+        from mpi_mapreduce_spark.datamodel import load_table
+        from mpi_mapreduce_spark.operators.dedup import containment_pairs
+
+        return lambda spark, d: containment_pairs(
+            load_table(spark, d, "documents"), max_shingle_df=cap
+        )
+    return QUERIES[name]
+
+
+def time_ops(names: list[str], scratch: str, sf_dir: str) -> None:
     from mpi_mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="mpi_mapreduce_spark-scale")
-    print("| operator | sf0.1 | 10x data | factor |")
+    print("| operator | sf0.1 | scaled data | factor |")
     for name in names:
+        fn = _resolve(name)
         # warm at base scale first (JVM/codegen/parquet footers), so
-        # the base and 10x timings are both steady-state and the
+        # the base and scaled timings are both steady-state and the
         # factor isn't polluted by one-time session costs
-        QUERIES[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         base = time.perf_counter() - t0
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, scratch).count()
+        n = fn(spark, scratch).count()
         big = time.perf_counter() - t0
         print(
             f"| {name} | {base:.1f} s | {big:.1f} s "
@@ -106,7 +129,8 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if mode == "gen":
         scratch = sys.argv[2] if len(sys.argv) > 2 else SCRATCH
-        gen(SF_DIR, scratch)
+        repl = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        gen(SF_DIR, scratch, repl)
     elif mode == "time":
         names = sys.argv[2].split(",")
         scratch = sys.argv[3] if len(sys.argv) > 3 else SCRATCH
