@@ -135,3 +135,55 @@ def test_positional_ngrams_match_python_reference(spark, docs, n):
         else:
             want[(i, 0)] = (len(ws), " ".join(ws))
     assert got == want
+
+
+def _py_shingle_set(ws, n=3):
+    if not ws:
+        return set()
+    if len(ws) >= n:
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    return {" ".join(ws)}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_words, min_size=2, max_size=6), cap=st.integers(1, 4))
+def test_capped_containment_matches_python_reference(spark, docs, cap):
+    """containment_pairs with max_shingle_df agrees with a direct
+    python derivation of the filtered-vocabulary semantics: drop every
+    shingle whose corpus doc-frequency exceeds the cap, THEN take
+    |A∩B| / min(|A|,|B|) over the filtered sets (sizes recomputed
+    post-filter — the same convention the capped Jaccard path uses)."""
+    import math
+    from collections import Counter
+
+    from mpi_mapreduce_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, max_shingle_df=cap).collect()
+    }
+    sh = {i: _py_shingle_set(ws) for i, ws in enumerate(docs)}
+    dfreq = Counter(s for S in sh.values() for s in S)
+    filt = {i: {s for s in S if dfreq[s] <= cap} for i, S in sh.items()}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            A, B = filt[a], filt[b]
+            inter = len(A & B)
+            if not A or not B or inter == 0:
+                continue
+            c = math.floor(inter / min(len(A), len(B)) * 1e6 + 0.5) / 1e6
+            if c >= CONTAINMENT_THRESHOLD:
+                want[(a, b)] = c
+    assert got == want
