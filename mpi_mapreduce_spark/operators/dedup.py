@@ -51,6 +51,11 @@ MINHASH_BANDS = 16
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 
+#: containment threshold: fraction of the SMALLER doc's shingles that
+#: the pair shares — catches a short doc pasted inside a long one,
+#: which symmetric Jaccard (and its length-band blocking) cannot see
+CONTAINMENT_THRESHOLD = 0.8
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -190,6 +195,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered exact form of :func:`ngram_jaccard_pairs` (uncapped
     vocabulary — bit-exact vs the DuckDB oracle)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+#: cap used by the REGISTERED *_capped twins: tuned to the sf0.01
+#: fixture's shingle-df distribution (max df 7; 2 of the 25 uncapped
+#: containment pairs drop at cap 2) so the driver attests the
+#: value-affecting filtered-vocabulary semantics — not a no-op pass
+#: through the cap code path. Production caps scale with the corpus
+#: (10⁴–10⁶ at 100 TB): the cap is a hot-KEY skew guard, not a
+#: similarity knob (see SCALING.md's 30× cap study).
+REGISTERED_DF_CAP = 2
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested form of the PRODUCTION hot-shingle guard: the
+    same filtered-vocabulary df-cap semantics the capped
+    :func:`ngram_jaccard_pairs` runs at scale, with a full DuckDB
+    oracle (the df filter is plain SQL) — upgrading the guard's
+    evidence from pytest-only to a hash-matched CORRECTNESS row."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), max_shingle_df=REGISTERED_DF_CAP
+    )
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -1643,6 +1669,81 @@ ORACLE_CANONICAL_CORPUS = f"""
 """
 
 
+def pipeline_canonical_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production DEDUP ORDERING, composed end-to-end: containment
+    subset-copy detection runs on the CANONICAL corpus — after
+    verbatim/near-dup clusters have collapsed to one representative —
+    not on the raw one. SCALING.md's 30× cap study is the reason: on a
+    replica-saturated corpus the containment join's df² work is
+    irreducible true-duplicate mass that no hot-key guard may remove,
+    but after canonicalization each cluster contributes ONE doc, df
+    reflects genuine cross-document sharing, and the hot-shingle cap
+    is back to guarding only boilerplate skew.
+
+    Composition of attested pieces: ngram-Jaccard pairs → iterative
+    connected components → keep ``doc_id == component`` → containment
+    pairs over the kept docs. The canonical filter is a semi-join on
+    doc_id (the table's natural key); everything heavy is inside the
+    already-audited pair/CC/containment stages."""
+    canon = (
+        dedup_canonical_corpus(spark, sf_dir)
+        .where(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    docs = _docs(spark, sf_dir).join(canon, "doc_id")
+    return containment_pairs(docs)
+
+
+ORACLE_PIPELINE_CANONICAL_CONTAINMENT = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ), canon AS (
+      SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    ), ctoks AS (
+      SELECT t.doc_id,
+             list_filter(string_split(lower(t.text), ' '), x -> x <> '') AS tok
+      FROM documents t JOIN canon USING (doc_id)
+    ), csh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM ctoks
+    ), cr AS (
+      SELECT doc_id, unnest(sh) AS s FROM csh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM cr GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM cr a JOIN cr b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND((ni::DOUBLE / least(na.n, nb.n)) * 1000000.0) / 1000000.0
+             AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE ROUND((ni::DOUBLE / least(na.n, nb.n)) * 1000000.0) / 1000000.0
+          >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 ORACLE_CONNECTED_COMPONENTS = f"""
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
@@ -1715,12 +1816,6 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
     return full.unionByName(short)
 
 
-#: containment threshold: fraction of the SMALLER doc's shingles that
-#: the pair shares — catches a short doc pasted inside a long one,
-#: which symmetric Jaccard (and its length-band blocking) cannot see
-CONTAINMENT_THRESHOLD = 0.8
-
-
 def containment_pairs(
     docs: DataFrame, max_shingle_df: int | None = None
 ) -> DataFrame:
@@ -1772,6 +1867,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — bit-exact vs the DuckDB oracle; production callers
     pass ``max_shingle_df`` for the 100 TB hot-shingle guard)."""
     return containment_pairs(_docs(spark, sf_dir))
+
+
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested form of the capped containment path (see
+    :func:`dedup_ngram_jaccard_capped` — same rationale: the df cap
+    is SQL-expressible, so the production guard gets a hash-matched
+    oracle instead of pytest-only evidence; at ``REGISTERED_DF_CAP``
+    the fixture's pair SET changes vs the uncapped query, proving the
+    filter is live)."""
+    return containment_pairs(
+        _docs(spark, sf_dir), max_shingle_df=REGISTERED_DF_CAP
+    )
+
+
+def _capped_rows_sql(cap: int) -> str:
+    """Shared DuckDB CTE chain: distinct (doc_id, n_chars, shingle)
+    rows with shingles of df > cap dropped from the vocabulary, plus
+    per-doc sizes recomputed POST-filter — the exact semantics of
+    ``_cap_hot_shingles`` + downstream sizes."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM toks
+    ), r AS (
+      SELECT doc_id, n_chars, unnest(sh) AS s FROM sh
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM r GROUP BY s
+    ), kept AS (
+      SELECT doc_id, n_chars, s FROM r JOIN dfreq USING (s)
+      WHERE df <= {cap}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    )
+    """
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = _capped_rows_sql(REGISTERED_DF_CAP) + f"""
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM kept a JOIN kept b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+       AND abs(a.n_chars // {LEN_BAND} - b.n_chars // {LEN_BAND}) <= 1
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND((ni::DOUBLE / (na.n + nb.n - ni)) * 1000000.0) / 1000000.0
+             AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE ROUND((ni::DOUBLE / (na.n + nb.n - ni)) * 1000000.0) / 1000000.0
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+ORACLE_CONTAINMENT_CAPPED = _capped_rows_sql(REGISTERED_DF_CAP) + f"""
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM kept a JOIN kept b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND((ni::DOUBLE / least(na.n, nb.n)) * 1000000.0) / 1000000.0
+             AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE ROUND((ni::DOUBLE / least(na.n, nb.n)) * 1000000.0) / 1000000.0
+          >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 ORACLE_CONTAINMENT = f"""
@@ -1903,6 +2077,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_validate": dedup_minhash_lsh_validate,
     "dedup_simhash": dedup_simhash,
@@ -1918,6 +2093,8 @@ QUERIES = {
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_canonical_corpus": dedup_canonical_corpus,
     "dedup_containment": dedup_containment,
+    "dedup_containment_capped": dedup_containment_capped,
+    "pipeline_canonical_containment": pipeline_canonical_containment,
 }
 
 ORACLE = {
@@ -1933,6 +2110,7 @@ ORACLE = {
         FROM documents
     """,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     # the probe picks the exact path on this fixture (see the
     # dedup_embedding_auto docstring), so the exact oracle applies
@@ -1946,6 +2124,8 @@ ORACLE = {
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,
     "dedup_containment": ORACLE_CONTAINMENT,
+    "dedup_containment_capped": ORACLE_CONTAINMENT_CAPPED,
+    "pipeline_canonical_containment": ORACLE_PIPELINE_CANONICAL_CONTAINMENT,
     # dedup_minhash_lsh, dedup_simhash, dedup_incremental_minhash:
     # rows-only (xxhash64 signatures aren't expressible in the
     # oracle); recall pinned in tests, and each path's invariant is

@@ -101,8 +101,9 @@ DRIVER_CAP = 50
 #: queries — this list IS that window, asserted in _build):
 #: - the 15 round-3 queries registered after the round-3 window froze
 #:   (the only remaining never-driver-checked names, per VERDICT r3);
-#: - the 3 queries NEW this round (validate twins for the last two
-#:   rows-only dedup paths + the density-probed auto embedding path);
+#: - the 5 queries NEW this round (validate twins for the last two
+#:   rows-only dedup paths, the density-probed auto embedding path,
+#:   and oracle-attested capped twins for both inverted-index guards);
 #: - re-attests of every query whose implementation changed this
 #:   round (the hot-shingle-cap refactor touches ngram_jaccard_pairs
 #:   and its dependents; the exact-core/band-rows extraction touches
@@ -127,17 +128,20 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (3) --
+    # -- new this round (6) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment_capped",
+    "pipeline_canonical_containment",
     # -- changed this round: re-attest (5) --
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (27) --
+    # -- rotation: last attested round 1 (24) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -162,9 +166,6 @@ _ROUND_PRIORITY = [
     "map3_synthetic",
     "window_topk_suppliers",
     "events_funnel_conversion",
-    "join_range_price_band",
-    "customer_name_fuzzy_pairs",
-    "setops_customer_cohorts",
 ]
 # With this window every one of the registered queries has at least
 # one green driver CORRECTNESS row across rounds 1-4 (the r3 verdict's

@@ -555,3 +555,16 @@ def test_validate_twin_flags_pinned_true(spark, sf_dir):
     iv = D.dedup_incremental_minhash_validate(spark, sf_dir)
     assert iv.count() > 0
     assert iv.where(~F.col("mh_implies_true_dup")).count() == 0
+
+
+def test_pipeline_canonical_containment_only_canonical_docs(spark, sf_dir):
+    """The composed ordering query must emit pairs ONLY between
+    canonical representatives — no replica/near-dup cluster member may
+    reach the containment stage."""
+    canon = {
+        r.doc_id
+        for r in D.dedup_canonical_corpus(spark, sf_dir).collect()
+        if r.is_canonical
+    }
+    for r in D.pipeline_canonical_containment(spark, sf_dir).collect():
+        assert r.doc_a in canon and r.doc_b in canon
