@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_canonical_corpus",
     "text_bpe_encode",
     "training_shard_manifest",
+    "dedup_semantic",
 ]
 
 

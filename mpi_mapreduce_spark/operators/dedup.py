@@ -1508,6 +1508,115 @@ def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means partition, then prune within
+# clusters only
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_flags(
+    emb: DataFrame, threshold: float = EMBED_DUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space (the distributed
+    spherical Lloyd in operators/similarity.py), then compare vectors
+    ONLY within their cluster — keep-first: a vector is a semantic dup
+    iff some LOWER vec_id in the same cluster has quantized cosine ≥
+    threshold.
+
+    This is the scale contract that makes embedding dedup tractable at
+    100 TB: the quadratic pair space shrinks from n² to Σ_c |c|² — with
+    balanced clusters a k-fold reduction, and the per-cluster work is
+    one applyInPandas task partitioned by cluster id (chunked numpy
+    scoring, same per-task memory discipline as dedup_embedding). The
+    trade is recall across cluster boundaries, which is SemDeDup's
+    published trade too; boundary behavior is deterministic here
+    because assignment argmax and cosines are quantized at scale 6 on
+    both engines.
+
+    Cluster sizing at 100 TB: the cluster is the parallelism AND
+    memory unit (per-task matrix is |c|·dim doubles, per-cluster wall
+    is O(|c|²·dim)), so production sets k ≈ n/10k to hold |c| near
+    10⁴ — SemDeDup itself runs k in the tens of thousands for
+    billion-doc corpora — and a skew-guard splits any runaway cluster
+    (re-run k-means within it) exactly like the LSH bucket cap."""
+    from mpi_mapreduce_spark.operators.similarity import kmeans_assignments
+
+    assigned = kmeans_assignments(emb).select("vec_id", "cluster")
+    data = assigned.join(emb, "vec_id")
+    raw_cut = threshold  # comparisons use the quantized dots directly
+
+    def _prune(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["v"].to_numpy()) if len(pdf) else np.zeros((0, 1))
+        dup = np.zeros(len(ids), dtype=bool)
+        chunk = 1 << 12  # caps the (chunk × cluster) score matrix
+        for s in range(1, len(ids), chunk):
+            rows = np.arange(s, min(s + chunk, len(ids)))
+            # dots of each chunk row against ALL cluster vectors,
+            # accumulated component-by-component: acc = ((0+p1)+p2)+…
+            # — the same per-pair left-fold add order as cumsum /
+            # list_dot_product, just batched across pairs
+            acc = np.zeros((len(rows), len(ids)))
+            for t in range(m.shape[1]):
+                acc += np.outer(m[rows][:, t], m[:, t])
+            q = (
+                np.where(
+                    acc >= 0,
+                    np.floor(acc * 1e6 + 0.5),
+                    np.ceil(acc * 1e6 - 0.5),
+                )
+                / 1e6
+            )
+            mask = ids[None, :] < ids[rows][:, None]
+            dup[rows] = np.any((q >= raw_cut) & mask, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "is_dup": dup,
+            }
+        )
+
+    flags = data.groupBy("cluster").applyInPandas(
+        _prune, "vec_id long, cluster int, is_dup boolean"
+    )
+    return flags.select(
+        "vec_id", "cluster", "is_dup", (~F.col("is_dup")).alias("keep")
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup: per-vector cluster + keep/drop decision,
+    fully oracle-checked (the k-means CTE chain is shared with
+    embedding_kmeans; the within-cluster EXISTS mirrors keep-first)."""
+    return semantic_dedup_flags(_normalized_embeddings(spark, sf_dir))
+
+
+def _oracle_dedup_semantic() -> str:
+    from mpi_mapreduce_spark.operators.similarity import KMEANS_SQL_CTE
+
+    return KMEANS_SQL_CTE + f"""
+    , semdup AS (
+      SELECT b.vec_id
+      FROM a1 a JOIN a1 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE {ex.sql_quantize('list_dot_product(na.v, nb.v)', 6)}
+            >= {EMBED_DUP_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT a1.vec_id, a1.cluster,
+           a1.vec_id IN (SELECT vec_id FROM semdup) AS is_dup,
+           NOT (a1.vec_id IN (SELECT vec_id FROM semdup)) AS keep
+    FROM a1
+"""
+
+
 _DEDUP_EMBEDDING_CTE = """
     WITH v AS (
       SELECT vec_id,
@@ -2095,6 +2204,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_containment_capped": dedup_containment_capped,
     "pipeline_canonical_containment": pipeline_canonical_containment,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLE = {
@@ -2126,6 +2236,7 @@ ORACLE = {
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_containment_capped": ORACLE_CONTAINMENT_CAPPED,
     "pipeline_canonical_containment": ORACLE_PIPELINE_CANONICAL_CONTAINMENT,
+    "dedup_semantic": _oracle_dedup_semantic(),
     # dedup_minhash_lsh, dedup_simhash, dedup_incremental_minhash:
     # rows-only (xxhash64 signatures aren't expressible in the
     # oracle); recall pinned in tests, and each path's invariant is

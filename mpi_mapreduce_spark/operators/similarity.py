@@ -829,6 +829,213 @@ ORACLE_ANN_IVF = _KNN_CTE + f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means over the full corpus — the clustering
+# stage of SemDeDup-style semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540) and a trainable coarse quantizer. Unlike
+# ivf_centroids (driver-side numpy over a bounded SAMPLE), the Lloyd
+# update here is a DISTRIBUTED exact aggregate over every vector, so
+# the operator itself scales with the corpus; only the k×dim centroid
+# table crosses the driver boundary each round (kilobytes — the same
+# bounded-collect contract as ivf_centroids, an AQE-style runtime
+# statistic, not a data collect).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+#: assignment rounds (assign → exact-mean update → assign): fixed and
+#: deterministic so the DuckDB oracle can mirror the arithmetic
+#: round-for-round. Production tuning raises it; the oracle pattern
+#: extends mechanically (one more CTE pair per round).
+KMEANS_ROUNDS = 2
+
+
+def _assign_struct(vec_col: F.Column, cents: list[list[float]]) -> F.Column:
+    """struct(cluster, cosine): nearest centroid by QUANTIZED dot
+    (scale 6, half-away-from-zero — the engine's cross-engine rounding
+    convention), ties to the lowest cluster id. Quantizing BEFORE the
+    argmax makes the winner identical in Spark and DuckDB even when
+    two dots differ only in the last ulp. Arrow-batched; the centroid
+    matrix ships in the closure (a broadcast variable in cluster
+    terms); dots are cumsum left-folds, bit-equal to
+    list_dot_product."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("cluster int, cosine double")
+    def _assign(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int32"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        m = np.vstack(xs.to_numpy())
+        c = np.asarray(cents, dtype=np.float64)
+        dots = np.stack(
+            [np.cumsum(m * c[j], axis=1)[:, -1] for j in range(len(c))],
+            axis=1,
+        )
+        # ROUND-half-away-from-zero at scale 6 (np.round is banker's)
+        q = (
+            np.where(
+                dots >= 0,
+                np.floor(dots * 1e6 + 0.5),
+                np.ceil(dots * 1e6 - 0.5),
+            )
+            / 1e6
+        )
+        best = np.argmax(q, axis=1)  # first max = lowest cluster id
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "cosine": q[np.arange(len(m)), best],
+            }
+        )
+
+    return _assign(vec_col)
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS
+) -> DataFrame:
+    """(vec_id, cluster, cosine) after ``rounds`` deterministic Lloyd
+    assignment rounds over a normalized ``(vec_id, v)`` frame.
+
+    - init: the vectors of the k lowest vec_ids (k-row bounded
+      collect; reproducible at any parallelism — no RNG);
+    - update: EXACT per-component mean via the engine's quantized-sum
+      discipline (posexplode → groupBy(cluster, i) → quantized_avg at
+      scale 6), so the distributed mean is order-independent and
+      SQL-mirrorable (functions/exact.py); the k×dim result is
+      collected (bounded), renormalized driver-side with the same
+      left-fold norm the oracle's list_dot_product uses, and
+      re-broadcast; empty clusters keep their previous centroid;
+    - assignment: quantized-dot argmax (see _assign_struct).
+
+    Per round: one corpus-wide Arrow assignment pass + one grouped
+    aggregate with map-side combine on (cluster, i) keys — shuffle
+    volume k·dim rows. No stage touches more than O(n·dim) data."""
+    import numpy as np
+
+    cents = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
+    for _ in range(rounds - 1):
+        assigned = emb.select(
+            "vec_id", _assign_struct(F.col("v"), cents).alias("a")
+        ).select("vec_id", F.col("a.cluster").alias("cluster"))
+        comp = assigned.join(emb, "vec_id").select(
+            "cluster", F.posexplode("v").alias("i", "x")
+        )
+        mrows = (
+            comp.groupBy("cluster", "i")
+            .agg(ex.quantized_avg("x", 6).alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in mrows:
+            by_c.setdefault(r.cluster, {})[r.i] = r.m
+        new_cents = []
+        for j, prev in enumerate(cents):
+            if j in by_c:
+                c = np.array(
+                    [by_c[j][i] for i in range(len(prev))], dtype=np.float64
+                )
+                nrm = np.sqrt(np.cumsum(c * c)[-1])
+                new_cents.append((c / nrm).tolist() if nrm > 0 else c.tolist())
+            else:
+                new_cents.append(prev)
+        cents = new_cents
+    out = emb.select("vec_id", _assign_struct(F.col("v"), cents).alias("a"))
+    return out.select(
+        "vec_id",
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.cosine").alias("cosine"),
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered k-means: cluster id + quantized cosine-to-centroid
+    per vector, fully oracle-checked (every arithmetic step — init,
+    quantized-dot argmax, exact quantized means, left-fold
+    renormalization — is mirrored CTE-for-CTE in DuckDB)."""
+    return kmeans_assignments(
+        normalized_corpus(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def _sql_norm(c: str) -> str:
+    """x / sqrt(Σx²) with the zero-norm guard normalize_arrow uses."""
+    return (
+        f"CASE WHEN list_dot_product({c}, {c}) > 0 "
+        f"THEN list_transform({c}, x -> x / sqrt(list_dot_product({c}, {c}))) "
+        f"ELSE {c} END"
+    )
+
+
+#: shared CTE chain: normalized corpus → init centroids → assignment 0
+#: → exact quantized means → renormalized centroids → final assignment
+#: (a1: one row per vec_id with cluster + quantized cosine). Mirrors
+#: kmeans_assignments round-for-round at KMEANS_ROUNDS = 2.
+KMEANS_SQL_CTE = f"""
+    WITH raw AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             CASE WHEN list_dot_product(e, e) > 0
+                  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                  ELSE e END AS v
+      FROM raw
+    ), init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM n ORDER BY vec_id LIMIT {KMEANS_K}
+    ), a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT n.vec_id, i.cluster,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {ex.sql_quantize('list_dot_product(n.v, i.c)', 6)} DESC,
+                          i.cluster ASC
+               ) AS rn
+        FROM n CROSS JOIN init i
+      ) WHERE rn = 1
+    ), comp0 AS (
+      SELECT a0.cluster, u.i, u.x
+      FROM a0 JOIN (
+        SELECT vec_id, unnest(range(len(v))) AS i, unnest(v) AS x FROM n
+      ) u USING (vec_id)
+    ), m1 AS (
+      SELECT cluster, i, {ex.sql_avg('x', 6)} AS m
+      FROM comp0 GROUP BY cluster, i
+    ), c1raw AS (
+      SELECT cluster, list(m ORDER BY i) AS c FROM m1 GROUP BY cluster
+    ), c1 AS (
+      SELECT i.cluster,
+             CASE WHEN r.c IS NULL THEN i.c
+                  ELSE {_sql_norm('r.c')} END AS c
+      FROM init i LEFT JOIN c1raw r USING (cluster)
+    ), a1 AS (
+      SELECT vec_id, cluster, q AS cosine FROM (
+        SELECT n.vec_id, c1.cluster,
+               {ex.sql_quantize('list_dot_product(n.v, c1.c)', 6)} AS q,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {ex.sql_quantize('list_dot_product(n.v, c1.c)', 6)} DESC,
+                          c1.cluster ASC
+               ) AS rn
+        FROM n CROSS JOIN c1
+      ) WHERE rn = 1
+    )
+"""
+
+ORACLE_KMEANS = KMEANS_SQL_CTE + """
+    SELECT vec_id, cluster, cosine FROM a1
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -837,6 +1044,7 @@ QUERIES = {
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
     "ann_int8_topk": ann_int8_topk,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLE = {
@@ -848,4 +1056,5 @@ ORACLE = {
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,
     # full exact oracle: the int8 screening is output-invariant
     "ann_int8_topk": ORACLE_KNN,
+    "embedding_kmeans": ORACLE_KMEANS,
 }

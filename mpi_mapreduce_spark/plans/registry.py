@@ -128,20 +128,22 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (6) --
+    # -- new this round (8) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
     "dedup_ngram_jaccard_capped",
     "dedup_containment_capped",
     "pipeline_canonical_containment",
+    "embedding_kmeans",
+    "dedup_semantic",
     # -- changed this round: re-attest (5) --
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (24) --
+    # -- rotation: last attested round 1 (22) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -164,8 +166,6 @@ _ROUND_PRIORITY = [
     "map1_charclass",
     "map2_letterfreq",
     "map3_synthetic",
-    "window_topk_suppliers",
-    "events_funnel_conversion",
 ]
 # With this window every one of the registered queries has at least
 # one green driver CORRECTNESS row across rounds 1-4 (the r3 verdict's

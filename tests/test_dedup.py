@@ -568,3 +568,43 @@ def test_pipeline_canonical_containment_only_canonical_docs(spark, sf_dir):
     }
     for r in D.pipeline_canonical_containment(spark, sf_dir).collect():
         assert r.doc_a in canon and r.doc_b in canon
+
+
+def test_semantic_dedup_flags_planted_pairs(spark):
+    """SemDeDup on planted near-identical pairs in separated
+    directions: each pair must co-cluster under the deterministic
+    k-means and its HIGHER vec_id must be flagged (keep-first), while
+    every vector gets exactly one decision row."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = []
+    vid = 0
+    for _c in range(16):
+        center = rng.randn(dim)
+        for _ in range(2):
+            v = center + 0.01 * rng.randn(dim)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r.vec_id: r for r in D.semantic_dedup_flags(emb).collect()}
+    assert len(out) == 32
+    for a in range(0, 32, 2):
+        b = a + 1
+        assert out[a].cluster == out[b].cluster
+        assert out[b].is_dup and not out[b].keep
+
+
+def test_kmeans_assignment_is_deterministic_and_total(spark, sf_dir):
+    """Every vector gets exactly one cluster in [0, k); two runs agree
+    exactly (quantized argmax + exact means: no RNG anywhere)."""
+    from mpi_mapreduce_spark.operators.similarity import (
+        KMEANS_K,
+        embedding_kmeans,
+    )
+
+    a = {r.vec_id: (r.cluster, r.cosine) for r in embedding_kmeans(spark, sf_dir).collect()}
+    b = {r.vec_id: (r.cluster, r.cosine) for r in embedding_kmeans(spark, sf_dir).collect()}
+    assert a == b
+    assert all(0 <= c < KMEANS_K for c, _ in a.values())
