@@ -2182,6 +2182,186 @@ ORACLE_REPEATED_NGRAMS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (maximal repeated token spans)
+# ---------------------------------------------------------------------------
+
+#: minimum duplicated run length in tokens — the k of the k-gram match
+#: seed (Lee et al., "Deduplicating Training Data Makes Language
+#: Models Better", uses 50 BPE tokens on web corpora; 8 word tokens
+#: keeps the fixture's planted shared passages detectable)
+SPAN_N = 8
+
+
+def duplicated_span_rows(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the
+    EXACT-SUBSTRING complement to document-level dedup: one row
+    ``(doc_id, span_start, span_end, span_tokens)`` per maximal run of
+    tokens that is covered by at least one ``n``-gram occurring in ≥ 2
+    distinct documents. This is the span-level operator behind
+    "remove every ≥k-token substring that repeats across the corpus"
+    (the suffix-array dedup of Lee et al. 2021) re-expressed on
+    Spark's relational primitives: the k-gram seed match replaces the
+    suffix array, and interval merging recovers maximality.
+
+    Plan — linear end to end, no pairwise term anywhere (contrast with
+    the inverted-index JOIN in containment_pairs: here the duplicated
+    gram SET is joined back to occurrences 1:1, so a hot gram
+    amplifies linearly, never df²):
+    positional gram rows (one window pass, codegen'd) → gram document
+    frequency over distinct (gram, doc) with map-side combine →
+    semi-join occurrences against the df ≥ 2 vocabulary (shuffle on
+    the gram string; at 100 TB the key becomes xxhash64(s) — 8-byte
+    shuffle rows — at the cost of the DuckDB-checkable property) →
+    per-doc gaps-and-islands merge of the fixed-length intervals
+    [q, q+n-1] (equal lengths ⇒ a lag() suffices, no prefix-max) →
+    grouped min/max per island. Both window passes share one
+    partitioning (doc_id), which Catalyst reuses.
+
+    Docs shorter than ``n`` tokens cannot contain an ``n``-token span
+    and are excluded by construction (``glen == n`` filters the
+    whole-doc short gram positional_ngram_rows emits)."""
+    occ = positional_ngram_rows(docs, n).where(F.col("glen") == n)
+    dup = (
+        occ.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("s")
+    )
+    starts = occ.join(dup, "s").select("doc_id", "q")
+    w = W.partitionBy("doc_id").orderBy("q")
+    # interval [q, q+n-1] merges with its predecessor when the start
+    # gap is ≤ n (overlap or exact adjacency → consecutive covered
+    # token positions); first row's NULL lag falls to the ELSE branch
+    flagged = starts.select(
+        "doc_id",
+        "q",
+        F.when(F.col("q") - F.lag("q", 1).over(w) <= n, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "q",
+        F.sum("brk")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("q").cast("long").alias("span_start"),
+        (F.max("q") + F.lit(n) - 1).cast("long").alias("span_end"),
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def substring_dup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Per-document duplicated-token exposure derived from
+    :func:`duplicated_span_rows`: how many of a doc's tokens sit
+    inside some cross-document repeated ≥n-token span — the corpus
+    report that decides span-removal thresholds before training.
+    Docs with no duplicated span come back with zeros (left join),
+    not silently dropped; token-less docs contribute nothing (same
+    contract as token_rows)."""
+    spans = duplicated_span_rows(docs, n)
+    per = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    ntok = token_rows(docs).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens")
+    )
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0)).cast("long")
+    return ntok.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        ex.quantize(
+            dup_tokens.cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`duplicated_span_rows` over documents."""
+    return duplicated_span_rows(_docs(spark, sf_dir))
+
+
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`substring_dup_stats` over documents."""
+    return substring_dup_stats(_docs(spark, sf_dir))
+
+
+#: shared CTE chain for both substring queries: full n-grams with
+#: start positions → df ≥ 2 vocabulary → covered starts → islands →
+#: maximal spans. Mirrors duplicated_span_rows stage for stage.
+_SUBSTRING_SPANS_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(tok) - {SPAN_N - 1}),
+                    i -> {{'q': i, 's': {_ngram_concat_sql(SPAN_N)}}}),
+                    recursive := true)
+      FROM toks WHERE len(tok) >= {SPAN_N}
+    ), dup AS (
+      SELECT s FROM (
+        SELECT s, count(DISTINCT doc_id) AS df FROM grams GROUP BY s
+      ) WHERE df >= 2
+    ), starts AS (
+      SELECT doc_id, q FROM grams JOIN dup USING (s)
+    ), flagged AS (
+      SELECT doc_id, q,
+             CASE WHEN q - lag(q) OVER (PARTITION BY doc_id ORDER BY q)
+                       <= {SPAN_N}
+                  THEN 0 ELSE 1 END AS brk
+      FROM starts
+    ), isl AS (
+      SELECT doc_id, q,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY q
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id,
+             CAST(MIN(q) AS BIGINT) AS span_start,
+             CAST(MAX(q) + {SPAN_N - 1} AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, island
+    )
+"""
+
+ORACLE_SUBSTRING_SPANS = _SUBSTRING_SPANS_CTE + """
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+"""
+
+ORACLE_SUBSTRING_STATS = _SUBSTRING_SPANS_CTE + """
+    , per AS (
+      SELECT doc_id,
+             SUM(span_end - span_start + 1) AS dup_tokens,
+             count(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    ), ntok AS (
+      SELECT doc_id, len(tok) AS n_tokens FROM toks WHERE len(tok) > 0
+    )
+    SELECT n.doc_id, n.n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           ROUND((CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / n.n_tokens)
+                 * 1000000.0) / 1000000.0 AS dup_frac
+    FROM ntok n LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_stats": dedup_exact_stats,
@@ -2205,6 +2385,8 @@ QUERIES = {
     "dedup_containment_capped": dedup_containment_capped,
     "pipeline_canonical_containment": pipeline_canonical_containment,
     "dedup_semantic": dedup_semantic,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_stats": dedup_substring_stats,
 }
 
 ORACLE = {
@@ -2237,6 +2419,8 @@ ORACLE = {
     "dedup_containment_capped": ORACLE_CONTAINMENT_CAPPED,
     "pipeline_canonical_containment": ORACLE_PIPELINE_CANONICAL_CONTAINMENT,
     "dedup_semantic": _oracle_dedup_semantic(),
+    "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
+    "dedup_substring_stats": ORACLE_SUBSTRING_STATS,
     # dedup_minhash_lsh, dedup_simhash, dedup_incremental_minhash:
     # rows-only (xxhash64 signatures aren't expressible in the
     # oracle); recall pinned in tests, and each path's invariant is

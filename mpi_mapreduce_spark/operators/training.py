@@ -925,6 +925,172 @@ ORACLE_SHARD_MANIFEST = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+
+#: hashed feature buckets — DSIR (Xie et al. 2023, "Data Selection
+#: for Language Models via Importance Resampling") uses 10k hashed
+#: n-gram buckets at web scale; 64 keeps the fixture's per-bucket
+#: counts dense enough to be meaningful at sf0.01
+DSIR_BUCKETS = 64
+#: the target distribution: docs from this source play the role of
+#: DSIR's high-quality target corpus (e.g. Wikipedia); everything
+#: else is the raw pool being scored
+DSIR_TARGET_SOURCE = "src0"
+#: how many raw docs the resampler keeps
+DSIR_TOPK = 100
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, dsir_logweight): per-document log importance weight
+    log p_target(doc)/p_raw(doc) under hashed-unigram bag-of-words
+    models with add-one smoothing — the DSIR scoring rule that selects
+    raw web data resembling a trusted target corpus.
+
+    Plan (all linear; the model is a 64-row broadcast):
+    - token rows once (one window pass, shared shape with
+      token_id_stream);
+    - the bucket of each DISTINCT word via the engine's cross-engine
+      polynomial char hash mod ``n_buckets`` (vocabulary-sized work,
+      joined back — the corpus is never re-scanned per feature);
+    - bucket unigram counts for target (source filter) and raw (all
+      docs) — two grouped counts with map-side combine, ``n_buckets``
+      result rows;
+    - per-bucket smoothed log ratio, quantized (scale 6), broadcast
+      back onto token rows; per-doc order-independent quantized sum.
+
+    At 100 TB nothing here exceeds one linear pass plus a
+    vocabulary-sized join: exactly the property that makes DSIR the
+    scalable alternative to model-based quality scoring."""
+    from mpi_mapreduce_spark.operators.dedup import token_rows
+
+    toks = token_rows(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    vocab = toks.select(F.col("tok").alias("w")).distinct()
+    chars = vocab.select(
+        "w", F.posexplode(F.split("w", "")).alias("i", "ch")
+    ).where(F.col("ch") != "")
+    buckets = chars.groupBy("w").agg(
+        (
+            (
+                F.sum(
+                    (F.col("i") + 1).cast("long")
+                    * F.ascii("ch").cast("long")
+                )
+                % F.lit(FP_MOD)
+                + 1
+            )
+            % n_buckets
+        ).alias("bucket")
+    )
+    tb = toks.join(buckets, toks.tok == buckets.w).select(
+        "doc_id", "source", "bucket"
+    )
+    raw_counts = tb.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_counts = (
+        tb.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw_total = tb.agg(F.count("*").alias("rr"))
+    tgt_total = tb.where(F.col("source") == target_source).agg(
+        F.count("*").alias("tt")
+    )
+    model = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            ex.quantize(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(n_buckets)))
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("rr") + F.lit(float(n_buckets)))
+                    )
+                ),
+                6,
+            ).alias("logratio"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(ex.quantized_sum("logratio", 6).alias("dsir_logweight"))
+    )
+
+
+def training_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered DSIR selection: the ``DSIR_TOPK`` raw documents
+    whose hashed-unigram importance weight is highest — physicalized
+    as TakeOrderedAndProject (per-partition heaps, no global sort),
+    ties broken on doc_id so the boundary is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_logweights(docs)
+    return w.orderBy(
+        F.desc("dsir_logweight"), F.asc("doc_id")
+    ).limit(DSIR_TOPK)
+
+
+_DSIR_HASH = (
+    "list_sum(list_transform(range(len(w)), i -> (i + 1) * ascii(w[i+1])))"
+    f" % {FP_MOD} + 1"
+)
+
+ORACLE_DSIR = f"""
+    WITH toks0 AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), tokpos AS (
+      SELECT doc_id, source, unnest(tok) AS w
+      FROM toks0 WHERE len(tok) > 0
+    ), buckets AS (
+      SELECT w, CAST(({_DSIR_HASH}) % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT w FROM tokpos)
+    ), tb AS (
+      SELECT t.doc_id, t.source, b.bucket
+      FROM tokpos t JOIN buckets b USING (w)
+    ), raw_counts AS (
+      SELECT bucket, count(*) AS cr FROM tb GROUP BY bucket
+    ), tgt_counts AS (
+      SELECT bucket, count(*) AS ct FROM tb
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ), totals AS (
+      SELECT (SELECT count(*) FROM tb) AS rr,
+             (SELECT count(*) FROM tb
+              WHERE source = '{DSIR_TARGET_SOURCE}') AS tt
+    ), model AS (
+      SELECT r.bucket,
+             {ex.sql_quantize(
+                 f"ln(((COALESCE(t.ct, 0) + 1.0) / (totals.tt + {float(DSIR_BUCKETS)}))"
+                 f" / ((r.cr + 1.0) / (totals.rr + {float(DSIR_BUCKETS)})))",
+                 6,
+             )} AS logratio
+      FROM raw_counts r
+      LEFT JOIN tgt_counts t USING (bucket)
+      CROSS JOIN totals
+    ), per AS (
+      SELECT tb.doc_id, {ex.sql_sum('m.logratio', 6)} AS dsir_logweight
+      FROM tb JOIN model m USING (bucket)
+      GROUP BY tb.doc_id
+    )
+    SELECT doc_id, dsir_logweight FROM per
+    ORDER BY dsir_logweight DESC, doc_id ASC
+    LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "training_mixture_resample": training_mixture_resample,
     "training_chunk_documents": training_chunk_documents,
@@ -943,6 +1109,7 @@ QUERIES = {
     "training_epoch_shard": training_epoch_shard,
     "training_shard_manifest": training_shard_manifest,
     "training_split_cluster_safe": training_split_cluster_safe,
+    "training_dsir_resample": training_dsir_resample,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -1011,6 +1178,7 @@ _MIX_VALUES = ", ".join(
 
 ORACLE = {
     "training_split_cluster_safe": _cluster_safe_oracle(),
+    "training_dsir_resample": ORACLE_DSIR,
     "training_shard_manifest": ORACLE_SHARD_MANIFEST,
     "training_epoch_shard": ORACLE_EPOCH_SHARD,
     "training_domain_quota": f"""

@@ -40,6 +40,7 @@ def _build() -> None:
         mapreduce,
         multimodal,
         relational,
+        retrieval,
         similarity,
         textops,
         tpch_full,
@@ -66,6 +67,7 @@ def _build() -> None:
     for mod in (
         dedup,
         similarity,
+        retrieval,
         textops,
         training,
         multimodal,
@@ -128,7 +130,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (8) --
+    # -- new this round (12) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -137,13 +139,17 @@ _ROUND_PRIORITY = [
     "pipeline_canonical_containment",
     "embedding_kmeans",
     "dedup_semantic",
+    "dedup_substring_spans",
+    "dedup_substring_stats",
+    "text_bm25_topk",
+    "training_dsir_resample",
     # -- changed this round: re-attest (5) --
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (22) --
+    # -- rotation: last attested round 1 (18) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -156,10 +162,6 @@ _ROUND_PRIORITY = [
     "q11_important_stock",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "wordcount",

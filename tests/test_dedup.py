@@ -608,3 +608,55 @@ def test_kmeans_assignment_is_deterministic_and_total(spark, sf_dir):
     b = {r.vec_id: (r.cluster, r.cosine) for r in embedding_kmeans(spark, sf_dir).collect()}
     assert a == b
     assert all(0 <= c < KMEANS_K for c, _ in a.values())
+
+
+def test_substring_spans_planted_shared_passage(spark):
+    # doc 1 and 2 share a 10-token passage (>= SPAN_N=8); doc 3 is
+    # unrelated. Expect ONE maximal span per sharing doc covering
+    # exactly the planted passage, nothing for doc 3.
+    passage = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb " + passage + " cc dd"),
+            (2, passage + " zz yy xx ww vv uu tt ss rr qq"),
+            (3, "totally unrelated words repeated nowhere else at all kk ll mm nn"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicated_span_rows(df).collect()
+    }
+    # doc 1: passage occupies token positions 2..11
+    assert spans[1] == (2, 11, 10)
+    # doc 2: positions 0..9
+    assert spans[2] == (0, 9, 10)
+    assert 3 not in spans
+
+
+def test_substring_spans_merge_adjacent_grams(spark):
+    # a 16-token shared prefix yields 9 overlapping 8-gram seeds that
+    # must merge into ONE maximal span, not 9 rows
+    shared = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, shared + " tail1 only1"), (2, shared + " tail2 only2")],
+        "doc_id long, text string",
+    )
+    rows = D.duplicated_span_rows(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.span_start, r.span_end, r.span_tokens) == (0, 15, 16)
+
+
+def test_substring_stats_zero_rows_kept(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "completely different tokens with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in D.substring_dup_stats(df).collect()}
+    assert stats[1].dup_tokens == 0 and stats[1].n_spans == 0
+    assert stats[1].dup_frac == 0.0
+    assert stats[2].n_tokens == 10

@@ -404,3 +404,39 @@ def test_cluster_safe_split_keeps_neardups_together(spark, sf_dir):
     for r in out:
         if sizes[r.component] == 1:
             assert r.split == plain[r.doc_id]
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from mpi_mapreduce_spark.operators.training import dsir_logweights
+
+    # target source docs speak "alpha beta"; raw pool has one doc in
+    # the target's vocabulary and one far from it — the target-like
+    # doc must get the higher importance weight
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha", "tgt"),
+            (2, "alpha beta beta alpha alpha beta", "tgt"),
+            (3, "alpha beta alpha alpha beta", "pool"),
+            (4, "zebra quux xylophone grommet flange", "pool"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(docs, target_source="tgt").collect()
+    }
+    assert w[3] > w[4]
+
+
+def test_dsir_resample_is_topk_and_deterministic(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.training import (
+        DSIR_TOPK,
+        training_dsir_resample,
+    )
+
+    a = training_dsir_resample(spark, sf_dir).collect()
+    b = training_dsir_resample(spark, sf_dir).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == DSIR_TOPK
+    scores = [r.dsir_logweight for r in a]
+    assert scores == sorted(scores, reverse=True)
