@@ -2289,6 +2289,49 @@ def substring_dup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     )
 
 
+def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """The actionable form of :func:`duplicated_span_rows` — Lee et
+    al. 2021 applied: every token inside a cross-document repeated
+    ≥n-token span is REMOVED and the document rebuilt token-exactly
+    from what's left. Returns (doc_id, n_tokens, n_removed,
+    clean_text); docs that are entirely duplicated span come back with
+    empty clean_text (left join), not silently dropped.
+
+    Same rebuild discipline as textops.strip_boilerplate: explode
+    spans to covered positions → anti-join against token rows →
+    per-doc ordered re-assembly (array_sort over (p, tok) structs —
+    deterministic, positions unique). Spans are disjoint per doc by
+    construction (maximal merged islands), so the covered frame needs
+    no distinct. All stages shuffle on doc_id — one partitioning,
+    reused."""
+    spans = duplicated_span_rows(docs, n)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("p"),
+    )
+    tokpos = token_rows(docs)
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    ntok = tokpos.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return ntok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`duplicated_span_rows` over documents."""
     return duplicated_span_rows(_docs(spark, sf_dir))
@@ -2297,6 +2340,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`substring_dup_stats` over documents."""
     return substring_dup_stats(_docs(spark, sf_dir))
+
+
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`strip_duplicated_spans` over documents."""
+    return strip_duplicated_spans(_docs(spark, sf_dir))
 
 
 #: shared CTE chain for both substring queries: full n-grams with
@@ -2344,6 +2392,31 @@ ORACLE_SUBSTRING_SPANS = _SUBSTRING_SPANS_CTE + """
     FROM spans
 """
 
+ORACLE_SUBSTRING_STRIP = _SUBSTRING_SPANS_CTE + """
+    , tokpos AS (
+      SELECT doc_id, unnest(range(len(tok))) AS p, unnest(tok) AS t
+      FROM toks WHERE len(tok) > 0
+    ), covered AS (
+      SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p
+      FROM spans
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.t
+      FROM tokpos t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.doc_id IS NULL
+    ), clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), ntok AS (
+      SELECT doc_id, len(tok) AS n_tokens FROM toks WHERE len(tok) > 0
+    )
+    SELECT n.doc_id, n.n_tokens,
+           n.n_tokens - COALESCE(c.n_kept, 0) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM ntok n LEFT JOIN clean c USING (doc_id)
+"""
+
 ORACLE_SUBSTRING_STATS = _SUBSTRING_SPANS_CTE + """
     , per AS (
       SELECT doc_id,
@@ -2387,6 +2460,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_stats": dedup_substring_stats,
+    "dedup_substring_strip": dedup_substring_strip,
 }
 
 ORACLE = {
@@ -2421,6 +2495,7 @@ ORACLE = {
     "dedup_semantic": _oracle_dedup_semantic(),
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_substring_stats": ORACLE_SUBSTRING_STATS,
+    "dedup_substring_strip": ORACLE_SUBSTRING_STRIP,
     # dedup_minhash_lsh, dedup_simhash, dedup_incremental_minhash:
     # rows-only (xxhash64 signatures aren't expressible in the
     # oracle); recall pinned in tests, and each path's invariant is

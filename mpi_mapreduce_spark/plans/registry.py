@@ -130,7 +130,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (12) --
+    # -- new this round (13) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -141,6 +141,7 @@ _ROUND_PRIORITY = [
     "dedup_semantic",
     "dedup_substring_spans",
     "dedup_substring_stats",
+    "dedup_substring_strip",
     "text_bm25_topk",
     "training_dsir_resample",
     # -- changed this round: re-attest (5) --
@@ -149,7 +150,7 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (18) --
+    # -- rotation: last attested round 1 (17) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -163,7 +164,6 @@ _ROUND_PRIORITY = [
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",
-    "q19_discounted_revenue",
     "wordcount",
     "map1_charclass",
     "map2_letterfreq",

@@ -660,3 +660,25 @@ def test_substring_stats_zero_rows_kept(spark):
     assert stats[1].dup_tokens == 0 and stats[1].n_spans == 0
     assert stats[1].dup_frac == 0.0
     assert stats[2].n_tokens == 10
+
+
+def test_substring_strip_removes_planted_passage(spark):
+    passage = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb " + passage + " cc dd"),
+            (2, passage + " zz yy xx ww vv uu tt ss rr qq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.strip_duplicated_spans(df).collect()}
+    assert out[1].clean_text == "aa bb cc dd"
+    assert out[1].n_removed == 10
+    assert out[2].clean_text == "zz yy xx ww vv uu tt ss rr qq"
+    # fully-duplicated doc comes back empty, not dropped
+    df2 = spark.createDataFrame(
+        [(1, passage), (2, passage)], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in D.strip_duplicated_spans(df2).collect()}
+    assert out2[1].clean_text == "" and out2[1].n_removed == 10
+    assert out2[2].clean_text == ""
