@@ -942,6 +942,42 @@ DSIR_TARGET_SOURCE = "src0"
 DSIR_TOPK = 100
 
 
+def hashed_bucket_rows(
+    docs: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(doc_id, source, bucket): one row per token occurrence with its
+    hashed feature bucket — the shared featurization under DSIR and
+    the logistic-regression quality classifier. The bucket of each
+    DISTINCT word comes from the engine's cross-engine polynomial
+    char hash mod ``n_buckets`` (vocabulary-sized work, joined back;
+    the corpus itself is scanned once)."""
+    from mpi_mapreduce_spark.operators.dedup import token_rows
+
+    toks = token_rows(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    vocab = toks.select(F.col("tok").alias("w")).distinct()
+    chars = vocab.select(
+        "w", F.posexplode(F.split("w", "")).alias("i", "ch")
+    ).where(F.col("ch") != "")
+    buckets = chars.groupBy("w").agg(
+        (
+            (
+                F.sum(
+                    (F.col("i") + 1).cast("long")
+                    * F.ascii("ch").cast("long")
+                )
+                % F.lit(FP_MOD)
+                + 1
+            )
+            % n_buckets
+        ).alias("bucket")
+    )
+    return toks.join(buckets, toks.tok == buckets.w).select(
+        "doc_id", "source", "bucket"
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_source: str = DSIR_TARGET_SOURCE,
@@ -967,31 +1003,7 @@ def dsir_logweights(
     At 100 TB nothing here exceeds one linear pass plus a
     vocabulary-sized join: exactly the property that makes DSIR the
     scalable alternative to model-based quality scoring."""
-    from mpi_mapreduce_spark.operators.dedup import token_rows
-
-    toks = token_rows(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    vocab = toks.select(F.col("tok").alias("w")).distinct()
-    chars = vocab.select(
-        "w", F.posexplode(F.split("w", "")).alias("i", "ch")
-    ).where(F.col("ch") != "")
-    buckets = chars.groupBy("w").agg(
-        (
-            (
-                F.sum(
-                    (F.col("i") + 1).cast("long")
-                    * F.ascii("ch").cast("long")
-                )
-                % F.lit(FP_MOD)
-                + 1
-            )
-            % n_buckets
-        ).alias("bucket")
-    )
-    tb = toks.join(buckets, toks.tok == buckets.w).select(
-        "doc_id", "source", "bucket"
-    )
+    tb = hashed_bucket_rows(docs, n_buckets)
     raw_counts = tb.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_counts = (
         tb.where(F.col("source") == target_source)
@@ -1091,6 +1103,222 @@ ORACLE_DSIR = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (distributed logistic regression)
+# ---------------------------------------------------------------------------
+
+#: full-batch gradient-descent rounds (weight updates); kept small so
+#: the oracle can unroll the training loop CTE-for-CTE — a production
+#: run raises this, the per-round cost is unchanged
+QL_ROUNDS = 2
+
+
+def quality_logreg_scores(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_buckets: int = DSIR_BUCKETS,
+    rounds: int = QL_ROUNDS,
+) -> DataFrame:
+    """(doc_id, logit, prob, keep): a fasttext-style model-based
+    quality filter — binary logistic regression on hashed-unigram
+    counts, weakly labeled "does this doc come from the trusted
+    source", trained with ``rounds`` full-batch gradient steps and
+    then scored over the whole corpus. The model-based counterpart to
+    DSIR's closed-form likelihood ratio (same feature space, shared
+    :func:`hashed_bucket_rows`).
+
+    Distributed-training shape (the k-means pattern, similarity.py):
+    the MODEL (n_buckets weights + bias) is a bounded driver collect
+    re-broadcast each round; the DATA is never collected. Per round:
+    one broadcast join + per-doc quantized-sum for logits (linear),
+    one grouped quantized-sum for gradients (map-side combine,
+    n_buckets result rows). Total: rounds + 1 linear passes.
+
+    Exactness discipline (what makes 2 training rounds hash-match a
+    DuckDB oracle bit for bit): every per-row contribution is
+    quantized (scale 6) before its order-independent quantized_sum;
+    probabilities come from exp() on identical quantized logits; the
+    learning rate is exactly 1 so weight updates are single IEEE
+    subtractions of already-quantized values — the driver-side Python
+    arithmetic (negate/subtract, never re-round) is reproducible in
+    SQL with the same ops."""
+    tb = hashed_bucket_rows(docs, n_buckets)
+    counts = tb.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("source") == target_source, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    n_docs = float(docs.count())
+
+    spark = docs.sparkSession
+    weights = {b: 0.0 for b in range(n_buckets)}
+    bias = 0.0
+
+    def _logits(wrows: DataFrame) -> DataFrame:
+        contrib = ex.quantize(F.col("cnt") * F.col("wgt"), 6)
+        s = (
+            counts.join(F.broadcast(wrows), "bucket")
+            .select("doc_id", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(ex.quantized_sum("c", 6).alias("s"))
+        )
+        return y.join(s, "doc_id", "left").select(
+            "doc_id",
+            "y",
+            (F.coalesce("s", F.lit(0.0)) + F.lit(bias)).alias("logit"),
+        )
+
+    def _wframe() -> DataFrame:
+        return spark.createDataFrame(
+            [(b, w) for b, w in sorted(weights.items())],
+            "bucket long, wgt double",
+        )
+
+    for _ in range(rounds):
+        lg = _logits(_wframe())
+        err = lg.select(
+            "doc_id",
+            (
+                ex.quantize(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6
+                )
+                - F.col("y")
+            ).alias("err"),
+        )
+        g = (
+            counts.join(err, "doc_id")
+            .select(
+                "bucket",
+                ex.quantize(F.col("cnt") * F.col("err"), 6).alias("c"),
+            )
+            .groupBy("bucket")
+            .agg(
+                ex.quantize(
+                    ex.quantized_sum("c", 6) / F.lit(n_docs), 6
+                ).alias("g")
+            )
+        )
+        grads = {r.bucket: r.g for r in g.collect()}
+        bg_row = err.agg(
+            ex.quantize(
+                ex.quantized_sum("err", 6) / F.lit(n_docs), 6
+            ).alias("bg")
+        ).collect()[0]
+        # learning rate 1: plain subtraction of quantized values —
+        # bit-reproducible, never re-rounded driver-side
+        for b in range(n_buckets):
+            weights[b] = weights[b] - grads.get(b, 0.0)
+        bias = bias - bg_row.bg
+
+    final = _logits(_wframe())
+    logit_q = ex.quantize(F.col("logit"), 6)
+    return final.select(
+        "doc_id",
+        logit_q.alias("logit"),
+        ex.quantize(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_q)), 6
+        ).alias("prob"),
+        (logit_q > 0).alias("keep"),
+    )
+
+
+def training_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`quality_logreg_scores` over documents."""
+    return quality_logreg_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _logreg_oracle(rounds: int = QL_ROUNDS) -> str:
+    """Unrolled CTE mirror of quality_logreg_scores: one (g{r}, w{r},
+    b{r}) block per gradient round, then final scoring — the same
+    loop-unrolling discipline as the BPE and k-means oracles."""
+    q = ex.sql_quantize
+    hash_expr = (
+        "list_sum(list_transform(range(len(w)), i -> (i + 1) * ascii(w[i+1])))"
+        f" % {FP_MOD} + 1"
+    )
+    head = f"""
+    WITH toks0 AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), tokpos AS (
+      SELECT doc_id, source, unnest(tok) AS w
+      FROM toks0 WHERE len(tok) > 0
+    ), buckets AS (
+      SELECT w, CAST(({hash_expr}) % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT w FROM tokpos)
+    ), tb AS (
+      SELECT t.doc_id, b.bucket
+      FROM tokpos t JOIN buckets b USING (w)
+    ), counts AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM tb GROUP BY doc_id, bucket
+    ), y AS (
+      SELECT doc_id,
+             CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), w0 AS (
+      SELECT CAST(unnest(range({DSIR_BUCKETS})) AS BIGINT) AS bucket,
+             0.0 AS wgt
+    ), b0 AS (SELECT 0.0 AS bias)
+    """
+    blocks = []
+    for r in range(rounds):
+        p, c = r, r + 1  # previous / current round suffix
+        blocks.append(f"""
+    , s{c} AS (
+      SELECT counts.doc_id, {ex.sql_sum(q('counts.cnt * w.wgt', 6), 6)} AS s
+      FROM counts JOIN w{p} w USING (bucket)
+      GROUP BY counts.doc_id
+    ), lg{c} AS (
+      SELECT y.doc_id, y.y,
+             COALESCE(s{c}.s, 0.0) + (SELECT bias FROM b{p}) AS logit
+      FROM y LEFT JOIN s{c} USING (doc_id)
+    ), err{c} AS (
+      SELECT doc_id,
+             {q('1.0 / (1.0 + exp(-logit))', 6)} - y AS err
+      FROM lg{c}
+    ), g{c} AS (
+      SELECT counts.bucket,
+             {q(f"({ex.sql_sum(q('counts.cnt * err%d.err' % c, 6), 6)}) / (SELECT n FROM nn)", 6)} AS g
+      FROM counts JOIN err{c} USING (doc_id)
+      GROUP BY counts.bucket
+    ), w{c} AS (
+      SELECT w{p}.bucket, w{p}.wgt - COALESCE(g{c}.g, 0.0) AS wgt
+      FROM w{p} LEFT JOIN g{c} USING (bucket)
+    ), b{c} AS (
+      SELECT (SELECT bias FROM b{p})
+             - ({q(f"({ex.sql_sum(q('err', 6), 6)}) / (SELECT n FROM nn)", 6)})
+               AS bias
+      FROM err{c}
+    )
+        """)
+    tail = f"""
+    , sf AS (
+      SELECT counts.doc_id, {ex.sql_sum(q('counts.cnt * w.wgt', 6), 6)} AS s
+      FROM counts JOIN w{rounds} w USING (bucket)
+      GROUP BY counts.doc_id
+    ), lgf AS (
+      SELECT y.doc_id,
+             {q(f"COALESCE(sf.s, 0.0) + (SELECT bias FROM b{rounds})", 6)}
+               AS logit
+      FROM y LEFT JOIN sf USING (doc_id)
+    )
+    SELECT doc_id, logit,
+           {q('1.0 / (1.0 + exp(-logit))', 6)} AS prob,
+           logit > 0 AS keep
+    FROM lgf
+    """
+    return head + "".join(blocks) + tail
+
+
+ORACLE_QUALITY_LOGREG = _logreg_oracle()
+
+
 QUERIES = {
     "training_mixture_resample": training_mixture_resample,
     "training_chunk_documents": training_chunk_documents,
@@ -1110,6 +1338,7 @@ QUERIES = {
     "training_shard_manifest": training_shard_manifest,
     "training_split_cluster_safe": training_split_cluster_safe,
     "training_dsir_resample": training_dsir_resample,
+    "training_quality_logreg": training_quality_logreg,
 }
 
 _TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -1179,6 +1408,7 @@ _MIX_VALUES = ", ".join(
 ORACLE = {
     "training_split_cluster_safe": _cluster_safe_oracle(),
     "training_dsir_resample": ORACLE_DSIR,
+    "training_quality_logreg": ORACLE_QUALITY_LOGREG,
     "training_shard_manifest": ORACLE_SHARD_MANIFEST,
     "training_epoch_shard": ORACLE_EPOCH_SHARD,
     "training_domain_quota": f"""

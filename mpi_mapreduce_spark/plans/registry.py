@@ -130,7 +130,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (13) --
+    # -- new this round (14) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -144,13 +144,14 @@ _ROUND_PRIORITY = [
     "dedup_substring_strip",
     "text_bm25_topk",
     "training_dsir_resample",
+    "training_quality_logreg",
     # -- changed this round: re-attest (5) --
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (17) --
+    # -- rotation: last attested round 1 (16) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -160,7 +161,6 @@ _ROUND_PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",

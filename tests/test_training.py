@@ -440,3 +440,35 @@ def test_dsir_resample_is_topk_and_deterministic(spark, sf_dir):
     assert len(a) == DSIR_TOPK
     scores = [r.dsir_logweight for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_logreg_separates_sources(spark):
+    from mpi_mapreduce_spark.operators.training import quality_logreg_scores
+
+    # trusted docs speak one vocabulary, raw docs another; after two
+    # GD rounds the classifier must rank a trusted-vocab doc above a
+    # raw-vocab doc
+    rows = []
+    for i in range(8):
+        rows.append((i, "alpha beta gamma alpha beta gamma", "tgt"))
+    for i in range(8, 24):
+        rows.append((i, "zebra quux flange grommet zebra quux", "pool"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in quality_logreg_scores(docs, target_source="tgt").collect()}
+    assert out[0].prob > out[20].prob
+    assert out[0].keep != out[20].keep or out[0].logit > out[20].logit
+
+
+def test_quality_logreg_deterministic(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.training import training_quality_logreg
+
+    a = sorted(
+        (r.doc_id, r.logit, r.prob, r.keep)
+        for r in training_quality_logreg(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.logit, r.prob, r.keep)
+        for r in training_quality_logreg(spark, sf_dir).collect()
+    )
+    assert a == b
+    assert all(0.0 <= p <= 1.0 for _, _, p, _ in a)
