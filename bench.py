@@ -54,6 +54,10 @@ HEADLINE = [
     "text_bpe_encode",
     "training_shard_manifest",
     "dedup_semantic",
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "training_dsir_resample",
+    "training_quality_logreg",
 ]
 
 

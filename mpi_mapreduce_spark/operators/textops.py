@@ -206,6 +206,84 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity signals: unigram Shannon entropy
+    (nats) and type-token ratio — the Gopher-style repetitiveness
+    screens (low entropy / low TTR ⇒ templated or degenerate text)
+    that complement text_repetition_score's n-gram view.
+
+    One explode + two grouped aggregates, both with map-side combine;
+    the per-term entropy contribution −(c/n)·ln(c/n) is quantized
+    per row before the order-independent quantized sum, so the
+    distributed result is bit-identical to the oracle. Linear at any
+    scale; shuffles once on (doc_id, term), once on doc_id — the
+    second groupBy reuses the first's partitioning prefix."""
+    return unigram_entropy_stats(_docs(spark, sf_dir))
+
+
+def unigram_entropy_stats(docs: DataFrame) -> DataFrame:
+    """Core of :func:`text_unigram_entropy` over any (doc_id, text)
+    frame — separated so tests can pin the entropy extremes."""
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    per = tc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    # entropy needs n per doc on each (doc, term) row: one more pass
+    # over tc joined with the per-doc totals (broadcast is wrong here
+    # — the totals frame is corpus-sized — so this is a doc_id
+    # equi-join on the partitioning tc already has)
+    contrib = ex.quantize(
+        -(F.col("c") / F.col("n_tokens"))
+        * F.log(F.col("c") / F.col("n_tokens")),
+        6,
+    )
+    ent = (
+        tc.join(per, "doc_id")
+        .select("doc_id", contrib.alias("h"))
+        .groupBy("doc_id")
+        .agg(ex.quantized_sum("h", 6).alias("entropy"))
+    )
+    return per.join(ent, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        ex.quantize(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+        "entropy",
+    )
+
+
+ORACLE_UNIGRAM_ENTROPY = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(tok) AS term FROM toks
+    ), tc AS (
+      SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term
+    ), per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM tc GROUP BY doc_id
+    ), ent AS (
+      SELECT tc.doc_id,
+             {ex.sql_sum(ex.sql_quantize('-(CAST(tc.c AS DOUBLE) / per.n_tokens) * ln(CAST(tc.c AS DOUBLE) / per.n_tokens)', 6), 6)}
+               AS entropy
+      FROM tc JOIN per USING (doc_id)
+      GROUP BY tc.doc_id
+    )
+    SELECT per.doc_id, per.n_tokens, per.n_types,
+           {ex.sql_quantize('CAST(per.n_types AS DOUBLE) / per.n_tokens', 6)} AS ttr,
+           ent.entropy
+    FROM per JOIN ent USING (doc_id)
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic keyword/topic
     extractor in front of corpus curation and retrieval indexing.
@@ -859,6 +937,7 @@ QUERIES = {
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode": text_bpe_encode,
+    "text_unigram_entropy": text_unigram_entropy,
 }
 
 
@@ -869,6 +948,7 @@ def _oracle_hits(lang: str) -> str:
 
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
+    "text_unigram_entropy": ORACLE_UNIGRAM_ENTROPY,
     "text_distribution_drift": ORACLE_DRIFT,
     "text_boilerplate_strip": ORACLE_BOILERPLATE,
     "text_bpe_train_merges": ORACLE_BPE_MERGES,

@@ -130,7 +130,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (14) --
+    # -- new this round (15) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -145,13 +145,14 @@ _ROUND_PRIORITY = [
     "text_bm25_topk",
     "training_dsir_resample",
     "training_quality_logreg",
+    "text_unigram_entropy",
     # -- changed this round: re-attest (5) --
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (16) --
+    # -- rotation: last attested round 1 (15) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -160,7 +161,6 @@ _ROUND_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",

@@ -253,3 +253,36 @@ def test_bpe_encode_counts_match_hand_tokenization(spark):
     )
     out = {r.w: r.n_sym for r in vocab.collect()}
     assert out == {"aa": 1, "ab": 1, "b": 1}
+
+
+def test_unigram_entropy_extremes(spark):
+    import math
+
+    from mpi_mapreduce_spark.operators.textops import unigram_entropy_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "same same same same"),     # zero entropy, ttr 1/4
+            (2, "all four tokens differ"),  # max entropy ln(4), ttr 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_entropy_stats(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].ttr == 0.25
+    assert abs(out[2].entropy - math.log(4)) < 1e-5
+    assert out[2].ttr == 1.0
+
+
+def test_unigram_entropy_fixture_bounds(spark, sf_dir):
+    import math
+
+    from mpi_mapreduce_spark.operators.textops import text_unigram_entropy
+
+    res = text_unigram_entropy(spark, sf_dir).collect()
+    assert res
+    for r in res:
+        assert 0.0 <= r.ttr <= 1.0
+        # per-term contributions are quantized at 1e-6, so the sum may
+        # sit up to n_types * 5e-7 above the analytic bound
+        assert 0.0 <= r.entropy <= math.log(r.n_types) + r.n_types * 5e-7 + 1e-9
+        assert r.n_types <= r.n_tokens
