@@ -807,7 +807,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs once, not four times; ~25% off the whole op at sf0.1,
     and the same call a production LSH pipeline makes (Spark ML's
     approxSimilarityJoin persists its transformed inputs too)."""
-    srows = shingle_rows(_docs(spark, sf_dir)).persist()
+    return minhash_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def minhash_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_minhash_lsh` over any (doc_id, text) frame
+    — separated so the composed production ordering (exact dedup →
+    canonical corpus → minhash on the collapsed corpus) can reuse it;
+    the 100× scale rehearsal shows why that ordering is mandatory:
+    verbatim replica groups wider than the 64-doc bucket cap would
+    otherwise be dropped wholesale (SCALING.md)."""
+    srows = shingle_rows(docs).persist()
     cands = _minhash_candidates(srows)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = srows.select(F.col("doc_id").alias("doc_a"), "s")

@@ -146,13 +146,14 @@ _ROUND_PRIORITY = [
     "training_dsir_resample",
     "training_quality_logreg",
     "text_unigram_entropy",
-    # -- changed this round: re-attest (5) --
+    # -- changed this round: re-attest (6) --
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (15) --
+    # -- rotation: last attested round 1 (14) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -160,7 +161,6 @@ _ROUND_PRIORITY = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",
