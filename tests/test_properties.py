@@ -187,3 +187,54 @@ def test_capped_containment_matches_python_reference(spark, docs, cap):
             if c >= CONTAINMENT_THRESHOLD:
                 want[(a, b)] = c
     assert got == want
+
+
+# longer docs so ≥SPAN_N-token repeats can actually occur; tiny
+# alphabet makes shared n-grams likely
+_span_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=1), min_size=0, max_size=24
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_span_words, min_size=2, max_size=4), n=st.integers(2, 4))
+def test_duplicated_spans_match_python_reference(spark, docs, n):
+    """duplicated_span_rows agrees with a direct python derivation:
+    mark every token covered by an n-gram occurring in >= 2 distinct
+    docs, then emit maximal runs of covered positions."""
+    from mpi_mapreduce_spark.operators.dedup import duplicated_span_rows
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_span_rows(df, n).collect()
+    }
+
+    # python reference: gram -> set of docs, covered positions, islands
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, ws in enumerate(docs):
+        for q in range(len(ws) - n + 1):
+            gram_docs[tuple(ws[q : q + n])].add(i)
+    want = set()
+    for i, ws in enumerate(docs):
+        covered = set()
+        for q in range(len(ws) - n + 1):
+            if len(gram_docs[tuple(ws[q : q + n])]) >= 2:
+                covered.update(range(q, q + n))
+        run = []
+        for p in sorted(covered) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((i, run[0], run[-1], len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == want
