@@ -1036,6 +1036,285 @@ ORACLE_KMEANS = KMEANS_SQL_CTE + """
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+#: 64-dim embeddings → 4 subspaces × 16 dims, 16 centroids each:
+#: a vector compresses to 4 bytes of codes (16× smaller than float32),
+#: which is what makes billion-vector ANN fit executor memory at all
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 16
+
+
+def _raw_corpus(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", VEC.as_double(F.col("embedding")).alias("e")
+    )
+
+
+def _pq_codes(cents: list[list[list[float]]]):
+    """pandas_udf: full vector → array of PQ_M codes. Per subspace:
+    quantized (scale 6, half-away) L2 to each of the K centroids via a
+    cumsum left fold (bit-equal to the oracle's list_dot_product of
+    the difference), argmin with first-min = lowest code."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _codes(xs):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(xs.to_numpy())
+        out = np.empty((len(m), PQ_M), dtype=np.int32)
+        for mi in range(PQ_M):
+            sub = m[:, mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM]
+            c = np.asarray(cents[mi], dtype=np.float64)
+            d = np.stack(
+                [
+                    np.cumsum((sub - c[k]) ** 2, axis=1)[:, -1]
+                    for k in range(len(c))
+                ],
+                axis=1,
+            )
+            q = np.floor(d * 1e6 + 0.5) / 1e6  # d >= 0: half-away
+            out[:, mi] = np.argmin(q, axis=1)
+        return pd.Series(list(out))
+
+    return _codes
+
+
+def pq_codebooks(raw: DataFrame) -> list[list[list[float]]]:
+    """Train PQ_M codebooks of PQ_K centroids with one deterministic
+    quantized-Lloyd update (the kmeans_assignments recipe per
+    subspace, L2 on raw values, no renormalization):
+
+    - init: subvector slices of the PQ_K lowest vec_ids (bounded
+      collect, no RNG);
+    - assign: one Arrow pass codes ALL subspaces (the corpus is read
+      once per round, not once per subspace);
+    - update: posexplode splits the global dim index into (m, i);
+      grouped exact quantized means on (m, code, i) — map-side
+      combine, PQ_M·PQ_K·PQ_SUBDIM = 1024 result rows collected;
+      empty cells keep their previous centroid."""
+    first = raw.orderBy("vec_id").limit(PQ_K).collect()
+    cents = [
+        [
+            list(r.e[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM])
+            for r in first
+        ]
+        for mi in range(PQ_M)
+    ]
+    cm = raw.select(
+        "vec_id", F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code")
+    )
+    comp = raw.select(
+        "vec_id", F.posexplode("e").alias("gi", "x")
+    ).select(
+        "vec_id",
+        (F.col("gi") / F.lit(PQ_SUBDIM)).cast("int").alias("m"),
+        (F.col("gi") % F.lit(PQ_SUBDIM)).alias("i"),
+        "x",
+    )
+    mrows = (
+        comp.join(cm, ["vec_id", "m"])
+        .groupBy("m", "code", "i")
+        .agg(ex.quantized_avg("x", 6).alias("mean"))
+        .collect()
+    )
+    by_cell: dict[tuple[int, int], dict[int, float]] = {}
+    for r in mrows:
+        by_cell.setdefault((r.m, r.code), {})[r.i] = r.mean
+    return [
+        [
+            (
+                [by_cell[(mi, k)][i] for i in range(PQ_SUBDIM)]
+                if (mi, k) in by_cell
+                else cents[mi][k]
+            )
+            for k in range(PQ_K)
+        ]
+        for mi in range(PQ_M)
+    ]
+
+
+def _l2_fold(a, b):
+    """Σ (a_i - b_i)² as a sequential left fold — mirror of the
+    oracle's list_dot_product over the difference list. Interpreted
+    HOF, used only on bounded frames (queries × centroids)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: top-k by asymmetric-distance (ADC)
+    over 4-byte PQ codes. The similarity family's compression tier —
+    brute/int8/LSH/IVF bound compute; PQ bounds MEMORY (16× smaller
+    corpus representation), the binding constraint for billion-vector
+    serving.
+
+    Plan at scale: codebook training is bounded driver collects (1024
+    doubles/round); encoding is one Arrow pass (the write-side
+    compression job); the query LUT is N_QUERIES·PQ_M·PQ_K = 320
+    quantized L2 values built on bounded frames and broadcast; the
+    scoring scan is linear over the CODES (n·4 ints, not n·64
+    floats) joined to the broadcast LUT with map-side combine on
+    (query, vec). Fully oracle-checked: every arithmetic step (init
+    slices, quantized-L2 argmin, exact quantized means, LUT, ADC sum,
+    rank) is mirrored CTE-for-CTE in DuckDB."""
+    return pq_adc_topk(_raw_corpus(load_table(spark, sf_dir, "embeddings")))
+
+
+def pq_adc_topk(raw: DataFrame) -> DataFrame:
+    """Core of :func:`ann_pq_topk` over any (vec_id, e: array<double>)
+    frame with dim = PQ_M · PQ_SUBDIM — separated so tests can run the
+    full train/encode/score pipeline on planted clustered corpora."""
+    cents = pq_codebooks(raw)
+    codes = raw.select(
+        "vec_id", F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code")
+    )
+    queries = raw.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    centframe = raw.sparkSession.createDataFrame(
+        [
+            (mi, k, cents[mi][k])
+            for mi in range(PQ_M)
+            for k in range(PQ_K)
+        ],
+        "m int, code int, c array<double>",
+    )
+    lut = queries.crossJoin(F.broadcast(centframe)).select(
+        "query_id",
+        "m",
+        "code",
+        ex.quantize(
+            _l2_fold(
+                F.slice(F.col("qe"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.col("c"),
+            ),
+            6,
+        ).alias("d2"),
+    )
+    ad = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(ex.quantized_sum("d2", 6).alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        ad.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
+
+
+def _sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
+    diff = f"list_transform(range({n}), i -> ({a})[i+1] - ({b})[i+1])"
+    return f"list_dot_product({diff}, {diff})"
+
+
+def _pq_oracle() -> str:
+    """CTE mirror of ann_pq_topk: per-subspace init/assign/means/
+    re-assign blocks (the kmeans oracle pattern × PQ_M), then the
+    union'd code/centroid frames, LUT, ADC sum and rank."""
+    q = ex.sql_quantize
+    parts = [
+        """
+    WITH raw AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+    ]
+    for mi in range(PQ_M):
+        lo, hi = mi * PQ_SUBDIM + 1, (mi + 1) * PQ_SUBDIM
+        parts.append(f"""
+    , sub{mi} AS (
+      SELECT vec_id, list_slice(e, {lo}, {hi}) AS s FROM raw
+    ), init{mi} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, s AS c
+      FROM sub{mi} ORDER BY vec_id LIMIT {PQ_K}
+    ), a{mi} AS (
+      SELECT vec_id, code FROM (
+        SELECT s.vec_id, i.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {q(_sql_l2('s.s', 'i.c'), 6)} ASC, i.code ASC
+               ) AS rn
+        FROM sub{mi} s CROSS JOIN init{mi} i
+      ) WHERE rn = 1
+    ), comp{mi} AS (
+      SELECT a.code, u.i, u.x
+      FROM a{mi} a JOIN (
+        SELECT vec_id, unnest(range(len(s))) AS i, unnest(s) AS x
+        FROM sub{mi}
+      ) u USING (vec_id)
+    ), mm{mi} AS (
+      SELECT code, i, {ex.sql_avg('x', 6)} AS m
+      FROM comp{mi} GROUP BY code, i
+    ), craw{mi} AS (
+      SELECT code, list(m ORDER BY i) AS c FROM mm{mi} GROUP BY code
+    ), c1_{mi} AS (
+      SELECT i.code, COALESCE(r.c, i.c) AS c
+      FROM init{mi} i LEFT JOIN craw{mi} r USING (code)
+    ), code{mi} AS (
+      SELECT vec_id, code FROM (
+        SELECT s.vec_id, cc.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {q(_sql_l2('s.s', 'cc.c'), 6)} ASC, cc.code ASC
+               ) AS rn
+        FROM sub{mi} s CROSS JOIN c1_{mi} cc
+      ) WHERE rn = 1
+    )""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {mi} AS m, code FROM code{mi}"
+        for mi in range(PQ_M)
+    )
+    cents_union = " UNION ALL ".join(
+        f"SELECT {mi} AS m, code, c FROM c1_{mi}" for mi in range(PQ_M)
+    )
+    parts.append(f"""
+    , codes AS ({codes_union})
+    , cents AS ({cents_union})
+    , queries AS (
+      SELECT vec_id AS query_id, e FROM raw WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT qq.query_id, ct.m, ct.code,
+             {q(_sql_l2(
+                 'list_slice(qq.e, ct.m * %d + 1, (ct.m + 1) * %d)'
+                 % (PQ_SUBDIM, PQ_SUBDIM),
+                 'ct.c',
+             ), 6)} AS d2
+      FROM queries qq CROSS JOIN cents ct
+    ), ad AS (
+      SELECT l.query_id, cd.vec_id, {ex.sql_sum('l.d2', 6)} AS adist
+      FROM codes cd JOIN lut l USING (m, code)
+      WHERE cd.vec_id <> l.query_id
+      GROUP BY l.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, vec_id ASC
+             ) AS rank
+      FROM ad
+    ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+ORACLE_PQ = _pq_oracle()
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1045,6 +1324,7 @@ QUERIES = {
     "embedding_int8_quantize": embedding_int8_quantize,
     "ann_int8_topk": ann_int8_topk,
     "embedding_kmeans": embedding_kmeans,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLE = {
@@ -1057,4 +1337,5 @@ ORACLE = {
     # full exact oracle: the int8 screening is output-invariant
     "ann_int8_topk": ORACLE_KNN,
     "embedding_kmeans": ORACLE_KMEANS,
+    "ann_pq_topk": ORACLE_PQ,
 }

@@ -130,7 +130,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (15) --
+    # -- new this round (16) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -146,6 +146,7 @@ _ROUND_PRIORITY = [
     "training_dsir_resample",
     "training_quality_logreg",
     "text_unigram_entropy",
+    "ann_pq_topk",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -153,14 +154,13 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (14) --
+    # -- rotation: last attested round 1 (13) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",

@@ -238,3 +238,53 @@ def test_int8_screened_topk_equals_bruteforce(spark, sf_dir):
         kept = np.sum(approx + err + S.INT8_SCREEN_MARGIN >= cut)
         kept_frac.append(kept / len(ids))
     assert max(kept_frac) < 0.5, f"screening never pruned: {kept_frac}"
+
+
+def test_pq_topk_shape_and_determinism(spark, sf_dir):
+    a = S.ann_pq_topk(spark, sf_dir).collect()
+    b = S.ann_pq_topk(spark, sf_dir).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id
+        assert r.adist >= 0.0
+    assert set(per) == set(range(S.N_QUERIES))
+    for q, rs in per.items():
+        assert sorted(r.rank for r in rs) == list(range(1, S.TOP_K + 1))
+        rs.sort(key=lambda r: r.rank)
+        dists = [r.adist for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_pq_recall_on_clustered_64d(spark):
+    """PQ ADC over planted 64-dim clusters: the query's true cluster
+    members (tiny true L2) must dominate the ADC top-k. 10 clusters x
+    30 vectors; queries are vec_id < 5 (all in cluster 0 by
+    construction order: vec 0..29 = cluster 0)."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim = S.PQ_M * S.PQ_SUBDIM
+    rows = []
+    vid = 0
+    for _ in range(10):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        cn = math.sqrt(sum(x * x for x in center))
+        center = [x / cn for x in center]
+        for _ in range(30):
+            noise = [rng.gauss(0, 0.05) for _ in range(dim)]
+            rows.append((vid, [c + n for c, n in zip(center, noise)]))
+            vid += 1
+    raw = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = S.pq_adc_topk(raw).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r.vec_id)
+    # queries 0..4 live in cluster 0 = vec_ids 0..29: ADC neighbors
+    # should overwhelmingly come from there
+    for q in range(5):
+        hits = sum(1 for v in per[q] if v < 30)
+        assert hits >= 8, f"query {q}: only {hits}/10 in true cluster"
