@@ -58,6 +58,7 @@ HEADLINE = [
     "text_bm25_topk",
     "training_dsir_resample",
     "training_quality_logreg",
+    "ann_pq_topk",
 ]
 
 
