@@ -432,6 +432,57 @@ ORACLE_OHLC = f"""
 """
 
 
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonality profile: per (event_type, hour-of-day) the
+    event count, exact mean value, and the ratio of that hour's mean
+    to the type's overall mean — the day-shape baseline capacity
+    planning and seasonal anomaly detection divide by.
+
+    Two grouped aggregates (map-side combine; 24·|types| result rows)
+    and a broadcast join of the per-type totals back onto the hourly
+    frame. The hourly mean and the type mean are both
+    order-independent quantized sums, and the ratio is one IEEE
+    divide of those exact values, quantized — bit-identical to the
+    oracle. Hours are session-UTC (the engine pins UTC so both
+    engines bucket identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        ex.quantized_avg("value", 6).alias("avg_value"),
+    )
+    totals = ev.groupBy("event_type").agg(
+        ex.quantized_avg("value", 6).alias("type_avg")
+    )
+    return hourly.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        "avg_value",
+        "type_avg",
+        ex.quantize(F.col("avg_value") / F.col("type_avg"), 6).alias(
+            "ratio"
+        ),
+    )
+
+
+ORACLE_SEASONAL = f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+             count(*) AS n_events,
+             {ex.sql_avg('value', 6)} AS avg_value
+      FROM events GROUP BY event_type, hour(ts)
+    ), totals AS (
+      SELECT event_type, {ex.sql_avg('value', 6)} AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n_events, h.avg_value, t.type_avg,
+           {ex.sql_quantize('h.avg_value / t.type_avg', 6)} AS ratio
+    FROM hourly h JOIN totals t USING (event_type)
+"""
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition counts: for each user's event stream in
     (ts, event_id) order, count consecutive event_type pairs — the
@@ -769,11 +820,13 @@ QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "events_ohlc_bars": events_ohlc_bars,
     "events_user_value_ewma": events_user_value_ewma,
+    "events_seasonal_profile": events_seasonal_profile,
 }
 
 ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
     "events_user_value_ewma": ORACLE_EWMA,
+    "events_seasonal_profile": ORACLE_SEASONAL,
     "customer_rfm_segments": ORACLE_RFM,
     "events_interarrival_stats": ORACLE_INTERARRIVAL,
     "orders_cohort_ltv": ORACLE_COHORT_LTV,

@@ -103,16 +103,17 @@ DRIVER_CAP = 50
 #: queries — this list IS that window, asserted in _build):
 #: - the 15 round-3 queries registered after the round-3 window froze
 #:   (the only remaining never-driver-checked names, per VERDICT r3);
-#: - the 5 queries NEW this round (validate twins for the last two
+#: - the 17 queries NEW this round: validate twins for the last two
 #:   rows-only dedup paths, the density-probed auto embedding path,
-#:   and oracle-attested capped twins for both inverted-index guards);
+#:   oracle-attested capped twins for both inverted-index guards,
+#:   distributed k-means + SemDeDup, and the session-2 additions
+#:   (substring-span dedup ×3, BM25, DSIR, logreg quality classifier,
+#:   unigram entropy, PQ ANN, seasonal profile);
 #: - re-attests of every query whose implementation changed this
-#:   round (the hot-shingle-cap refactor touches ngram_jaccard_pairs
-#:   and its dependents; the exact-core/band-rows extraction touches
-#:   dedup_embedding and both embedding validate consumers);
-#: - 27 rotation re-checks of queries last attested in round 1
-#:   (TPC-H core, mapreduce parity, window/join/setops singles) so no
-#:   green row grows stale.
+#:   round (hot-shingle-cap refactor, exact-core extraction, the
+#:   minhash_jaccard_pairs core factoring);
+#: - 12 rotation re-checks of queries last attested in round 1
+#:   (TPC-H core + mapreduce parity) so green rows don't grow stale.
 _ROUND_PRIORITY = [
     # -- never driver-checked (15, registered post-freeze in r3) --
     "ann_int8_topk",
@@ -130,7 +131,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (16) --
+    # -- new this round (17) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -147,6 +148,7 @@ _ROUND_PRIORITY = [
     "training_quality_logreg",
     "text_unigram_entropy",
     "ann_pq_topk",
+    "events_seasonal_profile",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -154,13 +156,12 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (13) --
+    # -- rotation: last attested round 1 (12) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "q18_large_volume_customers",

@@ -274,3 +274,26 @@ def test_ewma_matches_pandas_recurrence(spark):
         for x in frame[1:]:
             acc = a * x + (1.0 - a) * acc
         assert abs(out[t] - round(acc * 1e6) / 1e6) < 1e-9
+
+
+def test_seasonal_profile_ratio_and_coverage(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.analytics import (
+        events_seasonal_profile,
+    )
+
+    rows = events_seasonal_profile(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 0 <= r.hour <= 23
+        assert r.n_events > 0
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        # the count-weighted mean of hourly means equals the type mean
+        # up to quantization slack
+        total = sum(r.n_events for r in rs)
+        mixed = sum(r.avg_value * r.n_events for r in rs) / total
+        assert abs(mixed - rs[0].type_avg) < 1e-4
+        # ratio column is consistent with its inputs
+        for r in rs:
+            assert abs(r.ratio - r.avg_value / r.type_avg) <= 5e-7
