@@ -1160,6 +1160,96 @@ def quality_logreg_scores(
     subtractions of already-quantized values — the driver-side Python
     arithmetic (negate/subtract, never re-round) is reproducible in
     SQL with the same ops."""
+    weights, bias, counts, y = _logreg_fit(
+        docs, target_source, n_buckets, rounds
+    )
+    final = _logreg_logits(counts, y, weights, bias)
+    logit_q = ex.quantize(F.col("logit"), 6)
+    return final.select(
+        "doc_id",
+        logit_q.alias("logit"),
+        ex.quantize(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_q)), 6
+        ).alias("prob"),
+        (logit_q > 0).alias("keep"),
+    )
+
+
+def _logreg_logits(
+    counts: DataFrame, y: DataFrame, weights: dict[int, float], bias: float
+) -> DataFrame:
+    """(doc_id[, y], logit) under the given model — the shared scoring
+    expression for fit rounds and frozen-model application."""
+    spark = counts.sparkSession
+    wrows = spark.createDataFrame(
+        [(b, w) for b, w in sorted(weights.items())],
+        "bucket long, wgt double",
+    )
+    contrib = ex.quantize(F.col("cnt") * F.col("wgt"), 6)
+    s = (
+        counts.join(F.broadcast(wrows), "bucket")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(ex.quantized_sum("c", 6).alias("s"))
+    )
+    return y.join(s, "doc_id", "left").select(
+        "doc_id",
+        *[c for c in y.columns if c != "doc_id"],
+        (F.coalesce("s", F.lit(0.0)) + F.lit(bias)).alias("logit"),
+    )
+
+
+def logreg_model(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_buckets: int = DSIR_BUCKETS,
+    rounds: int = QL_ROUNDS,
+) -> tuple[dict[int, float], float]:
+    """Train on ``docs`` and return the FROZEN model ``(weights,
+    bias)`` — n_buckets + 1 doubles, the deployable artifact the
+    streaming quality gate broadcasts into every micro-batch
+    (streaming/quality_gate.py)."""
+    weights, bias, _, _ = _logreg_fit(docs, target_source, n_buckets, rounds)
+    return weights, bias
+
+
+def logreg_score(
+    docs: DataFrame,
+    weights: dict[int, float],
+    bias: float,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score ANY (doc_id, text, source) frame under a frozen model:
+    (doc_id, logit, prob, keep) with the exact arithmetic of
+    quality_logreg_scores' final pass — batch/stream scoring parity is
+    pinned in tests/test_streaming.py."""
+    counts = (
+        hashed_bucket_rows(docs, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ids = docs.select("doc_id")
+    final = _logreg_logits(counts, ids, weights, bias)
+    logit_q = ex.quantize(F.col("logit"), 6)
+    return final.select(
+        "doc_id",
+        logit_q.alias("logit"),
+        ex.quantize(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_q)), 6
+        ).alias("prob"),
+        (logit_q > 0).alias("keep"),
+    )
+
+
+def _logreg_fit(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int,
+    rounds: int,
+) -> tuple[dict[int, float], float, DataFrame, DataFrame]:
+    """The gradient loop of :func:`quality_logreg_scores`; returns
+    (weights, bias, counts, y) so the caller can reuse the
+    checkpointed feature matrix for its final pass."""
     tb = hashed_bucket_rows(docs, n_buckets)
     # the feature matrix is referenced 2×/round + once for final
     # scoring — materialize it once (executor-local, same pattern as
@@ -1178,32 +1268,11 @@ def quality_logreg_scores(
     )
     n_docs = float(docs.count())
 
-    spark = docs.sparkSession
     weights = {b: 0.0 for b in range(n_buckets)}
     bias = 0.0
 
-    def _logits(wrows: DataFrame) -> DataFrame:
-        contrib = ex.quantize(F.col("cnt") * F.col("wgt"), 6)
-        s = (
-            counts.join(F.broadcast(wrows), "bucket")
-            .select("doc_id", contrib.alias("c"))
-            .groupBy("doc_id")
-            .agg(ex.quantized_sum("c", 6).alias("s"))
-        )
-        return y.join(s, "doc_id", "left").select(
-            "doc_id",
-            "y",
-            (F.coalesce("s", F.lit(0.0)) + F.lit(bias)).alias("logit"),
-        )
-
-    def _wframe() -> DataFrame:
-        return spark.createDataFrame(
-            [(b, w) for b, w in sorted(weights.items())],
-            "bucket long, wgt double",
-        )
-
     for _ in range(rounds):
-        lg = _logits(_wframe())
+        lg = _logreg_logits(counts, y, weights, bias)
         err = lg.select(
             "doc_id",
             (
@@ -1238,16 +1307,7 @@ def quality_logreg_scores(
             weights[b] = weights[b] - grads.get(b, 0.0)
         bias = bias - bg_row.bg
 
-    final = _logits(_wframe())
-    logit_q = ex.quantize(F.col("logit"), 6)
-    return final.select(
-        "doc_id",
-        logit_q.alias("logit"),
-        ex.quantize(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_q)), 6
-        ).alias("prob"),
-        (logit_q > 0).alias("keep"),
-    )
+    return weights, bias, counts, y
 
 
 def training_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:

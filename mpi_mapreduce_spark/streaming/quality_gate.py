@@ -1,0 +1,70 @@
+"""Streaming quality gate: every micro-batch of arriving documents is
+scored under a FROZEN logistic-regression quality model before it
+lands — the model-deployment twin of training.quality_logreg_scores,
+i.e. what a continuously-fed training-data pipeline runs in front of
+its ingest sink (accept/quarantine by model score), exactly as
+streaming/ingest_dedup.py runs exact dedup in front of its sink.
+
+Train/serve split, the production shape:
+- the model is fitted ONCE on the static historical corpus
+  (driver-side bounded collects — the artifact is n_buckets + 1
+  doubles, operators/training.logreg_model);
+- each micro-batch is scored inside foreachBatch with
+  operators/training.logreg_score — the SAME arithmetic as the batch
+  scorer, so stream and batch decisions are identical row for row
+  (pinned in tests/test_streaming.py).
+
+Why foreachBatch: scoring needs the per-batch vocabulary hash join
+(hashed_bucket_rows), a bounded-frame computation; inside foreachBatch
+the micro-batch is a plain DataFrame and the batch operator runs
+unchanged — one operator, two execution modes, zero code divergence.
+
+Scale: the broadcast model is constant-size; per-batch cost is linear
+in the batch (tokenize → bucket → one grouped sum). The parquet
+append is idempotent-per-epoch under the same caveats as
+streaming/sinks.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.operators.training import logreg_model, logreg_score
+from mpi_mapreduce_spark.streaming.ingest_dedup import stream_documents
+
+
+def start_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    batch_mod: int = 10,
+):
+    """Start the stream: docs with doc_id % batch_mod == 0 play the
+    'new ingest' role (the ingest_dedup convention); the model trains
+    on everything else (the historical corpus); each micro-batch's
+    scores append to parquet."""
+    corpus = load_table(spark, sf_dir, "documents").where(
+        f"doc_id % {batch_mod} != 0"
+    )
+    weights, bias = logreg_model(corpus)
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.where(f"doc_id % {batch_mod} = 0")
+        if not batch.take(1):
+            return
+        logreg_score(batch, weights, bias).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}

@@ -268,3 +268,37 @@ def test_trending_types_stream_snapshot_matches_batch(spark, sf_dir, tmp_path):
         for r in trending_types(load_table(spark, sf_dir, "events")).collect()
     )
     assert snapshot == batch
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming quality gate's scores must equal scoring the same
+    docs with the same frozen model batch-side — row for row."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import (
+        logreg_model,
+        logreg_score,
+    )
+    from mpi_mapreduce_spark.streaming.quality_gate import start_quality_gate
+
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt_qg")
+    q = start_quality_gate(spark, sf_dir, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id: (r.logit, r.prob, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 10 != 0")
+    batch_docs = docs.where("doc_id % 10 = 0")
+    w, b = logreg_model(corpus)
+    batch = {
+        r.doc_id: (r.logit, r.prob, r.keep)
+        for r in logreg_score(batch_docs, w, b).collect()
+    }
+    assert streamed == batch
+    assert streamed  # non-empty
