@@ -1216,6 +1216,74 @@ def pq_adc_topk(raw: DataFrame) -> DataFrame:
     )
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, cov): the exact dim×dim covariance matrix of the
+    embedding corpus — the statistic whitening, PCA initialization,
+    and anisotropy diagnostics read before any projection/compression
+    step (e.g. ahead of the PQ/int8 paths above).
+
+    cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j], with the product moment
+    quantized per row (scale 6) before the order-independent
+    quantized mean — deterministic at any parallelism, mirrored
+    exactly in SQL. Plan: one posexplode self-join per vector expands
+    to dim² rows which immediately grouped-aggregate onto dim² = 4096
+    keys with map-side combine — the shuffle carries one partial per
+    key per partition regardless of corpus size, the canonical
+    distributed-covariance shape. Upper triangle only (i ≤ j): the
+    matrix is symmetric, no reason to shuffle it twice."""
+    raw = _raw_corpus(load_table(spark, sf_dir, "embeddings"))
+    xi = raw.select("vec_id", F.posexplode("e").alias("i", "x"))
+    xj = raw.select("vec_id", F.posexplode("e").alias("j", "y"))
+    prods = (
+        xi.join(xj, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(ex.quantized_avg(ex.quantize(F.col("x") * F.col("y"), 6), 6).alias("exy"))
+    )
+    means = xi.groupBy("i").agg(ex.quantized_avg("x", 6).alias("m"))
+    mi = means.select(F.col("i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    return (
+        prods.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            # + 0.0 collapses IEEE -0.0 to +0.0: the engines round a
+            # tiny negative covariance to zero with different signs,
+            # and the driver's sort-then-hash treats "-0.0" ≠ "0.0"
+            (
+                ex.quantize(F.col("exy") - F.col("mi") * F.col("mj"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+ORACLE_COVARIANCE = f"""
+    WITH raw AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), xi AS (
+      SELECT vec_id, unnest(range(len(e))) AS i, unnest(e) AS x FROM raw
+    ), prods AS (
+      SELECT a.i, b.i AS j,
+             {ex.sql_avg(ex.sql_quantize('a.x * b.x', 6), 6)} AS exy
+      FROM xi a JOIN xi b USING (vec_id)
+      WHERE a.i <= b.i
+      GROUP BY a.i, b.i
+    ), means AS (
+      SELECT i, {ex.sql_avg('x', 6)} AS m FROM xi GROUP BY i
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           ({ex.sql_quantize('p.exy - mi.m * mj.m', 6)}) + 0.0 AS cov
+    FROM prods p
+    JOIN means mi ON mi.i = p.i
+    JOIN means mj ON mj.i = p.j
+"""
+
+
 def _sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
     diff = f"list_transform(range({n}), i -> ({a})[i+1] - ({b})[i+1])"
     return f"list_dot_product({diff}, {diff})"
@@ -1325,6 +1393,7 @@ QUERIES = {
     "ann_int8_topk": ann_int8_topk,
     "embedding_kmeans": embedding_kmeans,
     "ann_pq_topk": ann_pq_topk,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLE = {
@@ -1338,4 +1407,5 @@ ORACLE = {
     "ann_int8_topk": ORACLE_KNN,
     "embedding_kmeans": ORACLE_KMEANS,
     "ann_pq_topk": ORACLE_PQ,
+    "embedding_covariance": ORACLE_COVARIANCE,
 }

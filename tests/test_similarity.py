@@ -288,3 +288,25 @@ def test_pq_recall_on_clustered_64d(spark):
     for q in range(5):
         hits = sum(1 for v in per[q] if v < 30)
         assert hits >= 8, f"query {q}: only {hits}/10 in true cluster"
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    rows = S.embedding_covariance(spark, sf_dir).collect()
+    emb = np.vstack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ])
+    ref = np.cov(emb, rowvar=False, bias=True)  # population covariance
+    assert rows
+    for r in rows:
+        assert r.i <= r.j
+        # quantized-moment semantics: agree with numpy to quantization
+        # + accumulation slack
+        assert abs(r.cov - ref[r.i, r.j]) < 5e-5, (r.i, r.j)
+    # upper triangle complete: dim*(dim+1)/2 entries
+    dim = emb.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
