@@ -1216,6 +1216,72 @@ def pq_adc_topk(raw: DataFrame) -> DataFrame:
     )
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query vector, the top-k most-similar vectors with a DIFFERENT
+    label — the pairs that carry the training signal (easy negatives
+    are uninformative; InfoNCE-style objectives live on these).
+
+    Same plan as knn_bruteforce (queries broadcast, linear corpus
+    scan, Arrow dot, windowed top-k) with the label-inequality pushed
+    into the join condition, so mismatched-label pairs never reach
+    the ranking. Output: (query_id, vec_id, neg_label, cosine, rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = normalized_corpus(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    dot = VEC.dot_arrow(F.col("qv"), F.col("v"))
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        ex.quantize(dot, 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             c.label AS neg_label,
+             ROUND(list_dot_product(q.v, c.v) * 1000000.0) / 1000000.0
+               AS cosine
+      FROM n q JOIN n c
+        ON q.vec_id < {N_QUERIES}
+       AND c.vec_id <> q.vec_id
+       AND c.label <> q.label
+    )
+    SELECT query_id, vec_id, neg_label, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, j, cov): the exact dim×dim covariance matrix of the
     embedding corpus — the statistic whitening, PCA initialization,
@@ -1394,6 +1460,7 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "ann_pq_topk": ann_pq_topk,
     "embedding_covariance": embedding_covariance,
+    "embedding_hard_negatives": embedding_hard_negatives,
 }
 
 ORACLE = {
@@ -1408,4 +1475,5 @@ ORACLE = {
     "embedding_kmeans": ORACLE_KMEANS,
     "ann_pq_topk": ORACLE_PQ,
     "embedding_covariance": ORACLE_COVARIANCE,
+    "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
 }

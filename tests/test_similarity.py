@@ -310,3 +310,28 @@ def test_covariance_matches_numpy(spark, sf_dir):
     # upper triangle complete: dim*(dim+1)/2 entries
     dim = emb.shape[1]
     assert len(rows) == dim * (dim + 1) // 2
+
+
+def test_hard_negatives_label_and_order(spark, sf_dir):
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = S.embedding_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.neg_label == labels[r.vec_id]
+        assert r.neg_label != labels[r.query_id]  # never same-label
+        assert r.vec_id != r.query_id
+        per.setdefault(r.query_id, []).append(r)
+    for q, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        # hard negatives are a subset of the full kNN ordering with
+        # same-label rows removed: every returned cosine must be <=
+        # the best overall cosine for the query
+        assert len(rs) <= S.TOP_K
