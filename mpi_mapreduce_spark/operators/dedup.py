@@ -17,9 +17,21 @@ Four families, each picked for a different scale/accuracy point:
 - **embedding cosine** — near-dup by semantic vector, length-band-free
   (bucketed by LSH in similarity.py; here exact within broadcast range).
 
+Beyond whole-document pairs, the module covers the other granularities
+a corpus pipeline needs: **containment** (asymmetric subset copies),
+**repeated n-grams** (duplicated-passage exposure), **substring spans**
+(maximal cross-doc repeated token runs — detection, per-doc stats, and
+token-exact removal), **semantic dedup** (SemDeDup via k-means cells),
+**incremental** batch-vs-corpus flagging with a replay-idempotent
+nightly job, and **connected components → canonical corpus** keep/drop
+emission; the composed ordering (exact collapse BEFORE signature
+methods) is measured at 100× in SCALING.md.
+
 Signature hashes are xxhash64 (engine-specific), so MinHash/SimHash
 register rows-only with the driver; their recall vs. the exact
-Jaccard op is pinned by tests instead (tests/test_dedup.py).
+Jaccard op is pinned by tests instead (tests/test_dedup.py), and each
+signature path's invariants are driver-attested via its banded
+``*_validate`` twin.
 """
 
 from __future__ import annotations

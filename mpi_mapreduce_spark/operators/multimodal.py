@@ -656,6 +656,44 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin grayscale histogram per image over the REAL BMP decode
+    path — the classic image statistic (exposure/contrast screens,
+    near-duplicate image prefilters) computed from genuinely parsed
+    pixel bytes, not metadata. gray = (r+g+b)//3 and bin = gray//16
+    are pure integer arithmetic, so the oracle re-derives the exact
+    counts from the synthetic pixel formula without any decoder.
+
+    Plan: one Arrow decode pass emitting ≤16 rows per image (the
+    histogram is aggregated inside the UDF with numpy bincount —
+    pixels never become rows), then nothing else. Linear; output is
+    images × occupied bins."""
+    build, parse = make_bmp_codec()
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, bins, ns = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = parse(bytes(payload))
+                rgb = img["rgb"].astype(np.int64)
+                gray = (rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+                counts = np.bincount((gray // 16).ravel(), minlength=16)
+                for b in range(16):
+                    if counts[b]:
+                        mids.append(mid)
+                        bins.append(b)
+                        ns.append(int(counts[b]))
+            yield pd.DataFrame({"media_id": mids, "bin": bins, "n": ns})
+
+    media = bmp_media_table(spark, sf_dir)
+    return media.mapInPandas(
+        decode, schema="media_id long, bin long, n long"
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
@@ -664,6 +702,7 @@ QUERIES = {
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
+    "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
 
 ORACLE = {
@@ -804,5 +843,22 @@ ORACLE = {
                CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
                     AS BIGINT) AS top_row_sum
         FROM px GROUP BY media_id
+    """,
+    # integer-exact histogram: bins re-derived from the same pixel
+    # formula, no decoder needed oracle-side
+    "multimodal_pixel_histogram": f"""
+        WITH px AS (
+          SELECT doc_id AS media_id,
+                 (doc_id * 3 + x * 7 + y * 13) % 256 AS r,
+                 (doc_id * 5 + x * 11 + y * 3) % 256 AS g,
+                 (doc_id * 7 + x * 13 + y * 5) % 256 AS b
+          FROM documents,
+               LATERAL (SELECT unnest(range({BMP_W})) AS x),
+               LATERAL (SELECT unnest(range({BMP_H})) AS y)
+        )
+        SELECT media_id,
+               CAST(((r + g + b) // 3) // 16 AS BIGINT) AS bin,
+               count(*) AS n
+        FROM px GROUP BY media_id, ((r + g + b) // 3) // 16
     """,
 }

@@ -131,7 +131,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (19) --
+    # -- new this round (20) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -151,6 +151,7 @@ _ROUND_PRIORITY = [
     "events_seasonal_profile",
     "embedding_covariance",
     "embedding_hard_negatives",
+    "multimodal_pixel_histogram",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -158,9 +159,8 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (10) --
+    # -- rotation: last attested round 1 (9) --
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",

@@ -198,3 +198,22 @@ def test_audio_decimate_matches_numpy_stride(spark, sf_dir):
         assert r.peak_out == int(np.max(np.abs(d)))
         want = float(np.sqrt(np.sum((d * d).astype(np.float64)) / len(d)))
         assert abs(r.rms_out - round(want * 1e6) / 1e6) < 1e-9
+
+
+def test_pixel_histogram_counts_complete(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        multimodal_pixel_histogram,
+    )
+
+    rows = multimodal_pixel_histogram(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert 0 <= r.bin <= 15
+        assert r.n > 0
+        per.setdefault(r.media_id, 0)
+        per[r.media_id] += r.n
+    # every image's bins sum to exactly its pixel count
+    assert all(total == BMP_W * BMP_H for total in per.values())
