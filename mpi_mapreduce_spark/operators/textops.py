@@ -921,6 +921,67 @@ ORACLE_BPE_ENCODE = _bpe_ctes() + f"""
 """
 
 
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word, aggregated by lang: THE cross-lingual tokenizer-fairness
+    metric (a language with fertility 2× pays 2× the context budget
+    per word). Same pipeline as text_bpe_encode (train merges once,
+    apply over the distinct-word vocabulary, one token→vocab
+    equi-join) with the final aggregate keyed by lang instead of
+    doc_id; fertility = exact Σ tokens / Σ words, one divide,
+    quantized."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_merges(docs).collect()
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    rep = F.concat(
+        F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+    )
+    for m in merges:
+        rep = F.replace(
+            rep, F.lit(f" {m.lhs} {m.rhs} "), F.lit(f" {m.merged} ")
+        )
+    vocab = toks.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(rep), " ")).alias("n_sym")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            ex.quantize(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+ORACLE_BPE_FERTILITY = _bpe_ctes() + f"""
+    , dtoks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(string_split(trim(v.rep), ' '))) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND((CAST(SUM(len(string_split(trim(v.rep), ' '))) AS DOUBLE)
+                  / COUNT(*)) * 1000000.0) / 1000000.0
+             AS fertility
+    FROM dtoks JOIN w{BPE_MERGE_ROUNDS} v USING (w)
+    GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_heavy_hitters": text_heavy_hitters,
@@ -938,6 +999,7 @@ QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_unigram_entropy": text_unigram_entropy,
+    "text_bpe_fertility_by_lang": text_bpe_fertility_by_lang,
 }
 
 
@@ -949,6 +1011,7 @@ def _oracle_hits(lang: str) -> str:
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_unigram_entropy": ORACLE_UNIGRAM_ENTROPY,
+    "text_bpe_fertility_by_lang": ORACLE_BPE_FERTILITY,
     "text_distribution_drift": ORACLE_DRIFT,
     "text_boilerplate_strip": ORACLE_BOILERPLATE,
     "text_bpe_train_merges": ORACLE_BPE_MERGES,

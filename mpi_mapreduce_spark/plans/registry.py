@@ -131,7 +131,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (20) --
+    # -- new this round (21) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -152,6 +152,7 @@ _ROUND_PRIORITY = [
     "embedding_covariance",
     "embedding_hard_negatives",
     "multimodal_pixel_histogram",
+    "text_bpe_fertility_by_lang",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -159,12 +160,11 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (9) --
+    # -- rotation: last attested round 1 (8) --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
-    "q18_large_volume_customers",
     "wordcount",
     "map1_charclass",
     "map2_letterfreq",

@@ -286,3 +286,26 @@ def test_unigram_entropy_fixture_bounds(spark, sf_dir):
         # sit up to n_types * 5e-7 above the analytic bound
         assert 0.0 <= r.entropy <= math.log(r.n_types) + r.n_types * 5e-7 + 1e-9
         assert r.n_types <= r.n_tokens
+
+
+def test_bpe_fertility_by_lang_consistency(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.textops import (
+        text_bpe_encode,
+        text_bpe_fertility_by_lang,
+    )
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    per_lang = {r.lang: r for r in text_bpe_fertility_by_lang(spark, sf_dir).collect()}
+    assert per_lang
+    # lang totals must equal the sum of the per-doc accounting
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    agg = {}
+    for r in text_bpe_encode(spark, sf_dir).collect():
+        w, t = agg.get(langs[r.doc_id], (0, 0))
+        agg[langs[r.doc_id]] = (w + r.n_words, t + r.n_bpe_tokens)
+    for lang, r in per_lang.items():
+        assert (r.n_words, r.n_bpe_tokens) == agg[lang]
+        assert r.fertility >= 1.0  # a word is at least one token
