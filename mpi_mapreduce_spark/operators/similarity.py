@@ -1355,10 +1355,10 @@ def _sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
     return f"list_dot_product({diff}, {diff})"
 
 
-def _pq_oracle() -> str:
-    """CTE mirror of ann_pq_topk: per-subspace init/assign/means/
-    re-assign blocks (the kmeans oracle pattern × PQ_M), then the
-    union'd code/centroid frames, LUT, ADC sum and rank."""
+def _pq_train_ctes() -> str:
+    """Shared CTE chain for the PQ oracles: raw corpus + one
+    init/assign/means/re-assign block per subspace (the kmeans oracle
+    pattern × PQ_M)."""
     q = ex.sql_quantize
     parts = [
         """
@@ -1409,6 +1409,14 @@ def _pq_oracle() -> str:
         FROM sub{mi} s CROSS JOIN c1_{mi} cc
       ) WHERE rn = 1
     )""")
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    """CTE mirror of ann_pq_topk: the shared training chain, then the
+    union'd code/centroid frames, LUT, ADC sum and rank."""
+    q = ex.sql_quantize
+    parts = [_pq_train_ctes()]
     codes_union = " UNION ALL ".join(
         f"SELECT vec_id, {mi} AS m, code FROM code{mi}"
         for mi in range(PQ_M)
@@ -1449,6 +1457,33 @@ def _pq_oracle() -> str:
 ORACLE_PQ = _pq_oracle()
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ compression artifact itself: (vec_id, m, code) — the
+    4-bytes-per-vector encode table a write-side job persists (and
+    ann_pq_topk scans). Registered separately so the stored
+    representation, not just the search result, is hash-attested."""
+    raw = _raw_corpus(load_table(spark, sf_dir, "embeddings"))
+    cents = pq_codebooks(raw)
+    return raw.select(
+        "vec_id",
+        F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+ORACLE_PQ_CODES = _pq_train_ctes() + f"""
+    , codes AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {mi} AS m, code FROM code{mi}"
+        for mi in range(PQ_M)
+    )})
+    SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+    FROM codes
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1461,6 +1496,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "embedding_covariance": embedding_covariance,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "embedding_pq_codes": embedding_pq_codes,
 }
 
 ORACLE = {
@@ -1476,4 +1512,5 @@ ORACLE = {
     "ann_pq_topk": ORACLE_PQ,
     "embedding_covariance": ORACLE_COVARIANCE,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
+    "embedding_pq_codes": ORACLE_PQ_CODES,
 }

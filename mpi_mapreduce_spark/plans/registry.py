@@ -131,7 +131,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (21) --
+    # -- new this round (22) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -153,6 +153,7 @@ _ROUND_PRIORITY = [
     "embedding_hard_negatives",
     "multimodal_pixel_histogram",
     "text_bpe_fertility_by_lang",
+    "embedding_pq_codes",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -160,10 +161,9 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (8) --
+    # -- rotation: last attested round 1 (7) --
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q12_priority_by_linestatus",
     "q13_customer_order_distribution",
     "wordcount",
     "map1_charclass",
