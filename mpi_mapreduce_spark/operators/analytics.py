@@ -432,6 +432,98 @@ ORACLE_OHLC = f"""
 """
 
 
+def parts_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by lineitem revenue:
+    class A = parts covering the first 80% of cumulative revenue,
+    B = next 15%, C = the tail — the classic inventory-analytics
+    screen, here as a GLOBAL cumulative distribution computed the
+    scale-safe way.
+
+    The global prefix sum uses the two_phase_rank bucket trick with a
+    SUM instead of a row_number: approx-percentile boundaries bucket
+    the rows map-side (order-monotone, tie-safe), each bucket
+    prefix-sums its integer-cent revenue in a PARTITIONED window, and
+    the ≤buckets²-pair triangular self-join supplies each bucket's
+    revenue offset — no unpartitioned window anywhere. All revenue
+    arithmetic is integer cents (exact, order-independent); the class
+    boundaries compare cum·100 ≤ total·80/95 in int64 (headroom to
+    ~10¹⁷ cents — ample at 100 TB, and the comparison never touches
+    floats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("negc", -F.col("cents"))
+    )
+    percs = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    stats = rev.agg(
+        F.percentile_approx("negc", percs, 10000).alias("_bs"),
+        F.sum("cents").alias("_total"),
+    )
+    b = rev.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.size(F.filter("_bs", lambda x: x < F.col("negc"))).cast("int"),
+    )
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy("negc", "partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = b.withColumn("_cum_loc", F.sum("cents").over(w))
+    btot = b.groupBy("_bkt").agg(F.sum("cents").alias("_bc"))
+    lo = btot.select(
+        F.col("_bkt").alias("_lo_bkt"), F.col("_bc").alias("_lo_bc")
+    )
+    offs = (
+        btot.join(lo, F.col("_lo_bkt") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lo_bc"), F.lit(0)).cast("long").alias("_off"))
+    )
+    cum = F.col("_off") + F.col("_cum_loc")
+    return (
+        loc.join(F.broadcast(offs), "_bkt")
+        .select(
+            "partkey",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            ex.quantize(cum.cast("double") / F.col("_total"), 6).alias(
+                "cum_share"
+            ),
+            F.when(cum * 100 <= F.col("_total") * 80, "A")
+            .when(cum * 100 <= F.col("_total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+ORACLE_ABC = """
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(cents) AS t FROM rev
+    ), c AS (
+      SELECT partkey, cents,
+             SUM(cents) OVER (ORDER BY -cents ASC, partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT partkey,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           ROUND((CAST(cum AS DOUBLE) / t) * 1000000.0) / 1000000.0
+             AS cum_share,
+           CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+"""
+
+
 def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-seasonality profile: per (event_type, hour-of-day) the
     event count, exact mean value, and the ratio of that hour's mean
@@ -821,12 +913,14 @@ QUERIES = {
     "events_ohlc_bars": events_ohlc_bars,
     "events_user_value_ewma": events_user_value_ewma,
     "events_seasonal_profile": events_seasonal_profile,
+    "parts_abc_revenue": parts_abc_revenue,
 }
 
 ORACLE = {
     "events_ohlc_bars": ORACLE_OHLC,
     "events_user_value_ewma": ORACLE_EWMA,
     "events_seasonal_profile": ORACLE_SEASONAL,
+    "parts_abc_revenue": ORACLE_ABC,
     "customer_rfm_segments": ORACLE_RFM,
     "events_interarrival_stats": ORACLE_INTERARRIVAL,
     "orders_cohort_ltv": ORACLE_COHORT_LTV,

@@ -131,7 +131,7 @@ _ROUND_PRIORITY = [
     "training_epoch_shard",
     "training_shard_manifest",
     "training_split_cluster_safe",
-    # -- new this round (22) --
+    # -- new this round (23) --
     "dedup_simhash_validate",
     "dedup_incremental_minhash_validate",
     "dedup_embedding_auto",
@@ -154,6 +154,7 @@ _ROUND_PRIORITY = [
     "multimodal_pixel_histogram",
     "text_bpe_fertility_by_lang",
     "embedding_pq_codes",
+    "parts_abc_revenue",
     # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -161,10 +162,9 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh_validate",
     "dedup_embedding",
     "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (7) --
+    # -- rotation: last attested round 1 (6) --
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q13_customer_order_distribution",
     "wordcount",
     "map1_charclass",
     "map2_letterfreq",

@@ -297,3 +297,23 @@ def test_seasonal_profile_ratio_and_coverage(spark, sf_dir):
         # ratio column is consistent with its inputs
         for r in rs:
             assert abs(r.ratio - r.avg_value / r.type_avg) <= 5e-7
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    from mpi_mapreduce_spark.operators.analytics import parts_abc_revenue
+
+    rows = parts_abc_revenue(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.revenue for r in rows)
+    by_class = {"A": 0.0, "B": 0.0, "C": 0.0}
+    for r in rows:
+        assert r.abc_class in by_class
+        assert 0.0 < r.cum_share <= 1.0 + 1e-9
+        by_class[r.abc_class] += r.revenue
+    # class A covers ~80% of revenue (within one part's granularity)
+    assert by_class["A"] <= 0.8 * total + max(r.revenue for r in rows)
+    assert by_class["A"] + by_class["B"] >= 0.9 * total
+    # cum_share is monotone in revenue-desc order
+    srt = sorted(rows, key=lambda r: (-r.revenue, r.partkey))
+    shares = [r.cum_share for r in srt]
+    assert shares == sorted(shares)
