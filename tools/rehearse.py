@@ -26,6 +26,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--names", help="comma-separated subset of queries")
+    ap.add_argument(
+        "-v",
+        "--verbose",
+        action="store_true",
+        help="print per-query timing (find slow oracles at big sf)",
+    )
     args = ap.parse_args()
 
     spec = importlib.util.spec_from_file_location(
@@ -56,8 +62,16 @@ def main() -> int:
     names = args.names.split(",") if args.names else list(qs)
     fails = 0
     for name in names:
+        import time as _time
+
+        t0 = _time.perf_counter()
         try:
             check_query(spark, name, args.sf_dir)
+            if args.verbose:
+                print(
+                    f"ok   {name} {_time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
         except Exception as e:  # noqa: BLE001 — report-and-continue
             fails += 1
             print(f"FAIL {name}: {type(e).__name__} {str(e)[:200]}")
