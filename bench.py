@@ -22,9 +22,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # agg/join, windows, dedup, similarity, text analysis, iterative
 # graph, sketch rollups, sequence mining, CDC, real multimodal
 # decode) — broadened round 3 so regressions in the round-2 heavy
-# additions are visible round-over-round, and round 4 with the
-# heaviest round-3 operators (containment, canonical corpus, BPE
-# encode, shard manifest) per the round-3 verdict.
+# additions are visible round-over-round, round 4 with the heaviest
+# round-3 operators (containment, canonical corpus, BPE encode, shard
+# manifest) per the round-3 verdict, and round 5 with the composed
+# production dedup orderings (canonical→containment, exact→minhash)
+# plus substring strip and the ABC prefix-sum classifier per the
+# round-4 verdict.
 HEADLINE = [
     "graph_nation_pagerank",
     "events_transition_matrix",
@@ -59,6 +62,10 @@ HEADLINE = [
     "training_dsir_resample",
     "training_quality_logreg",
     "ann_pq_topk",
+    "pipeline_canonical_containment",
+    "pipeline_canonical_minhash",
+    "dedup_substring_strip",
+    "parts_abc_revenue",
 ]
 
 

@@ -125,16 +125,26 @@ def _cap_hot_shingles(
     df=10⁶ at 100 TB would emit 10¹² pairs from a single join key).
     Semantics: similarity over the filtered shingle space, the standard
     stopword-filtered dedup convention. ``None`` disables (the exact,
-    oracle-matched form)."""
+    oracle-matched form).
+
+    FUSED with the inverted-index build: df is an unordered COUNT
+    window over the shingle partition, not a separate groupBy + semi-
+    join. The window's ClusteredDistribution(s) is the SAME hash
+    partitioning the downstream inverted-index self-join needs, so the
+    exchange is shared and the guard costs one in-partition counting
+    pass — near-free when no shingle crosses the cap. The previous
+    aggregate+join form re-derived the shingle rows for the df branch
+    and paid two extra shuffles on ``s``: measured 365 s capped vs
+    220 s uncapped at 30× on a fixture where the cap was a no-op
+    (SCALING.md round-4 table); the fused form closes that gap."""
     if max_shingle_df is None:
         return srows
-    keep = (
-        srows.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= max_shingle_df)
-        .select("s")
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("s"))
+    return (
+        srows.withColumn("_df", dfreq)
+        .where(F.col("_df") <= max_shingle_df)
+        .drop("_df")
     )
-    return srows.join(keep, "s")
 
 
 def ngram_jaccard_pairs(
@@ -230,11 +240,15 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_JACCARD = f"""
+def _ngram_jaccard_oracle(source: str) -> str:
+    """The banded ngram-Jaccard DuckDB oracle, parameterized by the
+    (doc_id, text, n_chars) source relation so composed pipelines can
+    run it over a canonicalized CTE instead of raw ``documents``."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, n_chars,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
-      FROM documents
+      FROM {source}
     ), sh AS (
       SELECT doc_id, n_chars,
              CASE WHEN len(tok) >= {SHINGLE_N}
@@ -255,6 +269,9 @@ ORACLE_NGRAM_JACCARD = f"""
                  / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0
           >= {JACCARD_THRESHOLD}
 """
+
+
+ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle("documents")
 
 
 # ---------------------------------------------------------------------------
@@ -856,8 +873,9 @@ def minhash_jaccard_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded attestation of the MinHash+LSH path (the pattern of
+def _minhash_validate_frame(docs: DataFrame) -> DataFrame:
+    """Banded attestation of the MinHash+LSH path over any (doc_id,
+    text, n_chars) frame (the pattern of
     :func:`dedup_embedding_lsh_validate`): for every EXACT banded
     near-dup pair (word-3-gram Jaccard ≥ 0.5 — the oracle-expressible
     dedup_ngram_jaccard definition), emit the exact jaccard plus
@@ -876,10 +894,14 @@ def dedup_minhash_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verify join end-to-end. Probabilistic recall (a true pair
     whose bands never collide) makes both sides of the iff false
     together, keeping the flag TRUE. The oracle recomputes the exact
-    side and pins the flag as literal TRUE."""
-    exact = dedup_ngram_jaccard(spark, sf_dir)
-    srows = shingle_rows(_docs(spark, sf_dir)).persist()
-    found = dedup_minhash_lsh(spark, sf_dir).select(
+    side and pins the flag as literal TRUE.
+
+    Shared by :func:`dedup_minhash_lsh_validate` (raw corpus) and
+    :func:`pipeline_canonical_minhash_validate` (exact-collapsed
+    corpus — the composed production ordering)."""
+    exact = ngram_jaccard_pairs(docs)
+    srows = shingle_rows(docs).persist()
+    found = minhash_jaccard_pairs(docs).select(
         F.col("doc_a").alias("f_a"),
         F.col("doc_b").alias("f_b"),
         F.lit(1).alias("found_hit"),
@@ -908,12 +930,87 @@ def dedup_minhash_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered raw-corpus form of :func:`_minhash_validate_frame`."""
+    return _minhash_validate_frame(_docs(spark, sf_dir))
+
+
 # banded shape: exact side recomputed (the dedup_ngram_jaccard oracle,
 # wrapped), invariant flag pinned TRUE (the xxhash64 minhash
 # signatures aren't SQL-expressible)
 ORACLE_MINHASH_LSH_VALIDATE = f"""
     SELECT doc_a, doc_b, jaccard, TRUE AS found_iff_candidate
     FROM ({ORACLE_NGRAM_JACCARD})
+"""
+
+
+def exact_canonical_docs(docs: DataFrame) -> DataFrame:
+    """Keep-first exact collapse: one representative (min doc_id) per
+    distinct text — the *input transform* of the composed production
+    dedup ordering. Same single-shuffle compound-key window as
+    :func:`dedup_exact` (8-byte xxhash64 leads the sort key; the
+    trailing text column is the collision-proof equality re-check)."""
+    w = W.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pipeline_canonical_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production DEDUP ORDERING for signature methods, composed
+    end-to-end: exact dedup collapses verbatim replicas FIRST, then
+    MinHash+LSH runs on the canonical corpus.
+
+    This ordering is the clearest scale lesson this engine encodes
+    (SCALING.md 100×/300× tables, measured as ``minhash_after_exact``):
+    on a replica-saturated corpus — exactly what a 100 TB web crawl
+    is — uncomposed MinHash saturates its 64-doc LSH bucket cap with
+    verbatim copies, and the cap (correctly, it is a skew guard)
+    drops those buckets wholesale: 74 s and ZERO recall at 100×
+    verbatim replication. Composed, each replica group contributes ONE
+    doc, buckets hold genuinely-near texts again, and the same corpus
+    takes 4.7 s with full recall (241 true pairs). Exact dedup is one
+    cheap hash-shuffle; running it first is strictly better at every
+    scale.
+
+    Output: near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) among the
+    canonical representatives. Rows-only with the driver (xxhash64
+    signatures aren't SQL); the composed exact side is driver-attested
+    via :func:`pipeline_canonical_minhash_validate`, and the planted-
+    replica recall pin (composed > 0 where uncomposed = 0) lives in
+    tests/test_dedup.py."""
+    return minhash_jaccard_pairs(exact_canonical_docs(_docs(spark, sf_dir)))
+
+
+def pipeline_canonical_minhash_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-attested twin of :func:`pipeline_canonical_minhash`:
+    the banded found-iff-candidate invariant recomputed on the
+    exact-collapsed corpus, so BOTH stages of the composed ordering —
+    the keep-first collapse and the signature search it feeds — sit
+    under one hash-matched oracle (the oracle rebuilds the canonical
+    corpus with a ROW_NUMBER window and runs the exact banded Jaccard
+    over it)."""
+    return _minhash_validate_frame(exact_canonical_docs(_docs(spark, sf_dir)))
+
+
+#: the exact-collapsed corpus as a DuckDB CTE body — keep-first on
+#: text, matching exact_canonical_docs (hash-leading key changes only
+#: the shuffle economics, not the grouping)
+_CANON_DOCS_SQL = """
+      SELECT doc_id, text, n_chars FROM (
+        SELECT doc_id, text, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+"""
+
+ORACLE_PIPELINE_CANONICAL_MINHASH_VALIDATE = f"""
+    WITH canon AS ({_CANON_DOCS_SQL})
+    SELECT doc_a, doc_b, jaccard, TRUE AS found_iff_candidate
+    FROM ({_ngram_jaccard_oracle("canon")})
 """
 
 
@@ -2479,6 +2576,8 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_containment_capped": dedup_containment_capped,
     "pipeline_canonical_containment": pipeline_canonical_containment,
+    "pipeline_canonical_minhash": pipeline_canonical_minhash,
+    "pipeline_canonical_minhash_validate": pipeline_canonical_minhash_validate,
     "dedup_semantic": dedup_semantic,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_stats": dedup_substring_stats,
@@ -2514,6 +2613,11 @@ ORACLE = {
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_containment_capped": ORACLE_CONTAINMENT_CAPPED,
     "pipeline_canonical_containment": ORACLE_PIPELINE_CANONICAL_CONTAINMENT,
+    # pipeline_canonical_minhash itself: rows-only (LSH buckets aren't
+    # SQL); its composed exact side is hash-attested via the twin below
+    "pipeline_canonical_minhash_validate": (
+        ORACLE_PIPELINE_CANONICAL_MINHASH_VALIDATE
+    ),
     "dedup_semantic": _oracle_dedup_semantic(),
     "dedup_substring_spans": ORACLE_SUBSTRING_SPANS,
     "dedup_substring_stats": ORACLE_SUBSTRING_STATS,

@@ -65,6 +65,13 @@ def bm25_topk(
     (never negative, standard Lucene variant); query terms are
     de-duplicated (short-query convention: query term weight 1).
     Ties on the quantized score break on doc_id ASC in both engines.
+
+    Convention: ``N`` (n_docs) counts docs with ≥ 1 token — it is
+    derived from the per-doc-length frame, so token-empty docs are
+    excluded from the corpus size by construction (they can never
+    match a term anyway). The DuckDB oracle counts N the same way;
+    callers wanting the raw-corpus N should count the documents frame
+    and pass-through idf themselves.
     """
     spark = docs.sparkSession
     qterms = spark.createDataFrame(

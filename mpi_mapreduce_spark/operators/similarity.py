@@ -1171,15 +1171,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_raw_corpus(load_table(spark, sf_dir, "embeddings")))
 
 
-def pq_adc_topk(raw: DataFrame) -> DataFrame:
+def pq_adc_topk(raw: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     """Core of :func:`ann_pq_topk` over any (vec_id, e: array<double>)
     frame with dim = PQ_M · PQ_SUBDIM — separated so tests can run the
-    full train/encode/score pipeline on planted clustered corpora."""
+    full train/encode/score pipeline on planted clustered corpora, and
+    the scale rehearsal can widen the query batch (``n_queries``; the
+    registered query keeps the default — identical plan and result)."""
     cents = pq_codebooks(raw)
     codes = raw.select(
         "vec_id", F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code")
     )
-    queries = raw.where(F.col("vec_id") < N_QUERIES).select(
+    queries = raw.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     centframe = raw.sparkSession.createDataFrame(

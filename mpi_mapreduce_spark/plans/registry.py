@@ -99,80 +99,82 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-4 window (the driver checks the first DRIVER_CAP registered
+#: Round-5 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build):
-#: - the 15 round-3 queries registered after the round-3 window froze
-#:   (the only remaining never-driver-checked names, per VERDICT r3);
-#: - the 17 queries NEW this round: validate twins for the last two
-#:   rows-only dedup paths, the density-probed auto embedding path,
-#:   oracle-attested capped twins for both inverted-index guards,
-#:   distributed k-means + SemDeDup, and the session-2 additions
-#:   (substring-span dedup ×3, BM25, DSIR, logreg quality classifier,
-#:   unigram entropy, PQ ANN, seasonal profile);
-#: - re-attests of every query whose implementation changed this
-#:   round (hot-shingle-cap refactor, exact-core extraction, the
-#:   minhash_jaccard_pairs core factoring);
-#: - 12 rotation re-checks of queries last attested in round 1
-#:   (TPC-H core + mapreduce parity) so green rows don't grow stale.
+#: - the 2 queries NEW this round: the composed exact→minhash
+#:   production pipeline (rows-only by the LSH contract) and its
+#:   hash-attested validate twin;
+#: - re-attests of the 7 queries whose implementation changed this
+#:   round: the hot-shingle df cap was fused into the inverted-index
+#:   exchange (window COUNT over the shingle partition), touching both
+#:   capped twins and their uncapped callers + the composed
+#:   containment pipeline; dedup_minhash_lsh_validate was factored
+#:   through the new _minhash_validate_frame core; pq_adc_topk gained
+#:   the n_queries rehearsal knob (default unchanged);
+#: - rotation, oldest-first per the round-4 verdict (no query's green
+#:   row should age past two rounds): ALL 39 queries whose newest
+#:   green row is round 1 (TPC-H bulk, joins, windows, setops, scalar
+#:   function showcases), then the 2 registration-oldest round-2 rows
+#:   (the remaining r2 set rotates in round 6).
 _ROUND_PRIORITY = [
-    # -- never driver-checked (15, registered post-freeze in r3) --
-    "ann_int8_topk",
-    "dedup_canonical_corpus",
-    "dedup_containment",
-    "dedup_repeated_ngrams",
-    "dq_skew_report_events",
-    "embedding_int8_quantize",
-    "events_quantile_sketch",
-    "events_user_value_ewma",
-    "multimodal_audio_decimate",
-    "text_boilerplate_strip",
-    "text_bpe_encode",
-    "text_bpe_train_merges",
-    "training_epoch_shard",
-    "training_shard_manifest",
-    "training_split_cluster_safe",
-    # -- new this round (23) --
-    "dedup_simhash_validate",
-    "dedup_incremental_minhash_validate",
-    "dedup_embedding_auto",
+    # -- new this round (2) --
+    "pipeline_canonical_minhash",
+    "pipeline_canonical_minhash_validate",
+    # -- changed this round: re-attest (6) --
+    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_containment",
     "dedup_containment_capped",
     "pipeline_canonical_containment",
-    "embedding_kmeans",
-    "dedup_semantic",
-    "dedup_substring_spans",
-    "dedup_substring_stats",
-    "dedup_substring_strip",
-    "text_bm25_topk",
-    "training_dsir_resample",
-    "training_quality_logreg",
-    "text_unigram_entropy",
-    "ann_pq_topk",
-    "events_seasonal_profile",
-    "embedding_covariance",
-    "embedding_hard_negatives",
-    "multimodal_pixel_histogram",
-    "text_bpe_fertility_by_lang",
-    "embedding_pq_codes",
-    "parts_abc_revenue",
-    # -- changed this round: re-attest (6) --
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
     "dedup_minhash_lsh_validate",
-    "dedup_embedding",
-    "dedup_embedding_lsh_validate",
-    # -- rotation: last attested round 1 (6) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "wordcount",
-    "map1_charclass",
-    "map2_letterfreq",
-    "map3_synthetic",
+    "ann_pq_topk",
+    # -- rotation: newest green row is round 1 (39) --
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "sql_q4_order_priority",
+    "sql_customer_max_order",
+    "rollup_pricing",
+    "cube_order_stats",
+    "grouping_sets_pricing",
+    "pivot_linestatus",
+    "orders_metrics_unpivot",
+    "percentile_order_prices",
+    "distinct_counts",
+    "customer_name_fuzzy_pairs",
+    "join_broadcast_part",
+    "join_semi_active_customers",
+    "join_anti_idle_customers",
+    "join_range_price_band",
+    "window_topk_suppliers",
+    "window_running_customer_spend",
+    "window_event_deltas",
+    "topk_orders",
+    "setops_customer_cohorts",
+    "events_json_stats",
+    "orders_by_month",
+    "string_functions_showcase",
+    "array_functions_showcase",
+    # -- rotation: registration-oldest round-2 rows (2) --
+    "dedup_exact_stats",
+    "knn_bruteforce",
 ]
-# With this window every one of the registered queries has at least
-# one green driver CORRECTNESS row across rounds 1-4 (the r3 verdict's
-# "never driver-checked" list is exactly the 15 promoted above).
+# With this window every registered query's newest green driver row is
+# round 3+ except 33 round-2 rows queued for the round-6 rotation; the
+# 4 rows-only LSH paths stay green-by-twin per their contract.
 
 
 def _promote(names: list[str]) -> None:

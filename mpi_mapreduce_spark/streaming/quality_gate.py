@@ -20,14 +20,17 @@ the micro-batch is a plain DataFrame and the batch operator runs
 unchanged — one operator, two execution modes, zero code divergence.
 
 Scale: the broadcast model is constant-size; per-batch cost is linear
-in the batch (tokenize → bucket → one grouped sum). The parquet
-append is idempotent-per-epoch under the same caveats as
-streaming/sinks.py.
+in the batch (tokenize → bucket → one grouped sum). The sink is
+idempotent per epoch for real: scores land partitioned by epoch_id
+with dynamic partition overwrite (the streaming/sinks.py pattern), so
+a re-delivered micro-batch after a crash rewrites its own epoch
+partition instead of double-appending.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.datamodel import load_table
 from mpi_mapreduce_spark.operators.training import logreg_model, logreg_score
@@ -54,8 +57,13 @@ def start_quality_gate(
         batch = batch_df.where(f"doc_id % {batch_mod} = 0")
         if not batch.take(1):
             return
-        logreg_score(batch, weights, bias).write.mode("append").parquet(
-            out_path
+        (
+            logreg_score(batch, weights, bias)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
         )
 
     return (

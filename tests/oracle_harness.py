@@ -88,12 +88,27 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
         )
 
 
-def check_query(spark, name: str, sf_dir: str) -> None:
+def check_query(spark, name: str, sf_dir: str) -> dict:
+    """Run one query vs its oracle; returns wall-clock per side so
+    callers can build the oracle-cost manifest (a 915 s DuckDB
+    recursive-CTE oracle at sf0.1 stalled a round-4 sweep — the
+    manifest + budget test in tests/test_oracle_costs.py make that
+    failure mode visible before it stalls anything)."""
+    import time
+
     from mpi_mapreduce_spark.plans.registry import ORACLE, QUERIES
 
+    t0 = time.perf_counter()
     sdf = QUERIES[name](spark, sf_dir).toPandas()
+    spark_sec = time.perf_counter() - t0
     if name not in ORACLE:
         assert len(sdf) >= 0  # rows-only check, mirrors the driver
-        return
+        return {"spark_sec": round(spark_sec, 3), "oracle_sec": None}
+    t0 = time.perf_counter()
     odf = run_oracle(ORACLE[name], sf_dir)
+    oracle_sec = time.perf_counter() - t0
     assert_frames_match(sdf, odf, name)
+    return {
+        "spark_sec": round(spark_sec, 3),
+        "oracle_sec": round(oracle_sec, 3),
+    }

@@ -682,3 +682,73 @@ def test_substring_strip_removes_planted_passage(spark):
     out2 = {r.doc_id: r for r in D.strip_duplicated_spans(df2).collect()}
     assert out2[1].clean_text == "" and out2[1].n_removed == 10
     assert out2[2].clean_text == ""
+
+
+def test_composed_minhash_recovers_recall_on_replica_saturated_corpus(spark):
+    """The composed exact→minhash production ordering (SCALING.md's
+    clearest scale lesson), pinned at test scale: an 80-wide verbatim
+    replica group saturates every LSH band bucket past the 64-doc cap,
+    so UNCOMPOSED minhash — correctly, the cap is a skew guard —
+    drops those buckets wholesale and returns ZERO pairs; collapsing
+    replicas first (pipeline_canonical_minhash's input transform)
+    restores full recall on the surviving near-dup structure."""
+    tail = " ".join(f"w{j}" for j in range(40))
+    rows = [(i, f"replica body {tail}") for i in range(80)]
+    rows.append((200, f"replica body {tail} trailing edit"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncomposed = _pairs(D.minhash_jaccard_pairs(df))
+    assert uncomposed == set(), "81-wide buckets must hit the cap"
+
+    canon = D.exact_canonical_docs(df)
+    assert canon.count() == 2  # min-doc_id representative + the edit
+    composed = _pairs(D.minhash_jaccard_pairs(canon))
+    assert (0, 200) in composed
+
+
+def test_exact_canonical_docs_keeps_min_doc_id(spark):
+    df = spark.createDataFrame(
+        [(5, "a b c"), (3, "a b c"), (9, "x y z")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in D.exact_canonical_docs(df).collect())
+    assert kept == [3, 9]
+
+
+def test_auto_probe_picks_lsh_on_separated_100k_corpus(spark):
+    """The round-5 scale rehearsal corpus (tools/scale_rehearsal.py
+    separated_embeddings: 100k unit vectors, 1000 planted pairs at
+    cosine ≈ 0.97, bulk pair cosines ~ N(0, 1/64)) is the regime the
+    banded/IVF/PQ paths exist for — the density probe must choose LSH
+    there at the production search shape (θ=0.9, b=8/L=8). Only the
+    DECISION is executed here (the probe is one banding aggregate);
+    the chosen plan's wall-clock lives in SCALING.md."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from scale_rehearsal import (
+            EMB_PROD_BANDS,
+            EMB_PROD_BITS,
+            EMB_PROD_THRESHOLD,
+            EMB_SEP_DIM,
+            separated_embeddings,
+        )
+    finally:
+        sys.path.pop(0)
+
+    ids, v, planted = separated_embeddings()
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "v": list(v.astype("float64"))}),
+        "vec_id long, v array<double>",
+    )
+    _pairs_df, path = D.embedding_neardup_auto(
+        emb,
+        EMB_SEP_DIM,
+        EMB_PROD_THRESHOLD,
+        EMB_PROD_BITS,
+        EMB_PROD_BANDS,
+    )
+    assert path == "lsh"

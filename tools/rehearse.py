@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import argparse
 import importlib.util
+import json
 import sys
+import time
 
 REPO = "/root/repo"
 
@@ -31,6 +33,12 @@ def main() -> int:
         "--verbose",
         action="store_true",
         help="print per-query timing (find slow oracles at big sf)",
+    )
+    ap.add_argument(
+        "--manifest",
+        help="write per-query spark/oracle wall-clock JSON here "
+        "(the oracle-cost manifest; tests/test_oracle_costs.py "
+        "asserts a budget over the committed copy)",
     )
     args = ap.parse_args()
 
@@ -61,20 +69,25 @@ def main() -> int:
     qs = mod.queries()
     names = args.names.split(",") if args.names else list(qs)
     fails = 0
+    manifest: dict[str, dict] = {}
     for name in names:
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         try:
-            check_query(spark, name, args.sf_dir)
+            manifest[name] = check_query(spark, name, args.sf_dir)
             if args.verbose:
+                o = manifest[name]["oracle_sec"]
                 print(
-                    f"ok   {name} {_time.perf_counter() - t0:.1f}s",
+                    f"ok   {name} {time.perf_counter() - t0:.1f}s"
+                    f" (oracle {'—' if o is None else f'{o:.1f}s'})",
                     flush=True,
                 )
         except Exception as e:  # noqa: BLE001 — report-and-continue
             fails += 1
             print(f"FAIL {name}: {type(e).__name__} {str(e)[:200]}")
+    if args.manifest:
+        with open(args.manifest, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "queries": manifest}, f, indent=1)
+        print(f"manifest: {len(manifest)} entries -> {args.manifest}")
     print(
         f"rehearsal: {len(names) - fails}/{len(names)} pass "
         f"({len(qs)} registered) at {args.sf_dir}"

@@ -86,6 +86,77 @@ def gen(sf_dir: str, scratch: str, doc_evt_repl: int | None = None) -> None:
         print(f"{t}: {n} rows")
 
 
+#: separated embedding rehearsal (round-5 brief): ≥100k vectors where
+#: planted near-dup pairs sit at cosine ≈ 0.97 and the bulk is random
+#: 64-dim directions (pair cosines ~ N(0, 1/64), so the production
+#: threshold 0.9 is 7σ out) — the regime the LSH/IVF/PQ paths exist
+#: for, as opposed to the sf fixture's threshold-hugging 0.4 regime
+#: where the density probe correctly picks exact.
+EMB_SEP_N = 100_000
+EMB_SEP_DIM = 64
+EMB_SEP_PAIRS = 1_000  # planted near-dup pairs (2% of vectors)
+EMB_SEP_EPS = 0.03  # perturbation: cos ≈ 1/sqrt(1+eps²·dim) ≈ 0.972
+EMB_SEP_SEED = 1905
+#: production search shape on the separated corpus: threshold 0.9
+#: needs deep-narrow banding (b=8, L=8 — see dedup.EMBED_LSH docs)
+EMB_PROD_THRESHOLD = 0.9
+EMB_PROD_BITS = 8
+EMB_PROD_BANDS = 8
+#: query batch for the ANN timing rows: with the registered 5-query
+#: load the one-time index passes (bucketing / cell assignment / PQ
+#: encode) dominate and exact scan ties ANN; 200 queries is a
+#: realistic serving batch where the scan-cost asymmetry is visible
+#: (exact = 200·n dots; ANN = index pass + 200·candidates)
+EMB_SEP_QUERIES = 200
+
+
+def separated_embeddings(
+    n: int = EMB_SEP_N,
+    dim: int = EMB_SEP_DIM,
+    n_pairs: int = EMB_SEP_PAIRS,
+    eps: float = EMB_SEP_EPS,
+    seed: int = EMB_SEP_SEED,
+):
+    """(ids, vectors float32 (n, dim) unit-norm, planted pair list) —
+    shared by the gen-emb mode and the pytest that pins the density
+    probe's LSH decision on this corpus (tests/test_dedup.py)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pairs = []
+    for p in range(n_pairs):
+        a = 10 + p * (n // n_pairs)  # keep vec_id < 5 as clean queries
+        b = a + 1
+        v[b] = v[a] + eps * rng.randn(dim)
+        v[b] /= np.linalg.norm(v[b])
+        pairs.append((a, b))
+    return np.arange(n, dtype=np.int64), v.astype(np.float32), pairs
+
+
+def gen_emb(scratch: str, n: int = EMB_SEP_N) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, v, pairs = separated_embeddings(n=n)
+    os.makedirs(scratch, exist_ok=True)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [row for row in v.tolist()], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                np.zeros(len(ids), dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+    pq.write_table(table, f"{scratch}/embeddings.parquet")
+    print(f"embeddings: {len(ids)} rows, {len(pairs)} planted pairs -> {scratch}")
+
+
 def _resolve(name):
     from mpi_mapreduce_spark.plans.registry import QUERIES
 
@@ -119,6 +190,78 @@ def _resolve(name):
             return minhash_jaccard_pairs(canon)
 
         return run
+    if name.startswith("embsep_"):
+        # production-regime embedding ops on the separated corpus
+        # (threshold 0.9, b=8/L=8 banding — NOT the registered 0.4
+        # fixture regime; see the EMB_SEP constants)
+        from pyspark.sql import functions as F
+
+        from mpi_mapreduce_spark.datamodel import load_table
+        from mpi_mapreduce_spark.functions import vectors as VEC
+        from mpi_mapreduce_spark.operators import dedup as D
+        from mpi_mapreduce_spark.operators import similarity as S
+
+        def _norm(spark, d):
+            return load_table(spark, d, "embeddings").select(
+                "vec_id",
+                VEC.normalize_arrow(
+                    VEC.as_double(F.col("embedding"))
+                ).alias("v"),
+            )
+
+        def _qs(corpus):
+            return corpus.where(F.col("vec_id") < EMB_SEP_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            )
+
+        op = name.removeprefix("embsep_")
+        if op == "knn_exact":
+            return lambda spark, d: S.knn_topk(_norm(spark, d), _qs(_norm(spark, d)))
+        if op == "ann_lsh":
+            return lambda spark, d: S.ann_lsh(
+                _norm(spark, d), _qs(_norm(spark, d)), EMB_SEP_DIM
+            )
+        if op == "ann_ivf":
+
+            def run_ivf(spark, d):
+                corpus = _norm(spark, d)
+                return S.ann_ivf(corpus, _qs(corpus), S.ivf_centroids(corpus))
+
+            return run_ivf
+        if op == "ann_pq":
+            return lambda spark, d: S.pq_adc_topk(
+                load_table(spark, d, "embeddings").select(
+                    "vec_id", VEC.as_double(F.col("embedding")).alias("e")
+                ),
+                n_queries=EMB_SEP_QUERIES,
+            )
+        if op == "dedup_exact":
+            return lambda spark, d: D.embedding_neardup_exact(
+                _norm(spark, d), EMB_PROD_THRESHOLD
+            )
+        if op == "dedup_lsh":
+            return lambda spark, d: D.embedding_neardup_lsh(
+                _norm(spark, d),
+                EMB_SEP_DIM,
+                EMB_PROD_THRESHOLD,
+                EMB_PROD_BITS,
+                EMB_PROD_BANDS,
+            )
+        if op == "dedup_auto":
+
+            def run_auto(spark, d):
+                pairs, path = D.embedding_neardup_auto(
+                    _norm(spark, d),
+                    EMB_SEP_DIM,
+                    EMB_PROD_THRESHOLD,
+                    EMB_PROD_BITS,
+                    EMB_PROD_BANDS,
+                )
+                print(f"  # auto picked: {path}", flush=True)
+                return pairs
+
+            return run_auto
+        raise SystemExit(f"unknown embsep op {op}")
     return QUERIES[name]
 
 
@@ -153,6 +296,10 @@ def main() -> None:
         scratch = sys.argv[2] if len(sys.argv) > 2 else SCRATCH
         repl = int(sys.argv[3]) if len(sys.argv) > 3 else None
         gen(SF_DIR, scratch, repl)
+    elif mode == "gen-emb":
+        scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/embsep100k"
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else EMB_SEP_N
+        gen_emb(scratch, n)
     elif mode == "time":
         names = sys.argv[2].split(",")
         scratch = sys.argv[3] if len(sys.argv) > 3 else SCRATCH
