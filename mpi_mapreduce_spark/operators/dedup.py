@@ -148,7 +148,9 @@ def _cap_hot_shingles(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, max_shingle_df: int | None = None
+    docs: DataFrame,
+    max_shingle_df: int | None = None,
+    srows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, within ±1 length
     band (|floor(n_chars/50) difference| ≤ 1 — same blocking as the
@@ -175,12 +177,20 @@ def ngram_jaccard_pairs(
     shingles, so true near-dups survive while the quadratic bucket
     disappears. The registered query runs uncapped (exact, matching
     the DuckDB oracle); tests/test_dedup.py pins the capped behavior
-    on planted hot-shingle data."""
+    on planted hot-shingle data.
+
+    ``srows``: optionally pass precomputed shingle rows for ``docs``
+    (the persistable shingle INDEX — at 100 TB a pipeline materializes
+    it once and feeds every inverted-index stage from it; see
+    pipeline_canonical_containment)."""
     bands = docs.select(
         "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
     )
     srows = _cap_hot_shingles(
-        shingle_rows(docs).join(bands, "doc_id"), max_shingle_df
+        (srows if srows is not None else shingle_rows(docs)).join(
+            bands, "doc_id"
+        ),
+        max_shingle_df,
     )
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(
@@ -1911,17 +1921,26 @@ def pipeline_canonical_containment(
     is back to guarding only boilerplate skew.
 
     Composition of attested pieces: ngram-Jaccard pairs → iterative
-    connected components → keep ``doc_id == component`` → containment
-    pairs over the kept docs. The canonical filter is a semi-join on
-    doc_id (the table's natural key); everything heavy is inside the
-    already-audited pair/CC/containment stages."""
-    canon = (
-        dedup_canonical_corpus(spark, sf_dir)
-        .where(F.col("is_canonical"))
-        .select("doc_id")
+    connected components → drop non-representative members → containment
+    pairs over the kept docs. The canonical filter is ONE anti-join
+    (docs minus component members whose label isn't their own id —
+    singletons never appear in the label frame, so they survive by
+    absence), skipping dedup_canonical_corpus's cluster-size aggregate
+    and corpus-wide re-join, which the pipeline never consumes.
+
+    The shingle INDEX is built once and persisted, then feeds BOTH
+    inverted-index stages — the Jaccard pair query and the containment
+    query (whose canonical input is the same rows anti-joined) — the
+    way a 100 TB pipeline materializes its shingle/signature artifact
+    once per corpus version rather than re-tokenizing per stage."""
+    docs = _docs(spark, sf_dir)
+    srows = shingle_rows(docs).persist()
+    comp = connected_components(
+        ngram_jaccard_pairs(docs, srows=srows).select("doc_a", "doc_b")
     )
-    docs = _docs(spark, sf_dir).join(canon, "doc_id")
-    return containment_pairs(docs)
+    dropped = comp.where(F.col("comp") != F.col("doc_id")).select("doc_id")
+    canon_srows = srows.join(dropped, "doc_id", "left_anti")
+    return containment_pairs(docs, srows=canon_srows)
 
 
 ORACLE_PIPELINE_CANONICAL_CONTAINMENT = f"""
@@ -2045,7 +2064,9 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
 
 
 def containment_pairs(
-    docs: DataFrame, max_shingle_df: int | None = None
+    docs: DataFrame,
+    max_shingle_df: int | None = None,
+    srows: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT:
     |A∩B| / min(|A|,|B|) ≥ 0.8 over word-3-gram shingle sets.
@@ -2063,8 +2084,15 @@ def containment_pairs(
     (sizes recomputed over the filtered rows, consistent with the
     Jaccard path); a pasted subset-copy still shares its distinctive
     shingles, so true containment survives while hot buckets vanish —
-    pinned on planted hot-shingle data in tests/test_dedup.py."""
-    srows = _cap_hot_shingles(shingle_rows(docs), max_shingle_df)
+    pinned on planted hot-shingle data in tests/test_dedup.py.
+
+    ``srows``: optionally pass precomputed shingle rows for ``docs``
+    (the shared shingle-index artifact; ``docs`` itself is then only
+    documentation of provenance — every downstream frame derives from
+    the rows)."""
+    srows = _cap_hot_shingles(
+        srows if srows is not None else shingle_rows(docs), max_shingle_df
+    )
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(F.col("doc_id").alias("doc_a"), "s")
     b = srows.select(F.col("doc_id").alias("doc_b"), "s")

@@ -29,6 +29,12 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--names", help="comma-separated subset of queries")
     ap.add_argument(
+        "--exclude",
+        help="comma-separated queries to skip (the sf0.1 sweep drops "
+        "the pairwise/recursive-oracle family whose DuckDB side is "
+        "quadratic — their ENGINE cost is benchmarked separately)",
+    )
+    ap.add_argument(
         "-v",
         "--verbose",
         action="store_true",
@@ -68,6 +74,13 @@ def main() -> int:
 
     qs = mod.queries()
     names = args.names.split(",") if args.names else list(qs)
+    if args.exclude:
+        dropped = set(args.exclude.split(","))
+        unknown = dropped - set(qs)
+        if unknown:
+            raise SystemExit(f"--exclude names not registered: {unknown}")
+        names = [n for n in names if n not in dropped]
+        print(f"excluded {len(dropped)} (pairwise/recursive oracles)")
     fails = 0
     manifest: dict[str, dict] = {}
     for name in names:
