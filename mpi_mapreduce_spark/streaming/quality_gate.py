@@ -37,6 +37,31 @@ from mpi_mapreduce_spark.operators.training import logreg_model, logreg_score
 from mpi_mapreduce_spark.streaming.ingest_dedup import stream_documents
 
 
+def make_score_batch(weights, bias, out_path: str, batch_mod: int):
+    """The foreachBatch body, exposed so tests can exercise epoch
+    RE-DELIVERY directly (call it twice with the same epoch_id and
+    assert no duplicate scores): each micro-batch's scores land in
+    their own ``epoch_id=`` partition with dynamic partition
+    overwrite, so a crash-replayed epoch rewrites its partition
+    instead of appending a second copy — the streaming/sinks.py
+    idempotence pattern."""
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.where(f"doc_id % {batch_mod} = 0")
+        if not batch.take(1):
+            return
+        (
+            logreg_score(batch, weights, bias)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+
+    return score_batch
+
+
 def start_quality_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -52,20 +77,7 @@ def start_quality_gate(
         f"doc_id % {batch_mod} != 0"
     )
     weights, bias = logreg_model(corpus)
-
-    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.where(f"doc_id % {batch_mod} = 0")
-        if not batch.take(1):
-            return
-        (
-            logreg_score(batch, weights, bias)
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(out_path)
-        )
-
+    score_batch = make_score_batch(weights, bias, out_path, batch_mod)
     return (
         stream_documents(spark, sf_dir)
         .writeStream.foreachBatch(score_batch)

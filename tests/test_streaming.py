@@ -302,3 +302,30 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert streamed  # non-empty
+
+
+def test_quality_gate_epoch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """A crash-replayed micro-batch (same epoch_id delivered twice)
+    must not double-append scores: the sink overwrites its own
+    epoch_id partition (dynamic partition overwrite), so re-delivery
+    rewrites identical rows in place while other epochs' partitions
+    are untouched."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.operators.training import logreg_model
+    from mpi_mapreduce_spark.streaming.quality_gate import make_score_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = logreg_model(docs.where("doc_id % 10 != 0"))
+    out = str(tmp_path / "scores_replay")
+    fn = make_score_batch(w, b, out, batch_mod=10)
+
+    batch = docs.where("doc_id % 10 = 0")
+    n = batch.count()
+    fn(docs, 0)
+    fn(docs, 0)  # crash replay of the SAME epoch
+    assert spark.read.parquet(out).count() == n
+
+    fn(docs, 1)  # a different epoch lands alongside, not instead
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * n
+    assert got.select("epoch_id").distinct().count() == 2
