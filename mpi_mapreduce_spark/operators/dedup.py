@@ -957,15 +957,29 @@ ORACLE_MINHASH_LSH_VALIDATE = f"""
 def exact_canonical_docs(docs: DataFrame) -> DataFrame:
     """Keep-first exact collapse: one representative (min doc_id) per
     distinct text — the *input transform* of the composed production
-    dedup ordering. Same single-shuffle compound-key window as
-    :func:`dedup_exact` (8-byte xxhash64 leads the sort key; the
-    trailing text column is the collision-proof equality re-check)."""
-    w = W.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    dedup ordering.
+
+    Implemented as a grouped MIN-STRUCT aggregate, not a row_number
+    window: ``min(struct(doc_id, rest...))`` under the compound
+    ``(xxhash64(text), text)`` key (8-byte hash leads the comparison;
+    the trailing text column is the collision-proof equality
+    re-check) is exactly the min-doc_id row, and the aggregate gets
+    MAP-SIDE COMBINE — on a replica-saturated corpus (the regime this
+    pipeline exists for) each input partition collapses its local
+    copies before the shuffle, so the exchange carries ~unique texts
+    instead of every replica row. The window form shuffles the entire
+    corpus first and sorts replica groups just to discard them —
+    strictly worse at every scale."""
+    others = ["doc_id"] + [
+        c for c in docs.columns if c not in ("doc_id", "text")
+    ]
+    rep = docs.groupBy(F.xxhash64("text").alias("_h"), "text").agg(
+        F.min(F.struct(*others)).alias("_r")
     )
+    return rep.select(
+        *[F.col(f"_r.{c}").alias(c) for c in docs.columns if c != "text"],
+        "text",
+    ).select(*docs.columns)
 
 
 def pipeline_canonical_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,27 +1934,44 @@ def pipeline_canonical_containment(
     reflects genuine cross-document sharing, and the hot-shingle cap
     is back to guarding only boilerplate skew.
 
-    Composition of attested pieces: ngram-Jaccard pairs → iterative
-    connected components → drop non-representative members → containment
-    pairs over the kept docs. The canonical filter is ONE anti-join
-    (docs minus component members whose label isn't their own id —
-    singletons never appear in the label frame, so they survive by
-    absence), skipping dedup_canonical_corpus's cluster-size aggregate
-    and corpus-wide re-join, which the pipeline never consumes.
+    Composition of attested pieces, with the EXACT COLLAPSE FIRST at
+    every pairwise stage — including the canonicalization pair query
+    itself: exact keep-first collapse → ngram-Jaccard pairs over the
+    collapsed corpus → iterative connected components → drop
+    non-representative members → containment pairs over the kept docs.
 
-    The shingle INDEX is built once and persisted, then feeds BOTH
-    inverted-index stages — the Jaccard pair query and the containment
-    query (whose canonical input is the same rows anti-joined) — the
-    way a 100 TB pipeline materializes its shingle/signature artifact
-    once per corpus version rather than re-tokenizing per stage."""
-    docs = _docs(spark, sf_dir)
-    srows = shingle_rows(docs).persist()
+    Collapsing before the PAIR QUERY (not just before containment) is
+    output-preserving: verbatim replicas have identical shingle sets
+    and identical length bands, so replacing a replica group by its
+    min-doc_id member preserves near-dup connectivity exactly, and
+    the min doc_id of every CC component is itself a kept
+    representative — the canonical set, and therefore the containment
+    output, is unchanged (the DuckDB oracle still computes the
+    recursive closure over the FULL pair graph and hash-matches).
+    Measured necessity, not a nicety: at the 100× verbatim-replica
+    rehearsal the raw-corpus pair stage's inverted-index join squares
+    the per-shingle df (~10⁴× base join volume) and blew through
+    first a 16 GB heap (deserialized full-corpus shingle cache), then
+    79 GB of shuffle-spill disk; collapsed-first, the same pipeline
+    runs in seconds (SCALING.md round-5 table).
+
+    The canonical-corpus shingle INDEX is built once, persisted
+    DISK_ONLY (a table-shaped artifact in production, not executor
+    heap), and feeds both inverted-index stages; the canonical filter
+    is ONE anti-join (docs minus component members whose label isn't
+    their own id — singletons never appear in the label frame, so
+    they survive by absence), skipping dedup_canonical_corpus's
+    cluster-size aggregate, which the pipeline never consumes."""
+    from pyspark import StorageLevel
+
+    canon0 = exact_canonical_docs(_docs(spark, sf_dir))
+    srows = shingle_rows(canon0).persist(StorageLevel.DISK_ONLY)
     comp = connected_components(
-        ngram_jaccard_pairs(docs, srows=srows).select("doc_a", "doc_b")
+        ngram_jaccard_pairs(canon0, srows=srows).select("doc_a", "doc_b")
     )
     dropped = comp.where(F.col("comp") != F.col("doc_id")).select("doc_id")
     canon_srows = srows.join(dropped, "doc_id", "left_anti")
-    return containment_pairs(docs, srows=canon_srows)
+    return containment_pairs(canon0, srows=canon_srows)
 
 
 ORACLE_PIPELINE_CANONICAL_CONTAINMENT = f"""

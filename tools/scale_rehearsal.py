@@ -169,27 +169,10 @@ def _resolve(name):
             load_table(spark, d, "documents"), max_shingle_df=cap
         )
     if name == "minhash_after_exact":
-        # the composed production ordering: collapse verbatim replicas
-        # (exact dedup keep-first) BEFORE minhash — the 100× rehearsal
-        # shows uncomposed minhash saturates its 64-doc bucket cap on
-        # 100-wide replica groups and returns nothing
-        from pyspark.sql import Window as W
-        from pyspark.sql import functions as F
-
-        from mpi_mapreduce_spark.datamodel import load_table
-        from mpi_mapreduce_spark.operators.dedup import minhash_jaccard_pairs
-
-        def run(spark, d):
-            docs = load_table(spark, d, "documents")
-            w = W.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
-            canon = (
-                docs.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-            )
-            return minhash_jaccard_pairs(canon)
-
-        return run
+        # the composed production ordering — since round 5 this IS the
+        # registered query (pipeline_canonical_minhash); the pseudo-name
+        # stays so older SCALING.md rows remain reproducible verbatim
+        return QUERIES["pipeline_canonical_minhash"]
     if name.startswith("embsep_"):
         # production-regime embedding ops on the separated corpus
         # (threshold 0.9, b=8/L=8 banding — NOT the registered 0.4
