@@ -1856,13 +1856,63 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "comp")
 
 
+def _collapsed_component_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the CC-family queries, collapsed-first:
+
+    - ``rr``: every doc's verbatim-replica bookkeeping ``(doc_id, rep,
+      grp_n)`` — the keep-first exact representative (min doc_id over
+      identical text) and the replica-group width, from ONE window
+      shuffle on the compound ``(xxhash64(text), text)`` key;
+    - ``comp_c``: min-label CC over the ngram-Jaccard pair graph of
+      the COLLAPSED corpus only.
+
+    Running the pair query on representatives instead of the raw
+    corpus is the same measured necessity as in
+    :func:`pipeline_canonical_containment` (the raw-corpus
+    inverted-index join squares per-shingle df — 100× replication
+    exhausted heap then spill disk), and it is exact for the full
+    graph: replicas share their representative's shingle set and
+    length band, so full-graph connectivity and component labels
+    (min doc_id, always a representative) reconstruct from ``comp_c``
+    through ``rr`` with one broadcast-sized join."""
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy(F.xxhash64("text"), F.col("text"))
+    rr = docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("grp_n"),
+    )
+    canon0 = docs.join(
+        rr.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    comp_c = connected_components(
+        ngram_jaccard_pairs(canon0).select("doc_a", "doc_b")
+    ).select(F.col("doc_id").alias("rep"), "comp")
+    return rr, comp_c
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Components of the ngram-Jaccard near-dup graph: (doc_id,
-    component representative). Oracle = DuckDB recursive transitive
-    closure over the identical pair query."""
-    return connected_components(
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    ).select("doc_id", F.col("comp").alias("component"))
+    component representative) for every doc with at least one near-dup
+    pair. Oracle = DuckDB recursive transitive closure over the FULL
+    pair graph; the engine computes the collapsed-graph CC and
+    re-expands (see :func:`_collapsed_component_frames`) — a doc is a
+    full-graph vertex iff it has a verbatim replica (pairs with it at
+    Jaccard 1, same band) or its representative pairs in the collapsed
+    graph, and its label is its representative's collapsed label (or
+    the representative itself for a pure replica group)."""
+    rr, comp_c = _collapsed_component_frames(spark, sf_dir)
+    return (
+        rr.join(comp_c, "rep", "left")
+        .where((F.col("grp_n") >= 2) | F.col("comp").isNotNull())
+        .select(
+            "doc_id", F.coalesce("comp", "rep").alias("component")
+        )
+    )
 
 
 def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,17 +1923,15 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the component representative the min-label propagation already
     computes).
 
-    Composition of existing pieces — pair query → iterative CC → one
-    left join back onto the corpus + a grouped cluster-size count.
-    The corpus-wide join is on doc_id (the table's natural key) and
-    the size count shuffles one row per doc; everything heavy is
-    inside the already-analyzed pair/CC stages."""
-    docs = _docs(spark, sf_dir).select("doc_id")
-    comp = connected_components(
-        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    )
-    labeled = docs.join(comp, "doc_id", "left").select(
-        "doc_id", F.coalesce("comp", "doc_id").alias("component")
+    Collapsed-first like the rest of the CC family
+    (:func:`_collapsed_component_frames`): every doc's component is
+    its representative's collapsed-graph label (its own rep when the
+    rep has no cross-text pairs — this also covers singletons), the
+    cluster size is a grouped count over ALL docs, and the heavy pair
+    stage only ever sees one doc per distinct text."""
+    rr, comp_c = _collapsed_component_frames(spark, sf_dir)
+    labeled = rr.join(comp_c, "rep", "left").select(
+        "doc_id", F.coalesce("comp", "rep").alias("component")
     )
     sizes = labeled.groupBy("component").agg(
         F.count("*").alias("cluster_size")

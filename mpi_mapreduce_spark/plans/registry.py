@@ -104,18 +104,20 @@ DRIVER_CAP = 50
 #: - the 2 queries NEW this round: the composed exact→minhash
 #:   production pipeline (rows-only by the LSH contract) and its
 #:   hash-attested validate twin;
-#: - re-attests of the 7 queries whose implementation changed this
+#: - re-attests of the 9 queries whose implementation changed this
 #:   round: the hot-shingle df cap was fused into the inverted-index
 #:   exchange (window COUNT over the shingle partition), touching both
 #:   capped twins and their uncapped callers + the composed
 #:   containment pipeline; dedup_minhash_lsh_validate was factored
 #:   through the new _minhash_validate_frame core; pq_adc_topk gained
-#:   the n_queries rehearsal knob (default unchanged);
+#:   the n_queries rehearsal knob (default unchanged); the CC family
+#:   (dedup_connected_components, dedup_canonical_corpus) went
+#:   collapsed-first after the 100× disk-exhaustion finding;
 #: - rotation, oldest-first per the round-4 verdict (no query's green
 #:   row should age past two rounds): ALL 39 queries whose newest
 #:   green row is round 1 (TPC-H bulk, joins, windows, setops, scalar
-#:   function showcases), then the 2 registration-oldest round-2 rows
-#:   (the remaining r2 set rotates in round 6).
+#:   function showcases); the round-2 rows all rotate in round 6 (the
+#:   two slots they briefly held went to the CC-family re-attests).
 _ROUND_PRIORITY = [
     # -- new this round (2) --
     "pipeline_canonical_minhash",
@@ -128,6 +130,8 @@ _ROUND_PRIORITY = [
     "pipeline_canonical_containment",
     "dedup_minhash_lsh_validate",
     "ann_pq_topk",
+    "dedup_connected_components",
+    "dedup_canonical_corpus",
     # -- rotation: newest green row is round 1 (39) --
     "q2_min_cost_supplier",
     "q5_local_supplier_volume",
@@ -168,9 +172,6 @@ _ROUND_PRIORITY = [
     "orders_by_month",
     "string_functions_showcase",
     "array_functions_showcase",
-    # -- rotation: registration-oldest round-2 rows (2) --
-    "dedup_exact_stats",
-    "knn_bruteforce",
 ]
 # With this window every registered query's newest green driver row is
 # round 3+ except 33 round-2 rows queued for the round-6 rotation; the
