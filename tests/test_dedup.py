@@ -752,3 +752,72 @@ def test_auto_probe_picks_lsh_on_separated_100k_corpus(spark):
         EMB_PROD_BANDS,
     )
     assert path == "lsh"
+
+
+def test_collapsed_cc_reconstruction_equals_full_graph(spark):
+    """The collapsed-first CC family must reproduce FULL-graph
+    components exactly on a corpus exercising every reconstruction
+    case: a pure replica group (vertices only via replica pairs), a
+    replica group whose text also near-dups another text (collapsed
+    edge + re-expansion), a cross-text near-dup pair with no replicas,
+    and a singleton (no vertex at all)."""
+    def tail(g):  # distinct per group so groups never near-dup each other
+        return " ".join(f"{g}{j}" for j in range(30))
+
+    rows = [
+        # pure replica group: ids 0,1,2 (same text, no outside near-dup)
+        (0, f"pure group {tail('p')} zzz"),
+        (1, f"pure group {tail('p')} zzz"),
+        (2, f"pure group {tail('p')} zzz"),
+        # replica group {10, 11} whose text near-dups doc 12
+        (10, f"bridge text {tail('b')}"),
+        (11, f"bridge text {tail('b')}"),
+        (12, f"bridge text {tail('b')} edit"),
+        # plain near-dup pair, no replicas
+        (20, f"plain pair {tail('q')} aa"),
+        (21, f"plain pair {tail('q')} aa bb"),
+        # singleton
+        (30, "completely unrelated words only here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long",
+    )
+
+    full = {
+        (r.doc_id, r.comp)
+        for r in D.connected_components(
+            D.ngram_jaccard_pairs(df).select("doc_a", "doc_b")
+        ).collect()
+    }
+
+    w = D.W.partitionBy(D.F.xxhash64("text"), D.F.col("text"))
+    rr = df.select(
+        "doc_id",
+        D.F.min("doc_id").over(w).alias("rep"),
+        D.F.count(D.F.lit(1)).over(w).alias("grp_n"),
+    )
+    canon0 = df.join(
+        rr.where(D.F.col("doc_id") == D.F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    comp_c = D.connected_components(
+        D.ngram_jaccard_pairs(canon0).select("doc_a", "doc_b")
+    ).select(D.F.col("doc_id").alias("rep"), "comp")
+    rebuilt = {
+        (r.doc_id, r.component)
+        for r in rr.join(comp_c, "rep", "left")
+        .where((D.F.col("grp_n") >= 2) | D.F.col("comp").isNotNull())
+        .select(
+            "doc_id", D.F.coalesce("comp", "rep").alias("component")
+        )
+        .collect()
+    }
+    assert rebuilt == full
+    # and the expected structure, explicitly:
+    assert full == {
+        (0, 0), (1, 0), (2, 0),          # pure replica group
+        (10, 10), (11, 10), (12, 10),    # bridged group + its near-dup
+        (20, 20), (21, 20),              # plain pair
+    }                                     # singleton 30 absent
