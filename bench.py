@@ -66,6 +66,7 @@ HEADLINE = [
     "pipeline_canonical_minhash",
     "dedup_substring_strip",
     "parts_abc_revenue",
+    "ann_pq_rerank_topk",
 ]
 
 

@@ -1171,12 +1171,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_raw_corpus(load_table(spark, sf_dir, "embeddings")))
 
 
-def pq_adc_topk(raw: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
-    """Core of :func:`ann_pq_topk` over any (vec_id, e: array<double>)
-    frame with dim = PQ_M · PQ_SUBDIM — separated so tests can run the
-    full train/encode/score pipeline on planted clustered corpora, and
-    the scale rehearsal can widen the query batch (``n_queries``; the
-    registered query keeps the default — identical plan and result)."""
+def _pq_adc_scores(
+    raw: DataFrame, n_queries: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared ADC front half of the PQ searches: train codebooks,
+    encode the corpus, build the broadcast query LUT, and return
+    ``(ad, queries)`` — asymmetric distances per (query, vec) and the
+    (query_id, qe) frame for callers that re-rank."""
     cents = pq_codebooks(raw)
     codes = raw.select(
         "vec_id", F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code")
@@ -1210,12 +1211,77 @@ def pq_adc_topk(raw: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(ex.quantized_sum("d2", 6).alias("adist"))
     )
+    return ad, queries
+
+
+def pq_adc_topk(raw: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """Core of :func:`ann_pq_topk` over any (vec_id, e: array<double>)
+    frame with dim = PQ_M · PQ_SUBDIM — separated so tests can run the
+    full train/encode/score pipeline on planted clustered corpora, and
+    the scale rehearsal can widen the query batch (``n_queries``; the
+    registered query keeps the default — identical plan and result)."""
+    ad, _ = _pq_adc_scores(raw, n_queries)
     w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     return (
         ad.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adist", "rank")
     )
+
+
+#: ADC shortlist width for the exact re-rank: 5× the final k — the
+#: standard accuracy/IO knob of IVF-PQ serving stacks (FAISS's
+#: k_factor); measured on the 100k separated corpus it lifts
+#: planted-partner recall from 0.716 (pure ADC top-10) toward the
+#: shortlist-membership ceiling (SCALING.md round 5).
+PQ_RERANK_SHORTLIST = 50
+
+
+def pq_rerank_topk(
+    raw: DataFrame,
+    n_queries: int = N_QUERIES,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+) -> DataFrame:
+    """PQ search with exact re-rank — the production serving shape:
+    the linear ADC scan over 4-byte codes produces a per-query
+    SHORTLIST (top-``shortlist`` by asymmetric distance), and only
+    those rows fetch their full float vectors for an exact quantized
+    L2 re-rank. Compute: the corpus-sized pass still touches only
+    codes (the memory win PQ exists for); the exact distance runs on
+    shortlist·queries rows — bounded, broadcast-joined against the
+    query frame. Recall becomes shortlist-membership-bounded instead
+    of ADC-top-k-bounded, which is why every serving stack layers
+    this on top of PQ (Jégou et al. 2011's ADC + re-ranking)."""
+    ad, queries = _pq_adc_scores(raw, n_queries)
+    w1 = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    short = (
+        ad.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        short.join(raw, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            ex.quantize(_l2_fold(F.col("qe"), F.col("e")), 6).alias("dist"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`pq_rerank_topk` on the embeddings
+    table. Fully oracle-checked: the DuckDB mirror extends the shared
+    ADC CTE chain with the shortlist window and the exact full-vector
+    L2 re-rank."""
+    return pq_rerank_topk(_raw_corpus(load_table(spark, sf_dir, "embeddings")))
 
 
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,11 +1480,12 @@ def _pq_train_ctes() -> str:
     return "".join(parts)
 
 
-def _pq_oracle() -> str:
-    """CTE mirror of ann_pq_topk: the shared training chain, then the
-    union'd code/centroid frames, LUT, ADC sum and rank."""
+def _pq_adc_ctes() -> str:
+    """Shared CTE chain through the ADC distances: training, the
+    union'd code/centroid frames, query LUT, and the grouped ``ad``
+    frame — the common front half of the plain-ADC and re-rank
+    oracles."""
     q = ex.sql_quantize
-    parts = [_pq_train_ctes()]
     codes_union = " UNION ALL ".join(
         f"SELECT vec_id, {mi} AS m, code FROM code{mi}"
         for mi in range(PQ_M)
@@ -1426,7 +1493,7 @@ def _pq_oracle() -> str:
     cents_union = " UNION ALL ".join(
         f"SELECT {mi} AS m, code, c FROM c1_{mi}" for mi in range(PQ_M)
     )
-    parts.append(f"""
+    return _pq_train_ctes() + f"""
     , codes AS ({codes_union})
     , cents AS ({cents_union})
     , queries AS (
@@ -1444,7 +1511,12 @@ def _pq_oracle() -> str:
       FROM codes cd JOIN lut l USING (m, code)
       WHERE cd.vec_id <> l.query_id
       GROUP BY l.query_id, cd.vec_id
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    """CTE mirror of ann_pq_topk: the shared ADC chain plus the rank."""
+    return _pq_adc_ctes() + f"""
     SELECT query_id, vec_id, adist, rank FROM (
       SELECT query_id, vec_id, adist,
              row_number() OVER (
@@ -1452,8 +1524,7 @@ def _pq_oracle() -> str:
              ) AS rank
       FROM ad
     ) WHERE rank <= {TOP_K}
-    """)
-    return "".join(parts)
+    """
 
 
 ORACLE_PQ = _pq_oracle()
@@ -1476,6 +1547,41 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_rerank() -> str:
+    """CTE mirror of ann_pq_rerank_topk: the shared ADC chain, the
+    shortlist window, then the exact full-vector quantized L2
+    re-rank."""
+    q = ex.sql_quantize
+    full_dim = PQ_M * PQ_SUBDIM
+    return _pq_adc_ctes() + f"""
+    , short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY adist ASC, vec_id ASC
+               ) AS arank
+        FROM ad
+      ) WHERE arank <= {PQ_RERANK_SHORTLIST}
+    ), rescored AS (
+      SELECT s.query_id, s.vec_id,
+             {q(_sql_l2('qq.e', 'r.e', full_dim), 6)} AS dist
+      FROM short s
+      JOIN raw r ON r.vec_id = s.vec_id
+      JOIN queries qq ON qq.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, dist, rank FROM (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+             ) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+ORACLE_PQ_RERANK = _pq_oracle_rerank()
+
+
 ORACLE_PQ_CODES = _pq_train_ctes() + f"""
     , codes AS ({" UNION ALL ".join(
         f"SELECT vec_id, {mi} AS m, code FROM code{mi}"
@@ -1496,6 +1602,7 @@ QUERIES = {
     "ann_int8_topk": ann_int8_topk,
     "embedding_kmeans": embedding_kmeans,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "embedding_covariance": embedding_covariance,
     "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_pq_codes": embedding_pq_codes,
@@ -1512,6 +1619,7 @@ ORACLE = {
     "ann_int8_topk": ORACLE_KNN,
     "embedding_kmeans": ORACLE_KMEANS,
     "ann_pq_topk": ORACLE_PQ,
+    "ann_pq_rerank_topk": ORACLE_PQ_RERANK,
     "embedding_covariance": ORACLE_COVARIANCE,
     "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
     "embedding_pq_codes": ORACLE_PQ_CODES,

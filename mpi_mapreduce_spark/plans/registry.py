@@ -101,9 +101,10 @@ DRIVER_CAP = 50
 
 #: Round-5 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build):
-#: - the 2 queries NEW this round: the composed exact→minhash
-#:   production pipeline (rows-only by the LSH contract) and its
-#:   hash-attested validate twin;
+#: - the 3 queries NEW this round: the composed exact→minhash
+#:   production pipeline (rows-only by the LSH contract), its
+#:   hash-attested validate twin, and the PQ exact-re-rank search
+#:   (full CTE-mirror oracle);
 #: - re-attests of the 9 queries whose implementation changed this
 #:   round: the hot-shingle df cap was fused into the inverted-index
 #:   exchange (window COUNT over the shingle partition), touching both
@@ -119,9 +120,10 @@ DRIVER_CAP = 50
 #:   function showcases); the round-2 rows all rotate in round 6 (the
 #:   two slots they briefly held went to the CC-family re-attests).
 _ROUND_PRIORITY = [
-    # -- new this round (2) --
+    # -- new this round (3) --
     "pipeline_canonical_minhash",
     "pipeline_canonical_minhash_validate",
+    "ann_pq_rerank_topk",
     # -- changed this round: re-attest (6) --
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
@@ -171,7 +173,8 @@ _ROUND_PRIORITY = [
     "events_json_stats",
     "orders_by_month",
     "string_functions_showcase",
-    "array_functions_showcase",
+    # array_functions_showcase yielded its slot to ann_pq_rerank_topk
+    # (new queries outrank rotation); it rotates with the r2 set in r6
 ]
 # With this window every registered query's newest green driver row is
 # round 3+ except 33 round-2 rows queued for the round-6 rotation; the

@@ -335,3 +335,51 @@ def test_hard_negatives_label_and_order(spark, sf_dir):
         # same-label rows removed: every returned cosine must be <=
         # the best overall cosine for the query
         assert len(rs) <= S.TOP_K
+
+
+def test_pq_rerank_exactness_within_shortlist(spark):
+    """The re-rank stage must order its shortlist by EXACT quantized
+    L2: on planted clusters every returned distance equals the true
+    full-vector distance (recomputed in python), ranks are consistent,
+    and the top-k is the exact top-k of the ADC shortlist — i.e. the
+    re-rank removes ADC quantization error wherever the shortlist
+    admits the true neighbors."""
+    import math
+    import random
+
+    rng = random.Random(23)
+    dim = S.PQ_M * S.PQ_SUBDIM
+    rows = []
+    vid = 0
+    for _ in range(10):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        cn = math.sqrt(sum(x * x for x in center))
+        center = [x / cn for x in center]
+        for _ in range(30):
+            noise = [rng.gauss(0, 0.05) for _ in range(dim)]
+            rows.append((vid, [c + n for c, n in zip(center, noise)]))
+            vid += 1
+    raw = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    vecs = {i: e for i, e in rows}
+
+    def true_dist(a, b):
+        acc = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            acc += (x - y) * (x - y)
+        q = math.floor(acc * 1e6 + 0.5) / 1e6
+        return q
+
+    out = S.pq_rerank_topk(raw).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r)
+        assert abs(r.dist - true_dist(r.query_id, r.vec_id)) < 1e-9
+    assert set(per) == set(range(S.N_QUERIES))
+    for q, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, S.TOP_K + 1))
+        dists = [r.dist for r in rs]
+        assert dists == sorted(dists)
+        # cluster members (true tiny distance) dominate the result
+        same_cluster = [r for r in rs if r.vec_id < 30]
+        assert len(same_cluster) >= S.TOP_K - 1

@@ -218,6 +218,13 @@ def _resolve(name):
                 ),
                 n_queries=EMB_SEP_QUERIES,
             )
+        if op == "ann_pq_rerank":
+            return lambda spark, d: S.pq_rerank_topk(
+                load_table(spark, d, "embeddings").select(
+                    "vec_id", VEC.as_double(F.col("embedding")).alias("e")
+                ),
+                n_queries=EMB_SEP_QUERIES,
+            )
         if op == "dedup_exact":
             return lambda spark, d: D.embedding_neardup_exact(
                 _norm(spark, d), EMB_PROD_THRESHOLD
