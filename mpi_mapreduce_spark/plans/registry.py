@@ -115,10 +115,14 @@ DRIVER_CAP = 50
 #:   (dedup_connected_components, dedup_canonical_corpus) went
 #:   collapsed-first after the 100× disk-exhaustion finding;
 #: - rotation, oldest-first per the round-4 verdict (no query's green
-#:   row should age past two rounds): ALL 39 queries whose newest
-#:   green row is round 1 (TPC-H bulk, joins, windows, setops, scalar
-#:   function showcases); the round-2 rows all rotate in round 6 (the
-#:   two slots they briefly held went to the CC-family re-attests).
+#:   row should age past two rounds): 38 of the 39 queries whose
+#:   newest green row is round 1 (TPC-H bulk, joins, windows, setops,
+#:   scalar function showcases — array_functions_showcase yielded its
+#:   slot to the new ann_pq_rerank_topk); it and the round-2 rows all
+#:   rotate in round 6 (the two slots the r2 set briefly held went to
+#:   the CC-family re-attests). Builder-side insurance: this round's
+#:   full sf0.001/sf0.01 sweeps re-checked every registered query
+#:   regardless of the driver window (178/178; SCALING.md).
 _ROUND_PRIORITY = [
     # -- new this round (3) --
     "pipeline_canonical_minhash",
