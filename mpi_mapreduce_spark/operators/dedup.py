@@ -253,7 +253,20 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_oracle(source: str) -> str:
     """The banded ngram-Jaccard DuckDB oracle, parameterized by the
     (doc_id, text, n_chars) source relation so composed pipelines can
-    run it over a canonicalized CTE instead of raw ``documents``."""
+    run it over a canonicalized CTE instead of raw ``documents``.
+
+    PRECONDITION (fixture contract, pinned by
+    tests/test_dedup.py::test_fixture_has_no_tokenless_documents): the
+    source contains no token-less (empty / whitespace-only) texts. For
+    such docs the engine's shingle_rows emits NO shingles (nothing to
+    near-dup), while this oracle's ELSE branch would give them the
+    shingle set {''} and band 0 — pairing distinct whitespace-only
+    texts the engine never will. Everything downstream of this CTE
+    (the ngram-Jaccard query, both validates, the CC family, the
+    composed pipelines) inherits the precondition. Filtering the sh
+    CTE instead would re-open every downstream oracle's attestation;
+    the precondition is asserted in pytest so a violating fixture
+    regeneration fails loudly."""
     return f"""
     WITH toks AS (
       SELECT doc_id, n_chars,
@@ -849,14 +862,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_pairs(_docs(spark, sf_dir))
 
 
-def minhash_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def minhash_jaccard_pairs(
+    docs: DataFrame, srows: DataFrame | None = None
+) -> DataFrame:
     """Core of :func:`dedup_minhash_lsh` over any (doc_id, text) frame
     — separated so the composed production ordering (exact dedup →
     canonical corpus → minhash on the collapsed corpus) can reuse it;
     the 100× scale rehearsal shows why that ordering is mandatory:
     verbatim replica groups wider than the 64-doc bucket cap would
-    otherwise be dropped wholesale (SCALING.md)."""
-    srows = shingle_rows(docs).persist()
+    otherwise be dropped wholesale (SCALING.md).
+
+    ``srows``: optionally pass precomputed (already-persisted) shingle
+    rows for ``docs`` — the same shared-index pattern as
+    :func:`ngram_jaccard_pairs` / :func:`containment_pairs`, so a
+    caller that feeds several stages from one shingle index (e.g.
+    :func:`_minhash_validate_frame`) computes and caches it ONCE
+    instead of per-stage. When omitted, this function persists its own
+    copy; the entry lives in the session CacheManager until session
+    end because the returned frame is lazy (the registered queries are
+    one-invocation driver jobs — a long-lived session composing many
+    dedup calls should pass a managed ``srows`` and unpersist it after
+    its action)."""
+    if srows is None:
+        srows = shingle_rows(docs).persist()
     cands = _minhash_candidates(srows)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = srows.select(F.col("doc_id").alias("doc_a"), "s")
@@ -908,10 +936,16 @@ def _minhash_validate_frame(docs: DataFrame) -> DataFrame:
 
     Shared by :func:`dedup_minhash_lsh_validate` (raw corpus) and
     :func:`pipeline_canonical_minhash_validate` (exact-collapsed
-    corpus — the composed production ordering)."""
-    exact = ngram_jaccard_pairs(docs)
+    corpus — the composed production ordering).
+
+    One shingle index feeds all three stages (exact side, search side,
+    candidate recompute): built and persisted HERE once and threaded
+    via ``srows=`` — previously minhash_jaccard_pairs persisted its
+    own duplicate copy, accumulating a second cache entry per
+    invocation."""
     srows = shingle_rows(docs).persist()
-    found = minhash_jaccard_pairs(docs).select(
+    exact = ngram_jaccard_pairs(docs, srows=srows)
+    found = minhash_jaccard_pairs(docs, srows=srows).select(
         F.col("doc_a").alias("f_a"),
         F.col("doc_b").alias("f_b"),
         F.lit(1).alias("found_hit"),
@@ -1876,7 +1910,13 @@ def _collapsed_component_frames(
     graph: replicas share their representative's shingle set and
     length band, so full-graph connectivity and component labels
     (min doc_id, always a representative) reconstruct from ``comp_c``
-    through ``rr`` with one broadcast-sized join."""
+    through ``rr`` with one broadcast-sized join.
+
+    The grp_n ≥ 2 vertex reconstruction assumes every doc has ≥ 1
+    token (replica pairs at Jaccard 1): see the non-empty-text fixture
+    precondition on :func:`_ngram_jaccard_oracle` — token-less docs
+    shingle to ∅ in the engine (no pairs, even between identical
+    empty texts) but to {''} in the oracle."""
     docs = _docs(spark, sf_dir)
     w = W.partitionBy(F.xxhash64("text"), F.col("text"))
     rr = docs.select(
@@ -2009,7 +2049,13 @@ def pipeline_canonical_containment(
     is ONE anti-join (docs minus component members whose label isn't
     their own id — singletons never appear in the label frame, so
     they survive by absence), skipping dedup_canonical_corpus's
-    cluster-size aggregate, which the pipeline never consumes."""
+    cluster-size aggregate, which the pipeline never consumes.
+
+    Cache lifetime: the DISK_ONLY entry lives until session end (the
+    returned frame is lazy, so this function cannot unpersist it) —
+    acceptable for the one-invocation driver jobs this registers;
+    a long-lived session should spill the index to a real table
+    instead, which is what production does anyway."""
     from pyspark import StorageLevel
 
     canon0 = exact_canonical_docs(_docs(spark, sf_dir))

@@ -821,3 +821,26 @@ def test_collapsed_cc_reconstruction_equals_full_graph(spark):
         (10, 10), (11, 10), (12, 10),    # bridged group + its near-dup
         (20, 20), (21, 20),              # plain pair
     }                                     # singleton 30 absent
+
+
+def test_fixture_has_no_tokenless_documents():
+    """Pins the non-empty-text fixture PRECONDITION documented on
+    _ngram_jaccard_oracle: engine shingling emits nothing for
+    empty / whitespace-only texts while the oracle's ELSE branch gives
+    them the shingle set {''}, so engine/oracle agreement for the
+    whole ngram-Jaccard family (pairs, validates, CC, pipelines)
+    requires the documents fixtures to contain no token-less text.
+    Checked at BOTH test and driver scales so a fixture regeneration
+    that violates it fails here, not as a downstream hash mismatch."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        bad = sum(
+            1
+            for t in texts.column("text").to_pylist()
+            if t is None or re.fullmatch(r"\s*", t)
+        )
+        assert bad == 0, f"{sf}: {bad} token-less documents"

@@ -127,7 +127,11 @@ def separated_embeddings(
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     pairs = []
     for p in range(n_pairs):
-        a = 10 + p * (n // n_pairs)  # keep vec_id < 5 as clean queries
+        # pair members intentionally fall INSIDE the 200-query batch
+        # (stride n//n_pairs puts ids 10/11, 110/111, ... among the
+        # EMB_SEP_QUERIES=200 query ids) — that's what planted-partner
+        # recall measures; only vec_id < 10 is guaranteed clean noise
+        a = 10 + p * (n // n_pairs)
         b = a + 1
         v[b] = v[a] + eps * rng.randn(dim)
         v[b] /= np.linalg.norm(v[b])
