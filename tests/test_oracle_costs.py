@@ -24,6 +24,43 @@ MANIFEST = os.path.join(
     os.path.dirname(__file__), "..", "tools", "oracle_costs_sf0.01.json"
 )
 
+#: sf0.1 = the BENCH scale; slowest included oracle observed is
+#: customer_name_fuzzy_pairs' edit-distance pair CTE at 117 s, so the
+#: budget leaves ~2.5× headroom before a sweep-stalling regression
+#: trips it
+ORACLE_BUDGET_SF01_SEC = 300.0
+
+MANIFEST_SF01 = os.path.join(
+    os.path.dirname(__file__), "..", "tools", "oracle_costs_sf0.1.json"
+)
+
+#: the documented sf0.1 exclusion convention (SCALING.md): queries
+#: whose DuckDB oracles are PAIRWISE (banded ngram-Jaccard /
+#: containment CTEs — quadratic in candidate mass) or RECURSIVE
+#: (transitive-closure CC, cluster-safe split) are swept at sf0.01
+#: only; running them at 10× the docs would cost hours in DuckDB for
+#: no added attestation (the engine side has its own scale rows).
+#: Pinned EXACTLY so a new query silently skipping the sf0.1 sweep —
+#: or an old one dropping out of it — fails here, not in a stalled
+#: sweep.
+EXCLUDED_SF01 = {
+    "ann_pq_rerank_topk",
+    "dedup_canonical_corpus",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_embedding_lsh_validate",
+    "dedup_incremental",
+    "dedup_incremental_minhash_validate",
+    "dedup_minhash_lsh_validate",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "pipeline_canonical_containment",
+    "pipeline_canonical_minhash_validate",
+    "dedup_simhash_validate",
+    "training_split_cluster_safe",
+}
+
 
 def test_manifest_covers_registry_and_no_oracle_exceeds_budget():
     from mpi_mapreduce_spark.plans.registry import ORACLE, QUERIES
@@ -55,3 +92,35 @@ def test_manifest_covers_registry_and_no_oracle_exceeds_budget():
         and v["oracle_sec"] > ORACLE_BUDGET_SEC
     }
     assert not over, f"oracle cost bombs at sf0.01: {over}"
+
+
+def test_sf01_manifest_budget_and_pinned_exclusions():
+    """Round-6 extension: the bench-scale (sf0.1) manifest is budget-
+    asserted too, and its exclusion set — the pairwise/recursive oracle
+    family documented in SCALING.md — is pinned exactly, so a future
+    oracle regression at the scale the bench runs at fails loudly here
+    instead of stalling a sweep."""
+    from mpi_mapreduce_spark.plans.registry import QUERIES
+
+    with open(MANIFEST_SF01) as f:
+        manifest = json.load(f)
+    entries = manifest["queries"]
+
+    excluded = set(QUERIES) - set(entries)
+    assert excluded == EXCLUDED_SF01, (
+        f"sf0.1 sweep exclusions drifted from the documented "
+        f"pairwise/recursive family: unexpected "
+        f"{sorted(excluded - EXCLUDED_SF01)}, no-longer-excluded "
+        f"{sorted(EXCLUDED_SF01 - excluded)} (regenerate with "
+        f"`python tools/rehearse.py /root/testdata/sf0.1 --manifest "
+        f"tools/oracle_costs_sf0.1.json` or update EXCLUDED_SF01 with "
+        f"the reason)"
+    )
+
+    over = {
+        n: v["oracle_sec"]
+        for n, v in entries.items()
+        if v.get("oracle_sec") is not None
+        and v["oracle_sec"] > ORACLE_BUDGET_SF01_SEC
+    }
+    assert not over, f"oracle cost bombs at sf0.1: {over}"
