@@ -110,16 +110,44 @@ def bucket_expr(vec_col: F.Column, dim: int) -> F.Column:
     return _bucket(vec_col)
 
 
-def ann_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = TOP_K) -> DataFrame:
+def _probe_masks(probe_bits: int) -> list[int]:
+    """XOR masks of the multiprobe set: the query's own bucket plus
+    every bucket within Hamming distance ``probe_bits`` of it. 1-bit →
+    9 of 256 buckets (the registered default); 2-bit → 37 of 256 —
+    recall rises from p⁸+8p⁷q to p⁸+8p⁷q+28p⁶q² (p = per-bit
+    agreement 1−θ/π, q = 1−p) at ~4× the candidate mass. Measured on
+    the 100k separated corpus in SCALING.md's probe-width table."""
+    masks = [0] + [1 << j for j in range(LSH_BITS)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(LSH_BITS)
+            for j in range(i + 1, LSH_BITS)
+        ]
+    return masks
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = TOP_K,
+    probe_bits: int = 1,
+) -> DataFrame:
     """Approximate top-k: bucket the corpus once, probe each query's
-    bucket plus every 1-bit neighbor (multiprobe), exact-rescore only
-    the touched candidates via a shuffle equi-join on bucket id."""
+    bucket plus every neighbor within ``probe_bits`` bit flips
+    (multiprobe), exact-rescore only the touched candidates via a
+    shuffle equi-join on bucket id. The registered query keeps the
+    1-bit default (recall/wall trade measured at 100k — SCALING.md);
+    ``probe_bits=2`` is the serving knob for recall-critical batches."""
     dot = VEC.dot_arrow(F.col("qv"), F.col("v"))
     bucketed = corpus.withColumn("bucket", bucket_expr(F.col("v"), dim))
     qb = queries.withColumn("qbucket", bucket_expr(F.col("qv"), dim))
     probes = F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)],
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(probe_bits)
+        ],
     )
     probing = qb.select(
         "query_id", "qv", F.explode(probes).alias("bucket")
@@ -1229,12 +1257,15 @@ def pq_adc_topk(raw: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     )
 
 
-#: ADC shortlist width for the exact re-rank: 5× the final k — the
-#: standard accuracy/IO knob of IVF-PQ serving stacks (FAISS's
-#: k_factor); measured on the 100k separated corpus it lifts
-#: planted-partner recall from 0.716 (pure ADC top-10) toward the
-#: shortlist-membership ceiling (SCALING.md round 5).
-PQ_RERANK_SHORTLIST = 50
+#: ADC shortlist width for the exact re-rank — the standard
+#: accuracy/IO knob of IVF-PQ serving stacks (FAISS's k_factor).
+#: Default re-chosen by the round-6 sweep (tools/ann_recall.py,
+#: SCALING.md shortlist table): on the 100k separated corpus the wall
+#: is dominated by the shared ADC scan, so widening 50 → 100 costs
+#: nothing measurable and lifts planted-partner recall 0.955 → 0.984
+#: (= IVF's); 200 buys 0.997 at ~1.3× — the knob is there for
+#: recall-critical batches.
+PQ_RERANK_SHORTLIST = 100
 
 
 def pq_rerank_topk(

@@ -99,90 +99,93 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-5 window (the driver checks the first DRIVER_CAP registered
-#: queries — this list IS that window, asserted in _build):
-#: - the 3 queries NEW this round: the composed exact→minhash
-#:   production pipeline (rows-only by the LSH contract), its
-#:   hash-attested validate twin, and the PQ exact-re-rank search
-#:   (full CTE-mirror oracle);
-#: - re-attests of the 9 queries whose implementation changed this
-#:   round: the hot-shingle df cap was fused into the inverted-index
-#:   exchange (window COUNT over the shingle partition), touching both
-#:   capped twins and their uncapped callers + the composed
-#:   containment pipeline; dedup_minhash_lsh_validate was factored
-#:   through the new _minhash_validate_frame core; pq_adc_topk gained
-#:   the n_queries rehearsal knob (default unchanged); the CC family
-#:   (dedup_connected_components, dedup_canonical_corpus) went
-#:   collapsed-first after the 100× disk-exhaustion finding;
-#: - rotation, oldest-first per the round-4 verdict (no query's green
-#:   row should age past two rounds): 38 of the 39 queries whose
-#:   newest green row is round 1 (TPC-H bulk, joins, windows, setops,
-#:   scalar function showcases — array_functions_showcase yielded its
-#:   slot to the new ann_pq_rerank_topk); it and the round-2 rows all
-#:   rotate in round 6 (the two slots the r2 set briefly held went to
-#:   the CC-family re-attests). Builder-side insurance: this round's
-#:   full sf0.001/sf0.01 sweeps re-checked every registered query
-#:   regardless of the driver window (178/178; SCALING.md).
+#: Round-6 window (the driver checks the first DRIVER_CAP registered
+#: queries — this list IS that window, asserted in _build). This is
+#: the staleness-zeroing round: the 40 queries whose newest green
+#: driver row predates round 3 ALL fit in one window alongside the
+#: round's re-attests, so after this round every one of the 178
+#: registered queries is driver-attested within the last three rounds
+#: — the first time the whole registry is that fresh.
+#: - re-attests of the 6 queries whose implementation changed this
+#:   round: the minhash validate frame now builds ONE persisted
+#:   shingle index and threads it through minhash_jaccard_pairs'
+#:   new srows= parameter (touches dedup_minhash_lsh +
+#:   pipeline_canonical_minhash, rows-only by the LSH contract, and
+#:   both hash-attested validate twins); ann_lsh gained the
+#:   probe_bits multiprobe-width knob (registered default 1-bit —
+#:   identical probe set, re-attested on principle); the PQ re-rank
+#:   shortlist default moved 50 → 100 per the round-6 sweep (recall
+#:   0.955 → 0.984 at no measurable wall cost — SCALING.md), changing
+#:   ann_pq_rerank_topk's result set and its CTE-mirror oracle;
+#: - rotation (40): array_functions_showcase (the round-5 rotation's
+#:   one deferral, still r1-latest) plus all 39 queries whose newest
+#:   green row is round 2 — the events_* analytics/streaming twins,
+#:   the text_* family, the training samplers, knn_bruteforce,
+#:   embedding_label_centroids, multimodal features/frame-sample, and
+#:   the dedup r2 stragglers;
+#: - fillers (4): oldest remaining tier (round 3), picked for family
+#:   spread — exact dedup, iterative graph, CDC, sketch rollup —
+#:   starting the next freshness cycle early.
 _ROUND_PRIORITY = [
-    # -- new this round (3) --
+    # -- changed this round: re-attest (6) --
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_validate",
     "pipeline_canonical_minhash",
     "pipeline_canonical_minhash_validate",
+    "ann_lsh_topk",
     "ann_pq_rerank_topk",
-    # -- changed this round: re-attest (6) --
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_containment",
-    "dedup_containment_capped",
-    "pipeline_canonical_containment",
-    "dedup_minhash_lsh_validate",
-    "ann_pq_topk",
-    "dedup_connected_components",
-    "dedup_canonical_corpus",
-    # -- rotation: newest green row is round 1 (39) --
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "sql_q4_order_priority",
-    "sql_customer_max_order",
-    "rollup_pricing",
-    "cube_order_stats",
-    "grouping_sets_pricing",
-    "pivot_linestatus",
-    "orders_metrics_unpivot",
-    "percentile_order_prices",
-    "distinct_counts",
-    "customer_name_fuzzy_pairs",
-    "join_broadcast_part",
-    "join_semi_active_customers",
-    "join_anti_idle_customers",
-    "join_range_price_band",
-    "window_topk_suppliers",
-    "window_running_customer_spend",
-    "window_event_deltas",
-    "topk_orders",
-    "setops_customer_cohorts",
-    "events_json_stats",
-    "orders_by_month",
-    "string_functions_showcase",
-    # array_functions_showcase yielded its slot to ann_pq_rerank_topk
-    # (new queries outrank rotation); it rotates with the r2 set in r6
+    # -- rotation: newest green row is round 1 (1) --
+    "array_functions_showcase",
+    # -- rotation: newest green row is round 2 (39) --
+    "dedup_exact_stats",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_incremental_minhash",
+    "knn_bruteforce",
+    "embedding_label_centroids",
+    "text_token_stats",
+    "text_heavy_hitters",
+    "text_tfidf_top_terms",
+    "text_bigram_counts",
+    "text_bpe_token_stats",
+    "text_repetition_score",
+    "text_lang_id",
+    "text_lang_confusion",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_bigram_lm_score",
+    "text_distribution_drift",
+    "training_mixture_resample",
+    "training_chunk_documents",
+    "training_winsorize_values",
+    "training_split_assign",
+    "training_sample_documents",
+    "training_sample_stratified",
+    "training_outlier_iqr",
+    "pipeline_curate_corpus",
+    "training_pack_sequences",
+    "training_contamination_check",
+    "training_take_k_per_lang",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "events_click_purchase_join",
+    "events_click_attribution",
+    "events_asof_purchase_click",
+    "events_incident_correlation",
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_user_value_trend",
+    "events_user_value_corr",
+    # -- fillers: oldest remaining tier (round 3), family spread (4) --
+    "dedup_exact",
+    "graph_nation_pagerank",
+    "cdc_orders_rollforward",
+    "events_hll_user_rollup",
 ]
-# With this window every registered query's newest green driver row is
-# round 3+ except 33 round-2 rows queued for the round-6 rotation; the
-# 4 rows-only LSH paths stay green-by-twin per their contract.
+# With this window every registered query's newest green driver row
+# will be round 4+ except the 42 remaining round-3 rows (first in line
+# for round 7); the rows-only LSH paths stay green-by-twin per their
+# contract.
 
 
 def _promote(names: list[str]) -> None:

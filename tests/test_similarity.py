@@ -383,3 +383,83 @@ def test_pq_rerank_exactness_within_shortlist(spark):
         # cluster members (true tiny distance) dominate the result
         same_cluster = [r for r in rs if r.vec_id < 30]
         assert len(same_cluster) >= S.TOP_K - 1
+
+
+@pytest.fixture(scope="module")
+def planted_sep(spark):
+    """Small separated corpus (the 100k rehearsal's generator at
+    n=2000: 20 planted pairs at cosine ≈ 0.97, bulk random 64-dim
+    directions), id-permuted so the planted pair FIRST members are
+    vec_id 0..19 — every search core's own ``vec_id < n_queries``
+    query selection then picks exactly the planted queries (same
+    setup as tools/ann_recall.py). Returns (df, partner_of)."""
+    from tools.ann_recall import _n_pairs, _permutation
+    from tools.scale_rehearsal import separated_embeddings
+
+    import numpy as np
+
+    n = 2000
+    _, v, pairs = separated_embeddings(n=n, n_pairs=_n_pairs(n))
+    perm, partner_of = _permutation(n, pairs)
+    order = np.argsort(perm)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v[order[i]]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return df, partner_of
+
+
+def _planted_recall(df, partner_of, n_queries: int) -> tuple[float, int]:
+    """(recall, worst rank when found) of the planted partner in the
+    result frame's top-k."""
+    found = {
+        r.query_id: r.rank
+        for r in df.collect()
+        if partner_of.get(r.query_id) == r.vec_id
+    }
+    return len(found) / n_queries, max(found.values(), default=0)
+
+
+def test_pq_rerank_shortlist_recall_monotone(planted_sep):
+    """Round-6 knob pin: widening the ADC shortlist can only ADD
+    candidates to the exact re-rank, so planted-partner recall is
+    monotone in the shortlist width — recall(100) ≥ recall(50) — and
+    whenever the partner IS shortlisted the exact re-rank puts it at
+    rank 1 (cosine ≈ 0.97 vs a ≈ N(0, 1/64) noise bulk; the exact
+    distance cannot misorder it). The 100k trade-off curve behind the
+    default lives in SCALING.md (tools/ann_recall.py)."""
+    df, partner_of = planted_sep
+    raw = df.select("vec_id", F.col("embedding").alias("e"))
+    nq = len(partner_of)
+    r50, worst50 = _planted_recall(
+        S.pq_rerank_topk(raw, n_queries=nq, shortlist=50), partner_of, nq
+    )
+    r100, worst100 = _planted_recall(
+        S.pq_rerank_topk(raw, n_queries=nq, shortlist=100), partner_of, nq
+    )
+    assert r100 >= r50, f"recall(100)={r100:.2f} < recall(50)={r50:.2f}"
+    assert r50 >= 0.9, f"recall(50)={r50:.2f} on separated data"
+    assert worst50 <= 1 and worst100 <= 1, "re-ranked partner not rank 1"
+
+
+def test_lsh_probe_bits_recall_monotone(planted_sep):
+    """Round-6 knob pin: the 2-bit multiprobe set strictly contains
+    the 1-bit set (every ≤1-flip mask is a ≤2-flip mask), so the
+    candidate pool — and hence planted-partner recall — is monotone
+    in probe_bits. On separated data the partner is found iff its
+    bucket is probed (cosine 0.97 beats every noise candidate), so
+    this exercises exactly the recall the 100k sweep measures."""
+    df, partner_of = planted_sep
+    corpus = S.normalized_corpus(df)
+    nq = len(partner_of)
+    queries = corpus.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    r1, _ = _planted_recall(
+        S.ann_lsh(corpus, queries, 64, probe_bits=1), partner_of, nq
+    )
+    r2, _ = _planted_recall(
+        S.ann_lsh(corpus, queries, 64, probe_bits=2), partner_of, nq
+    )
+    assert r2 >= r1, f"recall(2-bit)={r2:.2f} < recall(1-bit)={r1:.2f}"
+    assert r2 >= 0.9, f"recall(2-bit)={r2:.2f} on separated data"
