@@ -844,3 +844,24 @@ def test_fixture_has_no_tokenless_documents():
             if t is None or re.fullmatch(r"\s*", t)
         )
         assert bad == 0, f"{sf}: {bad} token-less documents"
+
+
+def test_tokenless_docs_shingle_to_nothing(spark):
+    """The ENGINE half of the precondition above: empty and
+    whitespace-only texts produce NO shingle rows — so they join no
+    inverted index, pair with nothing (not even an identical empty
+    doc), and are invisible to the whole ngram-Jaccard family. This is
+    the semantic choice the oracle precondition protects: 'nothing to
+    near-dup' rather than 'all empties are near-dups of each other'."""
+    df = spark.createDataFrame(
+        [
+            (1, "", 0),
+            (2, "   ", 3),
+            (3, "\t\n ", 3),
+            (4, "real tokens here", 16),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    srows = D.shingle_rows(df)
+    assert {r.doc_id for r in srows.collect()} == {4}
+    assert D.ngram_jaccard_pairs(df).count() == 0
