@@ -463,3 +463,26 @@ def test_lsh_probe_bits_recall_monotone(planted_sep):
     )
     assert r2 >= r1, f"recall(2-bit)={r2:.2f} < recall(1-bit)={r1:.2f}"
     assert r2 >= 0.9, f"recall(2-bit)={r2:.2f} on separated data"
+
+
+def test_ivf_nprobe_recall_monotone(planted_sep):
+    """Completes the ANN knob triptych (LSH probe_bits, PQ shortlist,
+    IVF nprobe): the top-(nprobe+1) probed cells are a PREFIX-superset
+    of the top-nprobe cells (argsort prefix), so the candidate pool —
+    and planted-partner recall — is monotone in nprobe. Measured curve
+    at 100k in SCALING.md (tools/ann_recall.py `ivf:<nprobe>`)."""
+    df, partner_of = planted_sep
+    corpus = S.normalized_corpus(df)
+    nq = len(partner_of)
+    queries = corpus.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cents = S.ivf_centroids(corpus)
+    r1, _ = _planted_recall(
+        S.ann_ivf(corpus, queries, cents, nprobe=1), partner_of, nq
+    )
+    r3, _ = _planted_recall(
+        S.ann_ivf(corpus, queries, cents, nprobe=3), partner_of, nq
+    )
+    assert r3 >= r1, f"recall(nprobe=3)={r3:.2f} < recall(nprobe=1)={r1:.2f}"
+    assert r3 >= 0.9, f"recall(nprobe=3)={r3:.2f} on separated data"

@@ -7,7 +7,7 @@ shortlist width, LSH multiprobe width).
     python tools/ann_recall.py gen  [dir]            # permuted corpus
     python tools/ann_recall.py run  m1,m2,... [dir]  # measure methods
 
-Methods: ``lsh:<probe_bits>``, ``ivf``, ``pq``,
+Methods: ``lsh:<probe_bits>``, ``ivf:<nprobe>``, ``pq``,
 ``pq_rerank:<shortlist>``, ``exact`` (slow — 1000×100k dots).
 
 Setup: the separated corpus of tools/scale_rehearsal.py (100k unit
@@ -131,7 +131,9 @@ def _run_method(spark, d: str, method: str, n_queries: int):
         return S.ann_lsh(c, qs(c), EMB_SEP_DIM, probe_bits=int(arg or 1))
     if name == "ivf":
         c = norm()
-        return S.ann_ivf(c, qs(c), S.ivf_centroids(c))
+        return S.ann_ivf(
+            c, qs(c), S.ivf_centroids(c), nprobe=int(arg or S.IVF_PROBES)
+        )
     if name == "pq":
         return S.pq_adc_topk(raw(), n_queries=n_queries)
     if name == "pq_rerank":
