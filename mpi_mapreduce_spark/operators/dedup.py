@@ -1343,8 +1343,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (b=2, L=12 → recall ≈ 0.999) at the cost of weak pruning — the
 #: threshold sits mid-distribution, so that cost is information-
 #: theoretic, not an implementation artifact. Real text-embedding
-#: dedup at ≥ 0.9 (p ≈ 0.86) would run b=8, L=8: recall ≈ 0.99 with
-#: ~3% of random pairs surviving as candidates.
+#: dedup at ≥ 0.9 runs deep-narrow banding; the round-6 b/L sweep on
+#: the 100k separated corpus (SCALING.md) measured b=10, L=12 as the
+#: dominant shape — FULL planted recall (1000/1000, on the
+#: 1−(1−p^b)^L curve) at 2.6× less wall than b=8/L=8, because two
+#: extra bits per band cut random-pair candidate mass ~4× while the
+#: extra bands buy the recall back.
 EMBED_LSH_BAND_BITS = 2
 EMBED_LSH_BANDS = 12
 EMBED_LSH_SEED = 0x5EED

@@ -720,9 +720,11 @@ def test_auto_probe_picks_lsh_on_separated_100k_corpus(spark):
     separated_embeddings: 100k unit vectors, 1000 planted pairs at
     cosine ≈ 0.97, bulk pair cosines ~ N(0, 1/64)) is the regime the
     banded/IVF/PQ paths exist for — the density probe must choose LSH
-    there at the production search shape (θ=0.9, b=8/L=8). Only the
-    DECISION is executed here (the probe is one banding aggregate);
-    the chosen plan's wall-clock lives in SCALING.md."""
+    there at the production search shape (θ=0.9, b/L =
+    scale_rehearsal's measured default — 10/12 since the round-6
+    sweep; the probe's LSH margin only widens as banding deepens).
+    Only the DECISION is executed here (the probe is one banding
+    aggregate); the chosen plan's wall-clock lives in SCALING.md."""
     import sys
 
     import pandas as pd

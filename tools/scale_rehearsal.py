@@ -98,10 +98,15 @@ EMB_SEP_PAIRS = 1_000  # planted near-dup pairs (2% of vectors)
 EMB_SEP_EPS = 0.03  # perturbation: cos ≈ 1/sqrt(1+eps²·dim) ≈ 0.972
 EMB_SEP_SEED = 1905
 #: production search shape on the separated corpus: threshold 0.9
-#: needs deep-narrow banding (b=8, L=8 — see dedup.EMBED_LSH docs)
+#: needs deep-narrow banding (see dedup.EMBED_LSH docs). b/L default
+#: re-chosen by the round-6 sweep (`dedup_lsh:<bits>:<bands>` rows in
+#: SCALING.md): b=10/L=12 dominates the round-5 b=8/L=8 shape — full
+#: planted recall (1000/1000 vs 998) at 2.6× less wall (89.6 s vs
+#: 231.9 s at 100k) — exactly the banding theorem's prediction at
+#: p ≈ 0.925. Rows measured before round 6 used 8/8 (noted inline).
 EMB_PROD_THRESHOLD = 0.9
-EMB_PROD_BITS = 8
-EMB_PROD_BANDS = 8
+EMB_PROD_BITS = 10
+EMB_PROD_BANDS = 12
 #: query batch for the ANN timing rows: with the registered 5-query
 #: load the one-time index passes (bucketing / cell assignment / PQ
 #: encode) dominate and exact scan ties ANN; 200 queries is a
@@ -233,13 +238,21 @@ def _resolve(name):
             return lambda spark, d: D.embedding_neardup_exact(
                 _norm(spark, d), EMB_PROD_THRESHOLD
             )
-        if op == "dedup_lsh":
+        if op.startswith("dedup_lsh"):
+            # optional banding override: dedup_lsh:<bits>:<bands> —
+            # the round-6 b/L knob sweep (default = the production
+            # b=8/L=8; recall follows the banding theorem
+            # 1-(1-p^b)^L, row count / planted pairs ≈ recall on this
+            # corpus since bulk pairs can't reach threshold 0.9)
+            parts = op.split(":")
+            bits = int(parts[1]) if len(parts) > 1 else EMB_PROD_BITS
+            bands = int(parts[2]) if len(parts) > 2 else EMB_PROD_BANDS
             return lambda spark, d: D.embedding_neardup_lsh(
                 _norm(spark, d),
                 EMB_SEP_DIM,
                 EMB_PROD_THRESHOLD,
-                EMB_PROD_BITS,
-                EMB_PROD_BANDS,
+                bits,
+                bands,
             )
         if op == "dedup_auto":
 
