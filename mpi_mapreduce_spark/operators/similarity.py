@@ -34,6 +34,10 @@ from mpi_mapreduce_spark.functions import vectors as VEC
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 serve as the query set in registry queries
 LSH_BITS = 8
+#: multiprobe width of the REGISTERED ann_lsh query; ann_lsh's
+#: signature default and ann_lsh_topk's validation-twin probe set both
+#: derive from this one constant (ADVICE r6: one definition).
+LSH_PROBE_BITS_DEFAULT = 1
 LSH_SEED = 42
 
 
@@ -112,18 +116,27 @@ def bucket_expr(vec_col: F.Column, dim: int) -> F.Column:
 
 def _probe_masks(probe_bits: int) -> list[int]:
     """XOR masks of the multiprobe set: the query's own bucket plus
-    every bucket within Hamming distance ``probe_bits`` of it. 1-bit →
-    9 of 256 buckets (the registered default); 2-bit → 37 of 256 —
-    recall rises from p⁸+8p⁷q to p⁸+8p⁷q+28p⁶q² (p = per-bit
-    agreement 1−θ/π, q = 1−p) at ~4× the candidate mass. Measured on
-    the 100k separated corpus in SCALING.md's probe-width table."""
-    masks = [0] + [1 << j for j in range(LSH_BITS)]
-    if probe_bits >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(LSH_BITS)
-            for j in range(i + 1, LSH_BITS)
-        ]
+    every bucket within Hamming distance ``probe_bits`` of it —
+    generated generically as all bit-position combinations of size
+    0..probe_bits, so the docstring contract holds for every width.
+    0-bit → 1 of 256 buckets (own bucket only); 1-bit → 9 (the
+    registered default); 2-bit → 37 — recall rises from p⁸+8p⁷q to
+    p⁸+8p⁷q+28p⁶q² (p = per-bit agreement 1−θ/π, q = 1−p) at ~4× the
+    candidate mass. Measured on the 100k separated corpus in
+    SCALING.md's probe-width table."""
+    from itertools import combinations
+
+    if not 0 <= probe_bits <= LSH_BITS:
+        raise ValueError(
+            f"probe_bits must be in [0, {LSH_BITS}], got {probe_bits}"
+        )
+    masks = []
+    for r in range(probe_bits + 1):
+        for bits in combinations(range(LSH_BITS), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 
@@ -132,7 +145,7 @@ def ann_lsh(
     queries: DataFrame,
     dim: int,
     k: int = TOP_K,
-    probe_bits: int = 1,
+    probe_bits: int = LSH_PROBE_BITS_DEFAULT,
 ) -> DataFrame:
     """Approximate top-k: bucket the corpus once, probe each query's
     bucket plus every neighbor within ``probe_bits`` bit flips
@@ -333,9 +346,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", bucket_expr(F.col("v"), dim).alias("nbucket")
     )
     qb = queries.withColumn("qbucket", bucket_expr(F.col("qv"), dim))
+    # Probe set derived from the SAME mask generator (and default
+    # width) ann_lsh uses, so the twin's found_iff_probed invariant
+    # tracks any future change to the registered probe_bits default at
+    # the source instead of diverging silently (ADVICE r6).
     probes = F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)],
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(LSH_PROBE_BITS_DEFAULT)
+        ],
     )
     probe_set = (
         qb.select(F.col("query_id").alias("p_qid"), F.explode(probes).alias("p_bucket"))

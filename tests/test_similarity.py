@@ -465,11 +465,34 @@ def test_lsh_probe_bits_recall_monotone(planted_sep):
     assert r2 >= 0.9, f"recall(2-bit)={r2:.2f} on separated data"
 
 
+def test_probe_masks_generic_contract():
+    """_probe_masks honors its docstring for EVERY width (ADVICE r6:
+    it used to silently return the 1-bit set for probe_bits=0 and cap
+    at 2): exactly sum_{r<=w} C(8,r) distinct masks, each of popcount
+    <= w, every popcount <= w mask present; out-of-range widths raise."""
+    from math import comb
+
+    import pytest as _pytest
+
+    for w in range(S.LSH_BITS + 1):
+        masks = S._probe_masks(w)
+        expect = sum(comb(S.LSH_BITS, r) for r in range(w + 1))
+        assert len(masks) == len(set(masks)) == expect
+        assert all(bin(m).count("1") <= w for m in masks)
+        assert set(masks) == {
+            m for m in range(1 << S.LSH_BITS) if bin(m).count("1") <= w
+        }
+    for bad in (-1, S.LSH_BITS + 1):
+        with _pytest.raises(ValueError):
+            S._probe_masks(bad)
+
+
 def test_ivf_nprobe_recall_monotone(planted_sep):
     """Completes the ANN knob triptych (LSH probe_bits, PQ shortlist,
-    IVF nprobe): the top-(nprobe+1) probed cells are a PREFIX-superset
-    of the top-nprobe cells (argsort prefix), so the candidate pool —
-    and planted-partner recall — is monotone in nprobe. Measured curve
+    IVF nprobe): the top-(nprobe=3) probed cells are a prefix-superset
+    of the top-(nprobe=1) cells (argsort prefix, [:, :nprobe]), so the
+    candidate pool — and planted-partner recall — is monotone in
+    nprobe. Measured curve
     at 100k in SCALING.md (tools/ann_recall.py `ivf:<nprobe>`)."""
     df, partner_of = planted_sep
     corpus = S.normalized_corpus(df)

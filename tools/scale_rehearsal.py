@@ -241,7 +241,8 @@ def _resolve(name):
         if op.startswith("dedup_lsh"):
             # optional banding override: dedup_lsh:<bits>:<bands> —
             # the round-6 b/L knob sweep (default = the production
-            # b=8/L=8; recall follows the banding theorem
+            # EMB_PROD_BITS/EMB_PROD_BANDS shape, b=10/L=12 since the
+            # round-6 sweep; recall follows the banding theorem
             # 1-(1-p^b)^L, row count / planted pairs ≈ recall on this
             # corpus since bulk pairs can't reach threshold 0.9)
             parts = op.split(":")
