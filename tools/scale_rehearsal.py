@@ -166,6 +166,67 @@ def gen_emb(scratch: str, n: int = EMB_SEP_N) -> None:
     print(f"embeddings: {len(ids)} rows, {len(pairs)} planted pairs -> {scratch}")
 
 
+#: planted text-near-dup rehearsal (round-7 brief): 100k docs of 60
+#: fixed-width random-vocab tokens, 1200 planted near-dup pairs in 8
+#: tiers of t = 1..8 token substitutions — word-3-gram Jaccard per
+#: tier ≈ (58-3t)/(58+3t) when substitutions land ≥3 apart (t=1 →
+#: 0.90 … t=6 → 0.53, with t=7/8 straddling/below the 0.5 threshold),
+#: so the truth set (exact banded Jaccard ≥ 0.5, the registered
+#: dedup_ngram_jaccard semantics) spans the whole recall-relevant
+#: band. Bulk pairs share ~no shingles (3-token shingles over a 50k
+#: vocab are effectively unique), so minhash output rows / exact rows
+#: IS the banding-shape recall — same reading as the r6 embedding
+#: sweep. All tokens are 7 chars, so every doc lands in one length
+#: band and the ±1-band blocking never hides a planted pair.
+TXT_SEP_N = 100_000
+TXT_SEP_TOKENS = 60
+TXT_SEP_VOCAB = 50_000
+TXT_SEP_PAIRS = 1_200
+TXT_SEP_SEED = 711
+
+
+def planted_text_corpus(n: int = TXT_SEP_N):
+    """(texts, n_chars, n_pairs) — shared by the gen-txt writer and
+    the pytest band-shape subset/monotonicity pins
+    (tests/test_dedup.py)."""
+    import numpy as np
+
+    rng = np.random.RandomState(TXT_SEP_SEED)
+    toks = rng.randint(0, TXT_SEP_VOCAB, size=(n, TXT_SEP_TOKENS))
+    # stride >= 8 keeps planted pairs disjoint (a partner is never
+    # itself a later pair's base) however small n gets
+    n_pairs = min(TXT_SEP_PAIRS, (n - 20) // 8)
+    stride = (n - 20) // n_pairs
+    for p in range(n_pairs):
+        a = 10 + p * stride
+        t = 1 + (p % 8)
+        toks[a + 1] = toks[a]
+        pos = rng.choice(TXT_SEP_TOKENS, size=t, replace=False)
+        toks[a + 1, pos] = rng.randint(0, TXT_SEP_VOCAB, size=t)
+    texts = [" ".join(f"w{w:06d}" for w in row) for row in toks]
+    return texts, len(texts[0]), n_pairs
+
+
+def gen_txt(scratch: str, n: int = TXT_SEP_N) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts, n_chars, n_pairs = planted_text_corpus(n)
+    os.makedirs(scratch, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["txtsep"] * n),
+            "n_chars": pa.array([n_chars] * n, type=pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{scratch}/documents.parquet")
+    print(f"documents: {n} rows, {n_pairs} planted pairs -> {scratch}")
+
+
 def _resolve(name):
     from mpi_mapreduce_spark.plans.registry import QUERIES
 
@@ -177,6 +238,31 @@ def _resolve(name):
         return lambda spark, d: containment_pairs(
             load_table(spark, d, "documents"), max_shingle_df=cap
         )
+    if name.startswith("txtsep_"):
+        # planted text-near-dup ops on the gen-txt corpus (the r7
+        # MinHash band-shape/signature-length sweep): txtsep_exact is
+        # the truth row (registered dedup_ngram_jaccard semantics);
+        # txtsep_minhash:<hashes>:<bands> runs the production LSH path
+        # at an overridden shape. Run ONE name per invocation — the
+        # default path persists the shingle index and the CacheManager
+        # dedupes identical plans, so a multi-name run would hand
+        # later shapes a warm index and understate their walls.
+        from mpi_mapreduce_spark.datamodel import load_table
+        from mpi_mapreduce_spark.operators import dedup as D
+
+        op = name.removeprefix("txtsep_")
+        if op == "exact":
+            return lambda spark, d: D.ngram_jaccard_pairs(
+                load_table(spark, d, "documents")
+            )
+        if op.startswith("minhash"):
+            parts = op.split(":")
+            h = int(parts[1]) if len(parts) > 1 else D.MINHASH_HASHES
+            b = int(parts[2]) if len(parts) > 2 else D.MINHASH_BANDS
+            return lambda spark, d: D.minhash_jaccard_pairs(
+                load_table(spark, d, "documents"), n_hashes=h, n_bands=b
+            )
+        raise SystemExit(f"unknown txtsep op {op}")
     if name == "minhash_after_exact":
         # the composed production ordering — since round 5 this IS the
         # registered query (pipeline_canonical_minhash); the pseudo-name
@@ -308,6 +394,10 @@ def main() -> None:
         scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/embsep100k"
         n = int(sys.argv[3]) if len(sys.argv) > 3 else EMB_SEP_N
         gen_emb(scratch, n)
+    elif mode == "gen-txt":
+        scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/txtsep100k"
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else TXT_SEP_N
+        gen_txt(scratch, n)
     elif mode == "time":
         names = sys.argv[2].split(",")
         scratch = sys.argv[3] if len(sys.argv) > 3 else SCRATCH
