@@ -99,93 +99,89 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-6 window (the driver checks the first DRIVER_CAP registered
-#: queries — this list IS that window, asserted in _build). This is
-#: the staleness-zeroing round: the 40 queries whose newest green
-#: driver row predates round 3 ALL fit in one window alongside the
-#: round's re-attests, so after this round every one of the 178
-#: registered queries is driver-attested within the last three rounds
-#: — the first time the whole registry is that fresh.
-#: - re-attests of the 6 queries whose implementation changed this
-#:   round: the minhash validate frame now builds ONE persisted
-#:   shingle index and threads it through minhash_jaccard_pairs'
-#:   new srows= parameter (touches dedup_minhash_lsh +
-#:   pipeline_canonical_minhash, rows-only by the LSH contract, and
-#:   both hash-attested validate twins); ann_lsh gained the
-#:   probe_bits multiprobe-width knob (registered default 1-bit —
-#:   identical probe set, re-attested on principle); the PQ re-rank
-#:   shortlist default moved 50 → 100 per the round-6 sweep (recall
-#:   0.955 → 0.984 at no measurable wall cost — SCALING.md), changing
-#:   ann_pq_rerank_topk's result set and its CTE-mirror oracle;
-#: - rotation (40): array_functions_showcase (the round-5 rotation's
-#:   one deferral, still r1-latest) plus all 39 queries whose newest
-#:   green row is round 2 — the events_* analytics/streaming twins,
-#:   the text_* family, the training samplers, knn_bruteforce,
-#:   embedding_label_centroids, multimodal features/frame-sample, and
-#:   the dedup r2 stragglers;
-#: - fillers (4): oldest remaining tier (round 3), picked for family
-#:   spread — exact dedup, iterative graph, CDC, sketch rollup —
-#:   starting the next freshness cycle early.
+#: Round-7 window (the driver checks the first DRIVER_CAP registered
+#: queries — this list IS that window, asserted in _build). Keeps the
+#: ≤3-round freshness invariant the r6 rotation established: the 42
+#: queries whose newest green driver row is round 3 (the oldest
+#: remaining tier — streaming window twins, CDC/DQ, the analytics
+#: family, TPC-H q20-q22, approx aggregates) ALL fit alongside the
+#: round's re-attests, so after round 7 no query's newest green row
+#: predates round 4.
+#: - re-attests of the queries whose implementation changed this
+#:   round (5): the minhash *_validate twins now build their shingle
+#:   index through the context-managed shingle_index and EAGERLY
+#:   localCheckpoint their three stage outputs (cache-lifecycle fix,
+#:   VERDICT r6 item 4 — same results, new plan shape), touching both
+#:   hash-attested validates and, by family convention, the rows-only
+#:   dedup_minhash_lsh + pipeline_canonical_minhash whose core gained
+#:   the swept n_hashes/n_bands knobs (defaults CONFIRMED 32/16 by
+#:   the r7 sweep — SCALING.md — so results are bit-identical);
+#:   ann_lsh_topk's twin probe set now derives from the shared
+#:   _probe_masks generator (identical 1-bit probe set, re-attested
+#:   on principle, same convention as r6's probe_bits row).
+#: - rotation (42): the entire round-3 tier.
+#: - fillers (3): round-4 tier, picked for changed-code adjacency and
+#:   family spread — dedup_incremental_minhash_validate (its
+#:   signature table gained the n_hashes param), dedup_simhash_validate
+#:   (signature-family spread), q1_pricing_summary (the flagship).
 _ROUND_PRIORITY = [
-    # -- changed this round: re-attest (6) --
+    # -- changed this round: re-attest (5) --
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_validate",
     "pipeline_canonical_minhash",
     "pipeline_canonical_minhash_validate",
     "ann_lsh_topk",
-    "ann_pq_rerank_topk",
-    # -- rotation: newest green row is round 1 (1) --
-    "array_functions_showcase",
-    # -- rotation: newest green row is round 2 (39) --
-    "dedup_exact_stats",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "dedup_incremental_minhash",
-    "knn_bruteforce",
-    "embedding_label_centroids",
-    "text_token_stats",
-    "text_heavy_hitters",
-    "text_tfidf_top_terms",
-    "text_bigram_counts",
-    "text_bpe_token_stats",
-    "text_repetition_score",
-    "text_lang_id",
-    "text_lang_confusion",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_bigram_lm_score",
-    "text_distribution_drift",
-    "training_mixture_resample",
-    "training_chunk_documents",
-    "training_winsorize_values",
-    "training_split_assign",
-    "training_sample_documents",
-    "training_sample_stratified",
-    "training_outlier_iqr",
-    "pipeline_curate_corpus",
-    "training_pack_sequences",
-    "training_contamination_check",
-    "training_take_k_per_lang",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "events_click_purchase_join",
-    "events_click_attribution",
-    "events_asof_purchase_click",
-    "events_incident_correlation",
-    "events_sessionize",
-    "events_funnel_conversion",
-    "events_user_value_trend",
-    "events_user_value_corr",
-    # -- fillers: oldest remaining tier (round 3), family spread (4) --
-    "dedup_exact",
-    "graph_nation_pagerank",
-    "cdc_orders_rollforward",
-    "events_hll_user_rollup",
+    # -- rotation: newest green row is round 3 (42) --
+    "dedup_incremental",
+    "ann_ivf_topk",
+    "embedding_label_outliers",
+    "training_weighted_sample",
+    "training_weighted_sample_per_lang",
+    "training_domain_quota",
+    "multimodal_resize",
+    "multimodal_frame_energy",
+    "multimodal_wav_decode",
+    "multimodal_bmp_decode",
+    "events_tumbling_counts",
+    "events_trending_types",
+    "events_resampled_gapfill",
+    "events_sliding_counts",
+    "events_session_stats",
+    "events_first_per_user_type",
+    "events_user_totals",
+    "events_enriched_by_segment",
+    "events_asof_next_purchase",
+    "events_salted_type_stats",
+    "dq_audit_orders",
+    "dq_profile_documents",
+    "cdc_user_value_scd2",
+    "cdc_orders_snapshot_diff",
+    "customer_pseudonymize",
+    "customer_rfm_segments",
+    "events_interarrival_stats",
+    "orders_cohort_ltv",
+    "events_transition_matrix",
+    "events_value_anomalies",
+    "events_rolling_user_stats",
+    "events_retention_cohorts",
+    "orders_market_basket",
+    "customer_spend_deciles",
+    "order_price_histogram",
+    "text_pii_redaction",
+    "events_ohlc_bars",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_customer_balances",
+    "approx_percentile_order_prices",
+    "approx_distinct_counts",
+    # -- fillers: round-4 tier, changed-code adjacency + spread (3) --
+    "dedup_incremental_minhash_validate",
+    "dedup_simhash_validate",
+    "q1_pricing_summary",
 ]
 # With this window every registered query's newest green driver row
-# will be round 4+ except the 42 remaining round-3 rows (first in line
-# for round 7); the rows-only LSH paths stay green-by-twin per their
-# contract.
+# will be round 4+; the rows-only LSH paths stay green-by-twin per
+# their contract.
 
 
 def _promote(names: list[str]) -> None:
