@@ -1,0 +1,76 @@
+"""In-repo bench budget gate (round-7, VERDICT r6 item 6).
+
+The oracle side already fails loudly on cost bombs
+(tests/test_oracle_costs.py, both scales); until now the ENGINE side
+relied on the external driver's round bench to notice a plan
+regression. This test runs the committed bench CLI exactly as the
+driver does (subprocess, sf0.1, local[$SPARK_GRAFT_CPUS]) and asserts
+every headline query lands within BUDGET_FACTOR x its manifest wall
+(tools/bench_manifest_sf0.1.json = the round-6 driver bench's
+min-of-3 walls), so a lost broadcast or a new global sort fails HERE
+before the driver sees it.
+
+Budget calibration: SCALING.md documents intermittent host-level
+noise spiking individual queries 2-6x between identical runs;
+bench.py's min-of-3 absorbs most of it, and the 3x factor plus a
+1-second absolute floor absorbs the rest (sub-second queries are all
+jitter). A genuine plan regression is an order of magnitude, not 3x.
+
+Opt out with SPARK_GRAFT_SKIP_BENCH_BUDGET=1 (e.g. while another
+Spark job owns the box — the walls would measure the neighbor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "tools", "bench_manifest_sf0.1.json")
+BUDGET_FACTOR = 3.0
+ABS_FLOOR_SEC = 1.0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_BENCH_BUDGET") == "1",
+    reason="bench budget gate disabled via SPARK_GRAFT_SKIP_BENCH_BUDGET",
+)
+def test_headline_queries_within_budget():
+    manifest = json.load(open(MANIFEST))
+    assert manifest["sf"] == 0.1
+    budget = manifest["queries"]
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"bench stdout must be ONE JSON line: {lines}"
+    result = json.loads(lines[0])
+
+    # every manifest query must still be a headline query (a silently
+    # dropped headline row would un-gate its plan)
+    missing = set(budget) - set(result["queries"])
+    assert not missing, f"headline queries dropped from bench: {missing}"
+
+    over = {
+        name: (wall, budget[name])
+        for name, wall in result["queries"].items()
+        if name in budget
+        and wall > max(BUDGET_FACTOR * budget[name], ABS_FLOOR_SEC)
+    }
+    assert not over, (
+        "per-query budget exceeded (wall, manifest); regenerate "
+        f"tools/bench_manifest_sf0.1.json if the plan change is "
+        f"intentional: {over}"
+    )
