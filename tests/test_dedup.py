@@ -950,3 +950,17 @@ def test_minhash_band_shape_recall_monotone(spark):
     # and the production shape's recall is near-total even on a truth
     # set that hugs the 0.5 threshold
     assert len(shape[(32, 16)]) / len(truth) >= 0.95
+
+
+def test_minhash_band_shape_must_divide(spark):
+    """A band count that doesn't divide the signature length is a
+    config error, not a silent truncation: minhash_band_keys raises
+    before any job runs."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", 9)], "doc_id long, text string, n_chars int"
+    )
+    sig = D.minhash_signature_table(D.shingle_rows(docs), n_hashes=32)
+    with pytest.raises(ValueError, match="must divide"):
+        D.minhash_band_keys(sig, n_hashes=32, n_bands=5)
