@@ -1665,20 +1665,30 @@ def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rescore end-to-end; the residual approximation (boundary pairs
     whose buckets never collide) is exactly what the flag's two sides
     agree to exclude, and recall stays pytest-pinned. The oracle
-    recomputes the exact side and pins the flag TRUE."""
+    recomputes the exact side and pins the flag TRUE.
+
+    Cache lifecycle (r7, same contract as the minhash twins): the
+    candidate frame feeds two stages, so it is persisted ONLY while
+    the two tiny pair-table outputs are eagerly localCheckpoint-
+    materialized, then unpersisted — repeated invocations in one
+    session leave no CacheManager entry behind
+    (tests/test_dedup.py::test_shingle_index_no_cache_growth)."""
     emb = _normalized_embeddings(spark, sf_dir)
     exact = dedup_embedding(spark, sf_dir)
     cands = embedding_lsh_candidates(emb, dim=64).persist()
-    found = embedding_neardup_lsh(emb, dim=64, cands=cands).select(
-        F.col("vec_a").alias("f_a"),
-        F.col("vec_b").alias("f_b"),
-        F.lit(1).alias("found_hit"),
-    )
-    cobucketed = cands.select(
-        F.col("vec_a").alias("c_a"),
-        F.col("vec_b").alias("c_b"),
-        F.lit(1).alias("cobucket_hit"),
-    )
+    try:
+        found = embedding_neardup_lsh(emb, dim=64, cands=cands).select(
+            F.col("vec_a").alias("f_a"),
+            F.col("vec_b").alias("f_b"),
+            F.lit(1).alias("found_hit"),
+        ).localCheckpoint()
+        cobucketed = cands.select(
+            F.col("vec_a").alias("c_a"),
+            F.col("vec_b").alias("c_b"),
+            F.lit(1).alias("cobucket_hit"),
+        ).localCheckpoint()
+    finally:
+        cands.unpersist()
     out = exact.join(
         found,
         (F.col("vec_a") == F.col("f_a")) & (F.col("vec_b") == F.col("f_b")),

@@ -108,7 +108,7 @@ DRIVER_CAP = 50
 #: round's re-attests, so after round 7 no query's newest green row
 #: predates round 4.
 #: - re-attests of the queries whose implementation changed this
-#:   round (5): the minhash *_validate twins now build their shingle
+#:   round (6): the minhash *_validate twins now build their shingle
 #:   index through the context-managed shingle_index and EAGERLY
 #:   localCheckpoint their three stage outputs (cache-lifecycle fix,
 #:   VERDICT r6 item 4 — same results, new plan shape), touching both
@@ -116,21 +116,28 @@ DRIVER_CAP = 50
 #:   dedup_minhash_lsh + pipeline_canonical_minhash whose core gained
 #:   the swept n_hashes/n_bands knobs (defaults CONFIRMED 32/16 by
 #:   the r7 sweep — SCALING.md — so results are bit-identical);
-#:   ann_lsh_topk's twin probe set now derives from the shared
-#:   _probe_masks generator (identical 1-bit probe set, re-attested
-#:   on principle, same convention as r6's probe_bits row).
+#:   dedup_embedding_lsh_validate got the SAME persist→checkpoint→
+#:   unpersist lifecycle for its candidate frame (same results, new
+#:   plan shape); ann_lsh_topk's twin probe set now derives from the
+#:   shared _probe_masks generator (identical 1-bit probe set,
+#:   re-attested on principle, same convention as r6's probe_bits
+#:   row).
 #: - rotation (42): the entire round-3 tier.
-#: - fillers (3): round-4 tier, picked for changed-code adjacency and
-#:   family spread — dedup_incremental_minhash_validate (its
-#:   signature table gained the n_hashes param), dedup_simhash_validate
-#:   (signature-family spread), q1_pricing_summary (the flagship).
+#: - fillers (2): round-4 tier, picked for changed-code adjacency —
+#:   dedup_incremental_minhash_validate (its signature table gained
+#:   the n_hashes param), dedup_simhash_validate (signature-family
+#:   spread). (q1_pricing_summary was the third filler until the
+#:   embedding-validate lifecycle fix claimed its slot; q1's newest
+#:   green row is round 4, comfortably inside the freshness
+#:   invariant.)
 _ROUND_PRIORITY = [
-    # -- changed this round: re-attest (5) --
+    # -- changed this round: re-attest (6) --
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_validate",
     "pipeline_canonical_minhash",
     "pipeline_canonical_minhash_validate",
     "ann_lsh_topk",
+    "dedup_embedding_lsh_validate",
     # -- rotation: newest green row is round 3 (42) --
     "dedup_incremental",
     "ann_ivf_topk",
@@ -174,10 +181,9 @@ _ROUND_PRIORITY = [
     "q22_idle_customer_balances",
     "approx_percentile_order_prices",
     "approx_distinct_counts",
-    # -- fillers: round-4 tier, changed-code adjacency + spread (3) --
+    # -- fillers: round-4 tier, changed-code adjacency + spread (2) --
     "dedup_incremental_minhash_validate",
     "dedup_simhash_validate",
-    "q1_pricing_summary",
 ]
 # With this window every registered query's newest green driver row
 # will be round 4+; the rows-only LSH paths stay green-by-twin per

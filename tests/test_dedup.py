@@ -910,6 +910,14 @@ def test_shingle_index_no_cache_growth(spark):
         assert D._minhash_validate_frame(docs).count() >= 1
     assert cm.isEmpty(), "_minhash_validate_frame left a cache entry"
 
+    # same contract for the embedding validate twin (its candidate
+    # frame is persisted only while its two pair tables materialize)
+    for _ in range(2):
+        D.dedup_embedding_lsh_validate(
+            spark, "/root/testdata/sf0.001"
+        ).count()
+    assert cm.isEmpty(), "dedup_embedding_lsh_validate left a cache entry"
+
 
 def test_minhash_band_shape_recall_monotone(spark):
     """Pins the r7 MinHash band-shape/signature-length knobs by their
