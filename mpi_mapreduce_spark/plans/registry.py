@@ -89,6 +89,13 @@ def _build() -> None:
     ):
         _install(mod)
     _promote(_ROUND_PRIORITY)
+    if len(_ROUND_PRIORITY) != DRIVER_CAP:
+        # a short list silently hands the spare driver slots to
+        # whatever happens to follow in registration order; a long one
+        # silently drops its own tail past the cap
+        raise AssertionError(
+            f"window is {len(_ROUND_PRIORITY)} entries, cap {DRIVER_CAP}"
+        )
     head = list(QUERIES)[: len(_ROUND_PRIORITY)]
     if head != _ROUND_PRIORITY:
         raise AssertionError(
