@@ -1708,6 +1708,203 @@ def dedup_embedding_lsh_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_incremental_candidates(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Batch-against-index candidate pairs ``(vec_a = batch id,
+    vec_b = corpus id)``: tonight's batch band rows equi-joined
+    against the corpus BUCKET INDEX on (band, bucket) — the embedding
+    analog of dedup_incremental_minhash's band-key join (the corpus
+    side is ``(vec_id, band, bucket)``, a table-shaped artifact read
+    from storage in production and rebuilt from the fixture here).
+    The corpus is never re-paired with itself — that work happened
+    when each nightly batch was ingested — so candidate volume is
+    Σ_bucket |batch share|·|corpus share|: linear in the BATCH for a
+    stable corpus."""
+    bb = embedding_band_rows(batch, dim, band_bits, n_bands).select(
+        F.col("vec_id").alias("vec_a"), "band", "bucket"
+    )
+    bc = embedding_band_rows(corpus, dim, band_bits, n_bands).select(
+        F.col("vec_id").alias("vec_b"), "band", "bucket"
+    )
+    return (
+        bb.join(bc, ["band", "bucket"]).select("vec_a", "vec_b").distinct()
+    )
+
+
+def embedding_incremental_hits(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """The incremental pipeline's scored batch×corpus hit pairs
+    ``(vec_a = batch id, vec_b = corpus id, cosine ≥ threshold)`` —
+    the heavy stage, exposed for the validate twin and the scale
+    rehearsal (the decision wrapper's per-batch-vector left join is
+    eliminable under a count, so measuring THIS frame is what times
+    the real work). Candidates from the corpus bucket index, exact
+    rescore fed only the vectors candidates reference (one left-semi
+    join) so the O(n·B) cell fan-out is O(|touched|·B), not
+    corpus-sized."""
+    cands = embedding_incremental_candidates(
+        batch, corpus, dim, band_bits, n_bands
+    )
+    touched_ids = (
+        cands.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(cands.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    emb = batch.unionByName(corpus)
+    touched = emb.join(touched_ids, "vec_id", "left_semi")
+    return embedding_neardup_lsh(
+        touched, dim, threshold, band_bits, n_bands, cands=cands
+    )
+
+
+def embedding_dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Per-batch-vector keep/drop against an EXISTING embedding corpus
+    — completing the incremental family (text already has exact
+    [:func:`dedup_against_corpus`] and MinHash-index
+    [:func:`dedup_incremental_minhash` — see that docstring for the
+    production framing] forms; this is the vector form a 100 TB
+    embedding store runs nightly). Reference scope note: incremental
+    ingest generalizes the reference's batch job model (main.cpp:28-34
+    reads a static corpus); the operator family is [NS] LLM-pipeline
+    surface.
+
+    Stages, every one batch-proportional for a stable corpus:
+
+    1. candidates from the corpus bucket index
+       (:func:`embedding_incremental_candidates`) — batch×corpus only;
+    2. the exact cogrouped block-gather rescore of
+       :func:`embedding_neardup_lsh`, fed ONLY the vectors candidates
+       reference (one left-semi join) so the O(n·B) cell fan-out is
+       O(|touched|·B), not corpus-sized;
+    3. per-batch-vector flags: ``is_near_dup`` iff some corpus
+       candidate rescored ≥ ``threshold``, ``keep`` its negation —
+       same decision shape as :func:`dedup_incremental`.
+
+    Approximate exactly like :func:`dedup_embedding_lsh` (recall < 1
+    for true pairs whose buckets never collide, precision 1.0 via the
+    exact rescore, banding-theorem recall at the registered b=2/L=12
+    shape); rows-only with the driver, invariant driver-attested via
+    :func:`dedup_incremental_embedding_validate`."""
+    scored = embedding_incremental_hits(
+        batch, corpus, dim, threshold, band_bits, n_bands
+    )
+    near = (
+        scored.select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        batch.select("vec_id")
+        .join(near, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+        .withColumn("keep", ~F.col("is_near_dup"))
+    )
+
+
+def dedup_incremental_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered incremental embedding dedup: every 10th vector is
+    tonight's batch (same ``vec_id % INCR_BATCH_MOD`` split convention
+    as dedup_incremental), the rest the already-ingested corpus — see
+    :func:`embedding_dedup_against_corpus`. Rows-only (the
+    sign-hyperplane buckets aren't SQL); recall/precision pinned vs
+    the exact batch×corpus pairs in tests/test_dedup.py, invariant
+    driver-attested via the banded validate twin."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    batch = emb.where(F.col("vec_id") % INCR_BATCH_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % INCR_BATCH_MOD != 0)
+    return embedding_dedup_against_corpus(batch, corpus, dim=64)
+
+
+def dedup_incremental_embedding_validate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded attestation of the incremental embedding path, same
+    shape as :func:`dedup_embedding_lsh_validate`: for every EXACT
+    batch×corpus near-dup pair (oracle-expressible — the
+    dedup_embedding cosine with the batch-split predicate), emit the
+    exact cosine plus ``found_iff_cobucketed`` — TRUE by theorem:
+
+    ⇐ the incremental pipeline's hits come only from co-bucketed
+      index candidates;
+    ⇒ a co-bucketed batch×corpus pair whose exact cosine clears the
+      threshold survives the exact uncapped rescore, so it must be a
+      hit.
+
+    Both sides are normalized to the exact op's (vec_a < vec_b)
+    orientation before the iff-join (the incremental pipeline orients
+    pairs batch-first). Cache lifecycle as in the sibling twins: the
+    candidate frame is persisted only while the two pair tables
+    eagerly materialize, then unpersisted."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    batch = emb.where(F.col("vec_id") % INCR_BATCH_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % INCR_BATCH_MOD != 0)
+    is_batch_a = F.col("vec_a") % INCR_BATCH_MOD == 0
+    is_batch_b = F.col("vec_b") % INCR_BATCH_MOD == 0
+    exact = dedup_embedding(spark, sf_dir).where(is_batch_a != is_batch_b)
+    cands = embedding_incremental_candidates(batch, corpus, dim=64).persist()
+    try:
+        touched_ids = (
+            cands.select(F.col("vec_a").alias("vec_id"))
+            .unionByName(cands.select(F.col("vec_b").alias("vec_id")))
+            .distinct()
+        )
+        touched = emb.join(touched_ids, "vec_id", "left_semi")
+        found = embedding_neardup_lsh(
+            touched, dim=64, cands=cands
+        ).select(
+            F.least("vec_a", "vec_b").alias("f_a"),
+            F.greatest("vec_a", "vec_b").alias("f_b"),
+            F.lit(1).alias("found_hit"),
+        ).localCheckpoint()
+        cobucketed = cands.select(
+            F.least("vec_a", "vec_b").alias("c_a"),
+            F.greatest("vec_a", "vec_b").alias("c_b"),
+            F.lit(1).alias("cobucket_hit"),
+        ).distinct().localCheckpoint()
+    finally:
+        cands.unpersist()
+    out = exact.join(
+        found,
+        (F.col("vec_a") == F.col("f_a")) & (F.col("vec_b") == F.col("f_b")),
+        "left",
+    ).join(
+        cobucketed,
+        (F.col("vec_a") == F.col("c_a")) & (F.col("vec_b") == F.col("c_b")),
+        "left",
+    )
+    return out.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        (
+            F.col("found_hit").isNotNull() == F.col("cobucket_hit").isNotNull()
+        ).alias("found_iff_cobucketed"),
+    )
+
+
 #: auto path selection: LSH only if its candidate-generation join
 #: volume undercuts brute-force scoring by ≥ 2× — the banding UDF, the
 #: pair distinct and the gather stages have to be paid for (SCALING.md
@@ -1917,6 +2114,19 @@ ORACLE_DEDUP_EMBEDDING_LSH_VALIDATE = _DEDUP_EMBEDDING_CTE + f"""
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0
           >= {EMBED_DUP_THRESHOLD}
+"""
+
+# the incremental twin: the same exact-cosine derivation restricted to
+# batch×corpus pairs (exactly one side in tonight's batch), flag
+# pinned TRUE (the sign-hyperplane buckets aren't SQL-expressible)
+ORACLE_INCREMENTAL_EMBEDDING_VALIDATE = _DEDUP_EMBEDDING_CTE + f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0 AS cosine,
+           TRUE AS found_iff_cobucketed
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0
+          >= {EMBED_DUP_THRESHOLD}
+      AND (a.vec_id % {INCR_BATCH_MOD} = 0) <> (b.vec_id % {INCR_BATCH_MOD} = 0)
 """
 
 
@@ -2817,6 +3027,8 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_incremental_minhash_validate": dedup_incremental_minhash_validate,
+    "dedup_incremental_embedding": dedup_incremental_embedding,
+    "dedup_incremental_embedding_validate": dedup_incremental_embedding_validate,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_canonical_corpus": dedup_canonical_corpus,
@@ -2854,6 +3066,12 @@ ORACLE = {
     "dedup_simhash_validate": ORACLE_SIMHASH_VALIDATE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash_validate": ORACLE_INCREMENTAL_MINHASH_VALIDATE,
+    # dedup_incremental_embedding: rows-only (sign-hyperplane buckets
+    # aren't SQL); its found-iff-cobucketed invariant is hash-attested
+    # via the twin below
+    "dedup_incremental_embedding_validate": (
+        ORACLE_INCREMENTAL_EMBEDDING_VALIDATE
+    ),
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,

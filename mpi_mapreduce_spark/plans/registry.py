@@ -194,7 +194,11 @@ _ROUND_PRIORITY = [
 ]
 # With this window every registered query's newest green driver row
 # will be round 4+; the rows-only LSH paths stay green-by-twin per
-# their contract.
+# their contract. The two r7 late additions (dedup_incremental_embedding
+# + its validate twin) register OUTSIDE this window — builder-attested
+# this round (tools/rehearse.py vs the DuckDB oracle + pytest), FIRST
+# IN LINE for the round-8 window, same handling as round 4's late
+# additions.
 
 
 def _promote(names: list[str]) -> None:

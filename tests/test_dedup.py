@@ -910,13 +910,15 @@ def test_shingle_index_no_cache_growth(spark):
         assert D._minhash_validate_frame(docs).count() >= 1
     assert cm.isEmpty(), "_minhash_validate_frame left a cache entry"
 
-    # same contract for the embedding validate twin (its candidate
-    # frame is persisted only while its two pair tables materialize)
-    for _ in range(2):
-        D.dedup_embedding_lsh_validate(
-            spark, "/root/testdata/sf0.001"
-        ).count()
-    assert cm.isEmpty(), "dedup_embedding_lsh_validate left a cache entry"
+    # same contract for the embedding validate twins (their candidate
+    # frame is persisted only while their pair tables materialize)
+    for fn in (
+        D.dedup_embedding_lsh_validate,
+        D.dedup_incremental_embedding_validate,
+    ):
+        for _ in range(2):
+            fn(spark, "/root/testdata/sf0.001").count()
+        assert cm.isEmpty(), f"{fn.__name__} left a cache entry"
 
 
 def test_minhash_band_shape_recall_monotone(spark):
@@ -958,6 +960,64 @@ def test_minhash_band_shape_recall_monotone(spark):
     # and the production shape's recall is near-total even on a truth
     # set that hugs the 0.5 threshold
     assert len(shape[(32, 16)]) / len(truth) >= 0.95
+
+
+def test_incremental_embedding_flags_planted_batch(spark):
+    """Batch vectors dedup against the corpus bucket index ONLY: a
+    batch vector near-identical to a corpus vector is dropped, a fresh
+    one kept, and the corpus-internal near-dup pair (1, 2) never flags
+    anything — the corpus is not re-paired with itself. Separated
+    fixture (tight planted pairs, deep b=8/L=8 banding at threshold
+    0.9), so hits equal the exact batch×corpus pairs: precision is the
+    rescore theorem, recall because near-identical vectors co-bucket
+    in every band."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+
+    def norm(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    c0, c1 = rng.randn(dim), rng.randn(dim)
+    corpus = spark.createDataFrame(
+        [
+            (1, norm(c0)),
+            (2, norm(c0 + 0.01 * rng.randn(dim))),
+            (3, norm(c1)),
+        ],
+        "vec_id long, v array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, norm(c0 + 0.01 * rng.randn(dim))),
+            (20, norm(c1 + 0.01 * rng.randn(dim))),
+            (30, norm(rng.randn(dim))),
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: (r.is_near_dup, r.keep)
+        for r in D.embedding_dedup_against_corpus(
+            batch, corpus, dim=dim, threshold=0.9, band_bits=8, n_bands=8
+        ).collect()
+    }
+    assert got == {10: (True, False), 20: (True, False), 30: (False, True)}
+
+
+def test_incremental_embedding_validate_all_true(spark, sf_dir):
+    """The registered twin's invariant on fixture data: every exact
+    batch×corpus pair carries found_iff_cobucketed TRUE, and the pair
+    set equals dedup_embedding restricted to split-crossing pairs."""
+    rows = D.dedup_incremental_embedding_validate(spark, sf_dir).collect()
+    exact_bc = {
+        (r.vec_a, r.vec_b)
+        for r in D.dedup_embedding(spark, sf_dir).collect()
+        if (r.vec_a % D.INCR_BATCH_MOD == 0)
+        != (r.vec_b % D.INCR_BATCH_MOD == 0)
+    }
+    assert {(r.vec_a, r.vec_b) for r in rows} == exact_bc
+    assert all(r.found_iff_cobucketed for r in rows)
 
 
 def test_minhash_band_shape_must_divide(spark):

@@ -50,6 +50,9 @@ EXCLUDED_SF01 = {
     "dedup_containment",
     "dedup_containment_capped",
     "dedup_embedding_lsh_validate",
+    # same pairwise cosine CTE as dedup_embedding_lsh_validate,
+    # restricted to batch×corpus pairs (r7 addition)
+    "dedup_incremental_embedding_validate",
     "dedup_incremental",
     "dedup_incremental_minhash_validate",
     "dedup_minhash_lsh_validate",

@@ -341,6 +341,30 @@ def _resolve(name):
                 bits,
                 bands,
             )
+        if op.startswith("dedup_incremental"):
+            # dedup_incremental:<mod> — the r7 incremental embedding
+            # path at production banding/threshold: every mod-th
+            # vector is tonight's batch, the rest the corpus index
+            # side. Varying mod at ~FIXED corpus size isolates the
+            # batch-proportionality claim (the corpus banding pass is
+            # rebuilt from the fixture here; production reads the
+            # stored index, so the batch-side share is the nightly
+            # marginal cost). Measures the HITS stage — the decision
+            # wrapper's per-batch-vector left join is eliminable under
+            # time_ops' count and would time nothing.
+            parts = op.split(":")
+            mod = int(parts[1]) if len(parts) > 1 else 10
+            def run_incr(spark, d, mod=mod):
+                emb = _norm(spark, d)
+                return D.embedding_incremental_hits(
+                    emb.where(F.col("vec_id") % mod == 0),
+                    emb.where(F.col("vec_id") % mod != 0),
+                    EMB_SEP_DIM,
+                    EMB_PROD_THRESHOLD,
+                    EMB_PROD_BITS,
+                    EMB_PROD_BANDS,
+                )
+            return run_incr
         if op == "dedup_auto":
 
             def run_auto(spark, d):
