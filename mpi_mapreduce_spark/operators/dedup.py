@@ -1714,6 +1714,7 @@ def embedding_incremental_candidates(
     dim: int,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-against-index candidate pairs ``(vec_a = batch id,
     vec_b = corpus id)``: tonight's batch band rows equi-joined
@@ -1724,11 +1725,22 @@ def embedding_incremental_candidates(
     The corpus is never re-paired with itself — that work happened
     when each nightly batch was ingested — so candidate volume is
     Σ_bucket |batch share|·|corpus share|: linear in the BATCH for a
-    stable corpus."""
+    stable corpus.
+
+    ``corpus_bands`` is the STORED index path: a caller holding the
+    persisted ``(vec_id, band, bucket)`` table (the
+    embedding_bucket_index artifact, maintained nightly by
+    nightly_embedding_dedup_update) passes it here and the corpus
+    vectors are never re-banded — the only corpus-sized work left is
+    the parquet scan of three skinny columns. Equality of the stored
+    and rebuilt paths is pinned in
+    tests/test_dedup.py::test_bucket_index_feeds_incremental."""
     bb = embedding_band_rows(batch, dim, band_bits, n_bands).select(
         F.col("vec_id").alias("vec_a"), "band", "bucket"
     )
-    bc = embedding_band_rows(corpus, dim, band_bits, n_bands).select(
+    if corpus_bands is None:
+        corpus_bands = embedding_band_rows(corpus, dim, band_bits, n_bands)
+    bc = corpus_bands.select(
         F.col("vec_id").alias("vec_b"), "band", "bucket"
     )
     return (
@@ -1743,6 +1755,7 @@ def embedding_incremental_hits(
     threshold: float = EMBED_DUP_THRESHOLD,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """The incremental pipeline's scored batch×corpus hit pairs
     ``(vec_a = batch id, vec_b = corpus id, cosine ≥ threshold)`` —
@@ -1754,7 +1767,7 @@ def embedding_incremental_hits(
     join) so the O(n·B) cell fan-out is O(|touched|·B), not
     corpus-sized."""
     cands = embedding_incremental_candidates(
-        batch, corpus, dim, band_bits, n_bands
+        batch, corpus, dim, band_bits, n_bands, corpus_bands
     )
     touched_ids = (
         cands.select(F.col("vec_a").alias("vec_id"))
@@ -1775,6 +1788,7 @@ def embedding_dedup_against_corpus(
     threshold: float = EMBED_DUP_THRESHOLD,
     band_bits: int = EMBED_LSH_BAND_BITS,
     n_bands: int = EMBED_LSH_BANDS,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch-vector keep/drop against an EXISTING embedding corpus
     — completing the incremental family (text already has exact
@@ -1804,7 +1818,7 @@ def embedding_dedup_against_corpus(
     shape); rows-only with the driver, invariant driver-attested via
     :func:`dedup_incremental_embedding_validate`."""
     scored = embedding_incremental_hits(
-        batch, corpus, dim, threshold, band_bits, n_bands
+        batch, corpus, dim, threshold, band_bits, n_bands, corpus_bands
     )
     near = (
         scored.select(F.col("vec_a").alias("vec_id"))
@@ -1903,6 +1917,73 @@ def dedup_incremental_embedding_validate(
             F.col("found_hit").isNotNull() == F.col("cobucket_hit").isNotNull()
         ).alias("found_iff_cobucketed"),
     )
+
+
+def embedding_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding LSH index ARTIFACT itself: ``(vec_id, band,
+    bucket)`` over the whole vector store — the table a write-side job
+    persists nightly (nightly_embedding_dedup_update appends tonight's
+    batch partition) and the incremental dedup path joins against
+    (embedding_incremental_candidates ``corpus_bands``). Registered
+    separately, same rationale as embedding_pq_codes: the STORED
+    representation, not just the search results derived from it, is
+    hash-attested.
+
+    Fully oracle-checked: the sign-hyperplane arithmetic is
+    deterministic (fixed-seed hyperplanes, inlined as SQL literals),
+    so DuckDB recomputes every bit. Cross-engine safety: DuckDB's
+    list_dot_product is a pairwise/SIMD sum while the engine's dot is
+    a sequential left fold — they can differ in the last ~ulp — but a
+    sign bit only flips when a projection sits within that ulp of
+    zero, and the measured margin on the fixture corpora is ≥ 6.5e-6
+    at every SF (nine orders of magnitude of slack; checked for all
+    three SFs in tests/test_dedup.py::test_bucket_index_margin).
+
+    Generalizes the reference's static-corpus job model (main.cpp:
+    28-34) to the [NS] vector-store surface; hyperplane LSH per
+    Charikar (STOC 2002)."""
+    return embedding_band_rows(_normalized_embeddings(spark, sf_dir), dim=64)
+
+
+def _embedding_bucket_index_oracle() -> str:
+    """Full DuckDB mirror of embedding_bucket_index: normalize (the
+    _sql_norm recipe every embedding oracle uses), dot each vector
+    against the EMBED_LSH_BANDS x EMBED_LSH_BAND_BITS fixed-seed
+    hyperplanes (inlined as exact string-cast literals — bare SQL
+    decimal literals parse as DECIMAL and drop bits), sign-bit →
+    little-endian bucket per band."""
+    hps = _band_hyperplanes(64, EMBED_LSH_BAND_BITS, EMBED_LSH_BANDS)
+    rows = []
+    for band in range(EMBED_LSH_BANDS):
+        for j in range(EMBED_LSH_BAND_BITS):
+            h = hps[band * EMBED_LSH_BAND_BITS + j]
+            lit = "[" + ", ".join(f"'{float(x)!r}'" for x in h) + "]::DOUBLE[]"
+            rows.append(f"({band}, {j}, {lit})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             CASE WHEN list_dot_product(e, e) > 0
+                  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                  ELSE e END AS v
+      FROM raw
+    ), hp(band, j, h) AS (VALUES
+        {values}
+    ), bits AS (
+      SELECT vec_id, band, j,
+             CASE WHEN list_dot_product(v, h) > 0 THEN 1 ELSE 0 END AS bit
+      FROM n CROSS JOIN hp
+    )
+    SELECT vec_id, CAST(band AS INT) AS band,
+           CAST(SUM(bit * (1 << j)) AS INT) AS bucket
+    FROM bits GROUP BY vec_id, band
+    """
+
+
+ORACLE_EMBEDDING_BUCKET_INDEX = _embedding_bucket_index_oracle()
 
 
 #: auto path selection: LSH only if its candidate-generation join
@@ -3029,6 +3110,7 @@ QUERIES = {
     "dedup_incremental_minhash_validate": dedup_incremental_minhash_validate,
     "dedup_incremental_embedding": dedup_incremental_embedding,
     "dedup_incremental_embedding_validate": dedup_incremental_embedding_validate,
+    "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_canonical_corpus": dedup_canonical_corpus,
@@ -3072,6 +3154,7 @@ ORACLE = {
     "dedup_incremental_embedding_validate": (
         ORACLE_INCREMENTAL_EMBEDDING_VALIDATE
     ),
+    "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,
     "dedup_canonical_corpus": ORACLE_CANONICAL_CORPUS,

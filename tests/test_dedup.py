@@ -875,7 +875,7 @@ def _persistent_rdd_ids(spark) -> set[int]:
     )
 
 
-def test_shingle_index_no_cache_growth(spark):
+def test_shingle_index_no_cache_growth(spark, sf_dir):
     """Pins the r7 cache-lifecycle contract (VERDICT r6 item 4): two
     shingle_index invocations over two DIFFERENT doc frames leave the
     persisted-RDD census exactly where it started (the index lives
@@ -917,7 +917,7 @@ def test_shingle_index_no_cache_growth(spark):
         D.dedup_incremental_embedding_validate,
     ):
         for _ in range(2):
-            fn(spark, "/root/testdata/sf0.001").count()
+            fn(spark, sf_dir).count()
         assert cm.isEmpty(), f"{fn.__name__} left a cache entry"
 
 
@@ -1032,3 +1032,60 @@ def test_minhash_band_shape_must_divide(spark):
     sig = D.minhash_signature_table(D.shingle_rows(docs), n_hashes=32)
     with pytest.raises(ValueError, match="must divide"):
         D.minhash_band_keys(sig, n_hashes=32, n_bands=5)
+
+
+def test_bucket_index_feeds_incremental(spark, sf_dir):
+    """Pins the stored-index serving contract (VERDICT r7 item 2): the
+    embedding_bucket_index artifact, filtered to the corpus split and
+    passed as ``corpus_bands``, yields EXACTLY the candidate pairs the
+    rebuilt-index path computes — so a nightly job can keep the
+    (vec_id, band, bucket) table on disk and never re-band the corpus."""
+    emb = D._normalized_embeddings(spark, sf_dir)
+    batch = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD != 0)
+    stored = D.embedding_bucket_index(spark, sf_dir).where(
+        F.col("vec_id") % D.INCR_BATCH_MOD != 0
+    )
+    via_index = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_incremental_candidates(
+            batch, corpus, dim=64, corpus_bands=stored
+        ).collect()
+    }
+    rebuilt = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_incremental_candidates(
+            batch, corpus, dim=64
+        ).collect()
+    }
+    assert via_index == rebuilt and len(rebuilt) > 0
+
+
+def test_bucket_index_margin():
+    """The embedding_bucket_index oracle's cross-engine safety rests on
+    no hyperplane projection sitting within float addition-order noise
+    of zero (DuckDB's list_dot_product is a pairwise sum, the engine's
+    dot a sequential fold — last-ulp differences). Pin the measured
+    margin at >= 1e-9 on every fixture SF (measured >= 6.5e-6; pure
+    numpy over the parquet, no Spark needed)."""
+    import glob
+    import os
+
+    import duckdb
+    import numpy as np
+
+    hps = D._band_hyperplanes(64, D.EMBED_LSH_BAND_BITS, D.EMBED_LSH_BANDS)
+    sfs = sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+    assert sfs, "no embedding fixtures found"
+    for path in sfs:
+        m = np.vstack(
+            duckdb.sql(
+                f"SELECT embedding FROM '{path}'"
+            ).fetchnumpy()["embedding"]
+        ).astype(np.float64)
+        n = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        v = m / np.where(n > 0, n, 1.0)[:, None]
+        margin = min(
+            np.abs(np.cumsum(v * h, axis=1)[:, -1]).min() for h in hps
+        )
+        assert margin >= 1e-9, f"{os.path.dirname(path)}: margin {margin}"
