@@ -189,22 +189,48 @@ IVF_CELLS = 16
 IVF_PROBES = 3
 IVF_SAMPLE = 2048
 IVF_ITERS = 5
+#: incremental-ingest split convention shared with dedup.INCR_BATCH_MOD:
+#: every 10th vector is "tonight's batch", the rest the stable corpus
+IVF_ASSIGN_BATCH_MOD = 10
+
+
+def _np_q6(a):
+    """Scale-6 half-away-from-zero quantize (np.round is banker's) —
+    numpy twin of ex.quantize / ex.sql_quantize."""
+    import numpy as np
+
+    return np.where(
+        a >= 0.0, np.floor(a * 1e6 + 0.5), np.ceil(a * 1e6 - 0.5)
+    ) / 1e6
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int = IVF_CELLS) -> list[list[float]]:
-    """Train the coarse quantizer: k-means over a bounded, deterministic
-    sample of the corpus, driver-side in numpy.
+    """Train the coarse quantizer: deterministic quantized Lloyd over a
+    bounded, hash-ordered sample of the corpus, driver-side in numpy.
 
     This is how IVF works at 100 TB too — the quantizer is trained on a
     sample (centroids are k x dim, kilobytes), then broadcast; only the
-    cell *assignment* pass touches the full corpus. The sample is the
-    IVF_SAMPLE lowest-xxhash64 rows (TakeOrdered, no full sort), so the
-    result is reproducible run-to-run at any parallelism. Init is the
-    first k sample points; empty cells keep their previous centroid."""
+    cell *assignment* pass touches the full corpus. Round-8 rework to
+    the engine's cross-engine exactness discipline so the trained table
+    is itself a registered, hash-attested artifact (ann_ivf_centroids):
+
+    - sample: the IVF_SAMPLE lexicographically-lowest md5(vec_id) rows
+      (TakeOrdered, no full sort — reproducible at any parallelism).
+      md5 — unlike the xxhash64 this used before round 8 — is computed
+      identically by Spark and DuckDB, so the oracle re-derives the
+      SAME sample. Init = the first n_cells sample points.
+    - assign: argmax of the QUANTIZED (scale 6, half-away) left-fold
+      dot, first-max = lowest cell — the _assign_struct convention.
+    - update: per-component mean in exact int64 arithmetic (each x
+      rounded half-away to 1e-6, integer sum, divide back — the
+      ex.quantized_avg / ex.sql_avg recipe, order-independent);
+      renormalize with the left-fold norm; QUANTIZE the result each
+      iteration so engine-side last-ulp drift cannot compound across
+      rounds. Empty cells keep their previous centroid."""
     import numpy as np
 
     sample = (
-        corpus.select("v", F.xxhash64("vec_id").alias("h"))
+        corpus.select("v", F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h")
         .limit(IVF_SAMPLE)
         .collect()
@@ -212,19 +238,33 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = IVF_CELLS) -> list[list[floa
     x = np.array([r.v for r in sample], dtype=np.float64)
     cents = x[:n_cells].copy()
     for _ in range(IVF_ITERS):
-        assign = np.argmax(x @ cents.T, axis=1)
+        dots = np.stack(
+            [np.cumsum(x * cents[c], axis=1)[:, -1] for c in range(len(cents))],
+            axis=1,
+        )
+        assign = np.argmax(_np_q6(dots), axis=1)  # first max = lowest cell
+        new = cents.copy()
         for c in range(n_cells):
             members = x[assign == c]
             if len(members):
-                m = members.mean(axis=0)
-                n = np.sqrt((m * m).sum())
-                if n > 0:
-                    cents[c] = m / n
+                qi = np.where(
+                    members >= 0.0,
+                    np.floor(members * 1e6 + 0.5),
+                    np.ceil(members * 1e6 - 0.5),
+                ).astype(np.int64)
+                m = (qi.sum(axis=0).astype(np.float64) / 1e6) / len(members)
+                nrm = np.sqrt(np.cumsum(m * m)[-1])
+                new[c] = _np_q6(m / nrm) if nrm > 0 else _np_q6(m)
+        cents = new
     return cents.tolist()
 
 
 def _cell_expr(vec_col: F.Column, cents: list[list[float]]) -> F.Column:
-    """argmax_c (v · centroid_c) — nearest cell for unit vectors.
+    """argmax_c quantize6(v · centroid_c) — nearest cell for unit
+    vectors, ties to the lowest cell: the SAME total order
+    _assign_struct and the ann_ivf_centroids oracle use, so the
+    inverted file, the serving assignment (ann_ivf_assign_batch) and
+    the validation recompute share one assignment function.
     Arrow-batched; the centroid matrix ships inside the UDF closure
     (a broadcast variable in cluster terms)."""
     from pyspark.sql.functions import pandas_udf
@@ -237,8 +277,22 @@ def _cell_expr(vec_col: F.Column, cents: list[list[float]]) -> F.Column:
         if len(xs) == 0:
             return pd.Series([], dtype="int32")
         m = np.vstack(xs.to_numpy())
-        c = np.asarray(cents)
-        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+        c = np.asarray(cents, dtype=np.float64)
+        dots = np.stack(
+            [np.cumsum(m * c[j], axis=1)[:, -1] for j in range(len(c))],
+            axis=1,
+        )
+        # half-away quantize inlined (module fns don't pickle to
+        # foreign workers — see the verify-skill cloudpickle gotcha)
+        q = (
+            np.where(
+                dots >= 0,
+                np.floor(dots * 1e6 + 0.5),
+                np.ceil(dots * 1e6 - 0.5),
+            )
+            / 1e6
+        )
+        return pd.Series(np.argmax(q, axis=1).astype(np.int32))
 
     return _cell(vec_col)
 
@@ -481,6 +535,145 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ivf_cosine") <= F.col("cosine"))
         ).alias("ivf_rank_bounded"),
     )
+
+
+def ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantizer ARTIFACT itself: ``(cell, i, c)`` —
+    the k×dim centroid table a write-side training job persists and
+    every serving job (ann_ivf_topk's inverted file, the
+    ann_ivf_assign_batch incremental ingest) loads instead of
+    retraining. Registered separately, same rationale as
+    embedding_pq_codes / embedding_bucket_index: the STORED model, not
+    just search results derived from it, is hash-attested.
+
+    Fully oracle-checked: ivf_centroids' quantized-Lloyd training
+    (md5-ordered sample, quantized-dot argmax, exact integer means,
+    per-iteration quantized renorm) is mirrored round-for-round in
+    DuckDB — the kmeans/PQ oracle pattern at IVF_ITERS rounds. The
+    driver-side emission is k×dim ≈ kilobytes (the broadcast-model
+    shape; IVF per Jégou et al., TPAMI 2011)."""
+    corpus, _queries, _dim = _table_corpus_queries(spark, sf_dir)
+    cents = ivf_centroids(corpus)
+    rows = [
+        (cell, i, float(x))
+        for cell, vec in enumerate(cents)
+        for i, x in enumerate(vec)
+    ]
+    df = spark.createDataFrame(rows, "cell int, i int, c double")
+    # +0.0 collapses IEEE -0.0 (a component CAN round to zero from
+    # below; the driver's sort-then-hash stringifies the sign)
+    return df.select(
+        "cell", "i", (ex.quantize(F.col("c"), 6) + F.lit(0.0)).alias("c")
+    )
+
+
+def ann_ivf_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest: assign tonight's batch of new vectors
+    (the shared ``vec_id % 10`` split) to their nearest STORED
+    centroid — no retraining; the quantizer was trained on the stable
+    corpus and only the batch-sized assignment pass runs. This is the
+    nightly write path of a 100 TB inverted file: batch-proportional
+    work appending (vec_id → cell) rows to the celled corpus that
+    ann_ivf probes. Assignment is _assign_struct's quantized-dot
+    argmax — the same total order the inverted file and the centroid
+    artifact's oracle use. Determinism of stored-vs-retrained
+    centroids is pinned in tests/test_similarity.py."""
+    corpus, _queries, _dim = _table_corpus_queries(spark, sf_dir)
+    stable = corpus.where(F.col("vec_id") % IVF_ASSIGN_BATCH_MOD != 0)
+    batch = corpus.where(F.col("vec_id") % IVF_ASSIGN_BATCH_MOD == 0)
+    cents = ivf_centroids(stable)
+    out = batch.select("vec_id", _assign_struct(F.col("v"), cents).alias("a"))
+    return out.select(
+        "vec_id",
+        F.col("a.cluster").alias("cell"),
+        (F.col("a.cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+def _ivf_train_ctes(where_sql: str = "TRUE") -> str:
+    """DuckDB mirror of ivf_centroids over the `embeddings` view:
+    normalized corpus → md5-ordered sample (+ optional split filter)
+    → init from the first IVF_CELLS sample rows → IVF_ITERS rounds of
+    {quantized-dot argmax assignment, exact quantized means, left-fold
+    renorm, per-iteration quantize}. Ends at CTE ``ivf_c{IVF_ITERS}``
+    = (cell, c list)."""
+    q = ex.sql_quantize
+    parts = [f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, {_sql_norm('e')} AS v FROM raw
+    ), samp AS (
+      SELECT vec_id, v FROM n WHERE {where_sql}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_SAMPLE}
+    ), ivf_c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cell,
+             v AS c
+      FROM samp ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+    )"""]
+    for t in range(1, IVF_ITERS + 1):
+        parts.append(f"""
+    , ivf_a{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, cc.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {q('list_dot_product(s.v, cc.c)', 6)} DESC,
+                          cc.cell ASC
+               ) AS rn
+        FROM samp s CROSS JOIN ivf_c{t - 1} cc
+      ) WHERE rn = 1
+    ), ivf_m{t} AS (
+      SELECT a.cell, u.i, {ex.sql_avg('u.x', 6)} AS m
+      FROM ivf_a{t} a JOIN (
+        SELECT vec_id, unnest(range(len(v))) AS i, unnest(v) AS x
+        FROM samp
+      ) u USING (vec_id)
+      GROUP BY a.cell, u.i
+    ), ivf_r{t} AS (
+      SELECT cell, list(m ORDER BY i) AS c FROM ivf_m{t} GROUP BY cell
+    ), ivf_c{t} AS (
+      SELECT p.cell,
+             CASE WHEN r.c IS NULL THEN p.c
+                  ELSE list_transform(
+                         {_sql_norm('r.c')},
+                         x -> ROUND(x * 1000000.0) / 1000000.0
+                       )
+             END AS c
+      FROM ivf_c{t - 1} p LEFT JOIN ivf_r{t} r USING (cell)
+    )""")
+    return "".join(parts)
+
+
+def _ivf_centroids_oracle() -> str:
+    return _ivf_train_ctes() + f"""
+    SELECT CAST(cell AS INT) AS cell, CAST(i AS INT) AS i,
+           ROUND(x * 1000000.0) / 1000000.0 + 0.0 AS c
+    FROM (
+      SELECT cell, unnest(range(len(c))) AS i, unnest(c) AS x
+      FROM ivf_c{IVF_ITERS}
+    )
+    """
+
+
+def _ivf_assign_batch_oracle() -> str:
+    q = ex.sql_quantize
+    mod = IVF_ASSIGN_BATCH_MOD
+    return _ivf_train_ctes(f"vec_id % {mod} <> 0") + f"""
+    , batch AS (SELECT vec_id, v FROM n WHERE vec_id % {mod} = 0)
+    SELECT vec_id, cell, cosine FROM (
+      SELECT b.vec_id, CAST(cc.cell AS INT) AS cell,
+             {q('list_dot_product(b.v, cc.c)', 6)} + 0.0 AS cosine,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY {q('list_dot_product(b.v, cc.c)', 6)} DESC,
+                        cc.cell ASC
+             ) AS rn
+      FROM batch b CROSS JOIN ivf_c{IVF_ITERS} cc
+    ) WHERE rn = 1
+    """
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,6 +1839,8 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_centroids": ann_ivf_centroids,
+    "ann_ivf_assign_batch": ann_ivf_assign_batch,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
@@ -1662,6 +1857,8 @@ ORACLE = {
     "knn_bruteforce": ORACLE_KNN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_ivf_centroids": _ivf_centroids_oracle(),
+    "ann_ivf_assign_batch": _ivf_assign_batch_oracle(),
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,

@@ -509,3 +509,49 @@ def test_ivf_nprobe_recall_monotone(planted_sep):
     )
     assert r3 >= r1, f"recall(nprobe=3)={r3:.2f} < recall(nprobe=1)={r1:.2f}"
     assert r3 >= 0.9, f"recall(nprobe=3)={r3:.2f} on separated data"
+
+
+def test_ivf_assign_batch_matches_inverted_file(spark, sf_dir):
+    """Pins the incremental-IVF serving contract (VERDICT r7 item 5):
+    assigning tonight's batch against the STORED quantizer equals (a)
+    a full retrain-and-assign on the unchanged stable corpus
+    (training is deterministic — no RNG, hash-ordered sample), and (b)
+    the inverted-file cell function (_cell_expr) applied to the same
+    batch — serving and write-side share one assignment total order."""
+    corpus, _queries, _dim = S._table_corpus_queries(spark, sf_dir)
+    stable = corpus.where(F.col("vec_id") % S.IVF_ASSIGN_BATCH_MOD != 0)
+    batch = corpus.where(F.col("vec_id") % S.IVF_ASSIGN_BATCH_MOD == 0)
+
+    a = {
+        r.vec_id: (r.cell, r.cosine)
+        for r in S.ann_ivf_assign_batch(spark, sf_dir).collect()
+    }
+    b = {
+        r.vec_id: (r.cell, r.cosine)
+        for r in S.ann_ivf_assign_batch(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) == batch.count()
+
+    cents = S.ivf_centroids(stable)
+    via_cell_expr = {
+        r.vec_id: r.cell
+        for r in batch.select(
+            "vec_id", S._cell_expr(F.col("v"), cents).alias("cell")
+        ).collect()
+    }
+    assert {k: v[0] for k, v in a.items()} == via_cell_expr
+
+
+def test_ivf_centroid_artifact_unit_norm_and_total(spark, sf_dir):
+    """The registered centroid artifact is a complete k x dim table of
+    (quantized) unit vectors: every cell has every component, and each
+    centroid's norm is 1 within quantization error."""
+    rows = S.ann_ivf_centroids(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, {})[r.i] = r.c
+    assert set(by_cell) == set(range(S.IVF_CELLS))
+    for cell, comps in by_cell.items():
+        assert set(comps) == set(range(64))
+        norm = sum(v * v for v in comps.values()) ** 0.5
+        assert abs(norm - 1.0) < 1e-3, f"cell {cell}: norm {norm}"
