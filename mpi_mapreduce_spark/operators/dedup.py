@@ -1986,6 +1986,136 @@ def _embedding_bucket_index_oracle() -> str:
 ORACLE_EMBEDDING_BUCKET_INDEX = _embedding_bucket_index_oracle()
 
 
+def nightly_embedding_dedup_update(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    index_dir: str,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+):
+    """The production nightly EMBEDDING dedup job — the vector leg of
+    :func:`nightly_dedup_update` (one callable per modality, so a
+    scheduler runs both): the ingest LEDGER picks up only tonight's
+    new ``(vec_id, embedding)`` files; each new vector is flagged
+    against the persisted BUCKET INDEX (band-key candidates against
+    the stored (vec_id, band, bucket) table — the
+    embedding_bucket_index artifact — then the exact cogrouped cosine
+    rescore over only the touched stored vectors) AND against the
+    rest of tonight's batch (a band self-join, keep-first: the lower
+    vec_id of an intra-batch near-dup pair keeps, the higher drops).
+
+    The index has TWO legs, appended per batch under
+    ``{index}/bands/batch=<bkey>`` and ``{index}/vectors/batch=<bkey>``:
+    the bands leg is the three-skinny-column table the candidate join
+    scans (corpus vectors are never re-banded), the vectors leg is
+    read only to rescore touched candidates. Crash-replay safety as
+    in the text job: both writes are KEYED by the deterministic batch
+    id and overwritten, both reads EXCLUDE tonight's own partition
+    (a torn first-night write leaves bands without vectors — treated
+    as no-index, which the replay's overwrite then completes), and
+    the ledger commits LAST (sources/io.py protocol).
+
+    Returns (decisions DataFrame — vec_id, is_near_dup, keep — or
+    None when nothing is new, list of ingested files)."""
+    import hashlib
+    import os
+
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    bkey = "b" + hashlib.sha256(
+        "\n".join(sorted(files)).encode()
+    ).hexdigest()[:16]
+    dim = len(batch.select("embedding").first()[0])
+    # one batch-sized materialization each: the normalized vectors feed
+    # the rescores and the vectors-leg write; the band rows feed the
+    # intra-batch join, the index join and the bands-leg write
+    vnew = batch.select(
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
+    ).localCheckpoint()
+    bands_new = embedding_band_rows(
+        vnew, dim, band_bits, n_bands
+    ).localCheckpoint()
+
+    intra_cands = (
+        bands_new.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        .join(
+            bands_new.select(
+                F.col("vec_id").alias("vec_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    intra_hits = embedding_neardup_lsh(
+        vnew, dim, threshold, band_bits, n_bands, cands=intra_cands
+    )
+    # keep-first: the higher id of an intra-batch near-dup pair drops
+    near = intra_hits.select(F.col("vec_b").alias("vec_id"))
+
+    bands_dir = os.path.join(index_dir, "bands")
+    vecs_dir = os.path.join(index_dir, "vectors")
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        )
+
+    if _has_parquet(bands_dir) and _has_parquet(vecs_dir):
+        stored_bands = (
+            spark.read.parquet(bands_dir)
+            .where(F.col("batch") != F.lit(bkey))
+            .select("vec_id", "band", "bucket")
+        )
+        stored_vecs = (
+            spark.read.parquet(vecs_dir)
+            .where(F.col("batch") != F.lit(bkey))
+            .select("vec_id", "v")
+        )
+        cross_hits = embedding_incremental_hits(
+            vnew,
+            stored_vecs,
+            dim,
+            threshold,
+            band_bits,
+            n_bands,
+            corpus_bands=stored_bands,
+        )
+        near = near.unionByName(
+            cross_hits.select(F.col("vec_a").alias("vec_id"))
+        )
+
+    near = near.distinct().withColumn("is_near_dup", F.lit(True))
+    decisions = (
+        vnew.select("vec_id")
+        .join(near, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
+        .withColumn("keep", ~F.col("is_near_dup"))
+        .localCheckpoint()
+    )
+    bands_new.write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"batch={bkey}")
+    )
+    vnew.write.mode("overwrite").parquet(
+        os.path.join(vecs_dir, f"batch={bkey}")
+    )
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
 #: auto path selection: LSH only if its candidate-generation join
 #: volume undercuts brute-force scoring by ≥ 2× — the banding UDF, the
 #: pair distinct and the gather stages have to be paid for (SCALING.md

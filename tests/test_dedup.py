@@ -1089,3 +1089,126 @@ def test_bucket_index_margin():
             np.abs(np.cumsum(v * h, axis=1)[:, -1]).min() for h in hps
         )
         assert margin >= 1e-9, f"{os.path.dirname(path)}: margin {margin}"
+
+
+def _drop_vec_file(spark, tmp_path, src, name, rows):
+    """Stage a (vec_id, embedding) parquet file into the nightly src
+    dir (the vector twin of _drop_doc_file)."""
+    import os
+
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "vstage"))
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "vstage"))
+        if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "vstage" / part), os.path.join(src, name))
+
+
+def _axis(i, dim=8):
+    v = [0.0] * dim
+    v[i] = 1.0
+    return v
+
+
+def _near(i, dim=8):
+    v = _axis(i, dim)
+    v[(i + 1) % dim] = 0.04  # cosine vs _axis(i) ≈ 0.9992 — a near-dup
+    return v
+
+
+def test_nightly_embedding_two_nights(spark, tmp_path):
+    """Night 1 seeds both index legs; night 2 reads ONLY the new file,
+    flags the near-copy of a night-1 vector via the STORED bucket
+    index, keeps the novel vector, and the ledger makes a third run a
+    no-op. Index legs hold all four vectors afterwards."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet", [(1, _axis(0)), (2, _axis(1))]
+    )
+    d1, f1 = D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    assert len(f1) == 1
+    assert {r.vec_id: r.keep for r in d1.collect()} == {1: True, 2: True}
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n2.parquet", [(3, _near(0)), (4, _axis(2))]
+    )
+    d2, f2 = D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    assert {r.vec_id: r.keep for r in d2.collect()} == {3: False, 4: True}
+
+    d3, f3 = D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    assert d3 is None and f3 == []
+    assert spark.read.parquet(os.path.join(index, "vectors")).count() == 4
+    assert (
+        spark.read.parquet(os.path.join(index, "bands")).count()
+        == 4 * D.EMBED_LSH_BANDS
+    )
+
+
+def test_nightly_embedding_intra_batch_keep_first(spark, tmp_path):
+    """Two near-identical vectors arriving the SAME night: the lower
+    vec_id keeps, the higher is flagged — without the intra-batch band
+    self-join both would persist forever (the ledger never re-examines
+    their file)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_vec_file(
+        spark,
+        tmp_path,
+        src,
+        "n1.parquet",
+        [(1, _axis(0)), (2, _near(0)), (3, _axis(1))],
+    )
+    d1, _ = D.nightly_embedding_dedup_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert {r.vec_id: r.keep for r in d1.collect()} == {
+        1: True,
+        2: False,
+        3: True,
+    }
+
+
+def test_nightly_embedding_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the index writes and the ledger commit: the
+    replay must reproduce the SAME decisions (tonight's own persisted
+    partitions are excluded from both index legs — otherwise every
+    replayed vector self-matches at cosine 1 and flips keep→drop) and
+    must not duplicate index rows (writes are keyed by batch id and
+    overwrite)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_vec_file(
+        spark,
+        tmp_path,
+        src,
+        "n1.parquet",
+        [(1, _axis(0)), (2, _near(0)), (3, _axis(1))],
+    )
+    d1, _ = D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    first = {r.vec_id: (r.is_near_dup, r.keep) for r in d1.collect()}
+    n_bands = spark.read.parquet(os.path.join(index, "bands")).count()
+    n_vecs = spark.read.parquet(os.path.join(index, "vectors")).count()
+
+    shutil.rmtree(ledger)  # simulate: index written, ledger commit lost
+    d2, f2 = D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n1.parquet"]
+    assert {r.vec_id: (r.is_near_dup, r.keep) for r in d2.collect()} == first
+    assert spark.read.parquet(os.path.join(index, "bands")).count() == n_bands
+    assert spark.read.parquet(os.path.join(index, "vectors")).count() == n_vecs
