@@ -88,10 +88,18 @@ def main() -> None:
     # between identical runs, sustained for minutes); min-of-reps
     # measures the engine, not the neighbor, and three reps give each
     # query a fair chance of landing in a quiet window.
+    #
+    # An explicit JVM System.gc() before each timed attempt (round 8)
+    # moves major-GC stop-the-world pauses OUT of the timed region —
+    # the single-JVM 128 GiB heap accumulates garbage across the
+    # preceding queries, and a collection landing inside a sub-2 s
+    # query doubles its wall (the r7 idle A/B's dominant per-query
+    # noise mode). The gc call itself is untimed.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _rep in range(3):
         for name in names:
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             rows[name] = df.count()  # full materialization of the result

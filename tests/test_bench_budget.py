@@ -35,16 +35,23 @@ BUDGET_FACTOR = 3.0
 ABS_FLOOR_SEC = 1.0
 
 
+SF01 = "/root/testdata/sf0.1"
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SKIP_BENCH_BUDGET") == "1",
     reason="bench budget gate disabled via SPARK_GRAFT_SKIP_BENCH_BUDGET",
+)
+@pytest.mark.skipif(
+    not os.path.isdir(SF01),
+    reason=f"bench fixture {SF01} not present on this host (ADVICE r7)",
 )
 def test_headline_queries_within_budget():
     manifest = json.load(open(MANIFEST))
     assert manifest["sf"] == 0.1
     budget = manifest["queries"]
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF01)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -59,9 +66,17 @@ def test_headline_queries_within_budget():
     result = json.loads(lines[0])
 
     # every manifest query must still be a headline query (a silently
-    # dropped headline row would un-gate its plan)
+    # dropped headline row would un-gate its plan) ...
     missing = set(budget) - set(result["queries"])
     assert not missing, f"headline queries dropped from bench: {missing}"
+    # ... and every headline query must have a manifest entry (a newly
+    # added headline query is otherwise silently ungated until the
+    # manifest is regenerated — ADVICE r7)
+    unbudgeted = set(result["queries"]) - set(budget)
+    assert not unbudgeted, (
+        f"headline queries missing from the manifest — regenerate "
+        f"tools/bench_manifest_sf0.1.json: {unbudgeted}"
+    )
 
     over = {
         name: (wall, budget[name])
