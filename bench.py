@@ -67,6 +67,11 @@ HEADLINE = [
     "dedup_substring_strip",
     "parts_abc_revenue",
     "ann_pq_rerank_topk",
+    # round 8: the incremental-embedding serving path and its stored
+    # index artifact — the new nightly-cost surfaces, gated like any
+    # headline plan
+    "dedup_incremental_embedding",
+    "embedding_bucket_index",
 ]
 
 

@@ -6,15 +6,18 @@ relied on the external driver's round bench to notice a plan
 regression. This test runs the committed bench CLI exactly as the
 driver does (subprocess, sf0.1, local[$SPARK_GRAFT_CPUS]) and asserts
 every headline query lands within BUDGET_FACTOR x its manifest wall
-(tools/bench_manifest_sf0.1.json = the round-6 driver bench's
-min-of-3 walls), so a lost broadcast or a new global sort fails HERE
-before the driver sees it.
+(tools/bench_manifest_sf0.1.json = per-query minima across the
+round-8 gc'd idle A/B runs and the prior manifest), so a lost
+broadcast or a new global sort fails HERE before the driver sees it.
 
-Budget calibration: SCALING.md documents intermittent host-level
-noise spiking individual queries 2-6x between identical runs;
-bench.py's min-of-3 absorbs most of it, and the 3x factor plus a
-1-second absolute floor absorbs the rest (sub-second queries are all
-jitter). A genuine plan regression is an order of magnitude, not 3x.
+Budget calibration (round 8): bench.py's untimed System.gc() before
+each timed rep roughly halved the measured idle A/B noise band —
+total swing 34% -> 8.4%, worst per-query ratio 2.09x -> 1.56x, median
+1.30 -> 1.13 (SCALING.md round-8 table) — so the factor drops from
+the r7 3x to 2x per the calibration rule (worst legitimate excursion
+plus ~30% headroom). The 1-second absolute floor still covers
+sub-second queries, which remain mostly jitter. A genuine plan
+regression is an order of magnitude, not 2x.
 
 Opt out with SPARK_GRAFT_SKIP_BENCH_BUDGET=1 (e.g. while another
 Spark job owns the box — the walls would measure the neighbor).
@@ -31,7 +34,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, "tools", "bench_manifest_sf0.1.json")
-BUDGET_FACTOR = 3.0
+BUDGET_FACTOR = 2.0
 ABS_FLOOR_SEC = 1.0
 
 
