@@ -590,6 +590,28 @@ def ann_ivf_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF inverted FILE itself: ``(vec_id, cell, cosine)`` over
+    the whole corpus — the third leg of the IVF artifact story
+    (model = ann_ivf_centroids, file = THIS table, incremental append
+    = ann_ivf_assign_batch). This is the celled corpus ann_ivf's
+    probe equi-join scans; a write-side job persists it partitioned
+    by cell, and nightly batches extend it through the assign-batch
+    path without retraining. Hash-attested like the other stored
+    representations (the full quantized-Lloyd training CTEs plus one
+    quantized-dot argmax assignment pass in the oracle)."""
+    corpus, _queries, _dim = _table_corpus_queries(spark, sf_dir)
+    cents = ivf_centroids(corpus)
+    out = corpus.select(
+        "vec_id", _assign_struct(F.col("v"), cents).alias("a")
+    )
+    return out.select(
+        "vec_id",
+        F.col("a.cluster").alias("cell"),
+        (F.col("a.cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
 def _ivf_train_ctes(where_sql: str = "TRUE") -> str:
     """DuckDB mirror of ivf_centroids over the `embeddings` view:
     normalized corpus → md5-ordered sample (+ optional split filter)
@@ -658,11 +680,12 @@ def _ivf_centroids_oracle() -> str:
     """
 
 
-def _ivf_assign_batch_oracle() -> str:
+def _ivf_assign_sql(src_cte: str) -> str:
+    """Quantized-dot argmax assignment of `src_cte` (vec_id, v) rows
+    against the trained ivf_c{IVF_ITERS} centroids — the shared tail
+    of the inverted-file and assign-batch oracles."""
     q = ex.sql_quantize
-    mod = IVF_ASSIGN_BATCH_MOD
-    return _ivf_train_ctes(f"vec_id % {mod} <> 0") + f"""
-    , batch AS (SELECT vec_id, v FROM n WHERE vec_id % {mod} = 0)
+    return f"""
     SELECT vec_id, cell, cosine FROM (
       SELECT b.vec_id, CAST(cc.cell AS INT) AS cell,
              {q('list_dot_product(b.v, cc.c)', 6)} + 0.0 AS cosine,
@@ -671,9 +694,24 @@ def _ivf_assign_batch_oracle() -> str:
                ORDER BY {q('list_dot_product(b.v, cc.c)', 6)} DESC,
                         cc.cell ASC
              ) AS rn
-      FROM batch b CROSS JOIN ivf_c{IVF_ITERS} cc
+      FROM {src_cte} b CROSS JOIN ivf_c{IVF_ITERS} cc
     ) WHERE rn = 1
     """
+
+
+def _ivf_assign_batch_oracle() -> str:
+    mod = IVF_ASSIGN_BATCH_MOD
+    return (
+        _ivf_train_ctes(f"vec_id % {mod} <> 0")
+        + f"""
+    , batch AS (SELECT vec_id, v FROM n WHERE vec_id % {mod} = 0)
+    """
+        + _ivf_assign_sql("batch")
+    )
+
+
+def _ivf_cells_oracle() -> str:
+    return _ivf_train_ctes() + _ivf_assign_sql("n")
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,6 +1879,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_centroids": ann_ivf_centroids,
     "ann_ivf_assign_batch": ann_ivf_assign_batch,
+    "ann_ivf_cells": ann_ivf_cells,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
@@ -1859,6 +1898,7 @@ ORACLE = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_centroids": _ivf_centroids_oracle(),
     "ann_ivf_assign_batch": _ivf_assign_batch_oracle(),
+    "ann_ivf_cells": _ivf_cells_oracle(),
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,

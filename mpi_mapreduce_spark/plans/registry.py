@@ -125,21 +125,25 @@ DRIVER_CAP = 50
 #: after round 8 no query's newest green row predates round 5.
 #: - late additions, first as promised by the r7 window note (2):
 #:   dedup_incremental_embedding + its validate twin.
-#: - NEW this round (3): embedding_bucket_index (the stored LSH index
+#: - NEW this round (4): embedding_bucket_index (the stored LSH index
 #:   artifact, full sign-hyperplane oracle), ann_ivf_centroids (the
 #:   IVF quantizer artifact, full quantized-Lloyd training mirror),
 #:   ann_ivf_assign_batch (incremental cell assignment against the
-#:   stored quantizer).
+#:   stored quantizer), ann_ivf_cells (the inverted FILE — the celled
+#:   corpus ann_ivf's probe join scans).
 #: - re-attest of changed code (1): ann_ivf_topk — ivf_centroids
 #:   switched to the md5-sampled quantized training and _cell_expr to
 #:   the quantized argmax, so its plan and cell geometry changed.
 #: - rotation (37): the entire round-4 tier.
-#: - fillers (7): round-5 tier, changed-code adjacency + spread —
+#: - fillers (6): round-5 tier, changed-code adjacency + spread —
 #:   ann_pq_topk (similarity family, same file as the IVF rework),
 #:   dedup_ngram_jaccard + dedup_canonical_corpus +
 #:   pipeline_canonical_containment (the three heaviest dedup plans),
 #:   customer_name_fuzzy_pairs (watch-list: sf0.1 oracle near the
-#:   budget floor), window_topk_suppliers, q2_min_cost_supplier.
+#:   budget floor), window_topk_suppliers. (q2_min_cost_supplier was
+#:   the seventh filler until the late-added ann_ivf_cells claimed
+#:   its slot — new queries outrank discretionary fillers; q2's
+#:   newest green row is round 5, inside the freshness invariant.)
 _ROUND_PRIORITY = [
     # -- r7 late additions: attest first (2) --
     "dedup_incremental_embedding",
@@ -148,6 +152,7 @@ _ROUND_PRIORITY = [
     "embedding_bucket_index",
     "ann_ivf_centroids",
     "ann_ivf_assign_batch",
+    "ann_ivf_cells",
     # -- changed this round: re-attest (1) --
     "ann_ivf_topk",
     # -- rotation: newest green row is round 4 (37) --
@@ -195,7 +200,6 @@ _ROUND_PRIORITY = [
     "pipeline_canonical_containment",
     "customer_name_fuzzy_pairs",
     "window_topk_suppliers",
-    "q2_min_cost_supplier",
 ]
 # With this window every registered query's newest green driver row
 # will be round 5+ (r5:39 / r6:45 / r7:50 / r8:50 less overlaps —

@@ -555,3 +555,18 @@ def test_ivf_centroid_artifact_unit_norm_and_total(spark, sf_dir):
         assert set(comps) == set(range(64))
         norm = sum(v * v for v in comps.values()) ** 0.5
         assert abs(norm - 1.0) < 1e-3, f"cell {cell}: norm {norm}"
+
+
+def test_ivf_cells_total_and_deterministic(spark, sf_dir):
+    """The inverted-file artifact covers every corpus vector exactly
+    once, every cell id is a trained cell, the quantized cosine is a
+    valid unit-dot, and two builds agree row-for-row (no RNG anywhere
+    in training or assignment)."""
+    corpus, _queries, _dim = S._table_corpus_queries(spark, sf_dir)
+    a = {r.vec_id: (r.cell, r.cosine) for r in S.ann_ivf_cells(spark, sf_dir).collect()}
+    b = {r.vec_id: (r.cell, r.cosine) for r in S.ann_ivf_cells(spark, sf_dir).collect()}
+    assert a == b
+    assert len(a) == corpus.count()
+    for cell, cos in a.values():
+        assert 0 <= cell < S.IVF_CELLS
+        assert cos <= 1.000001
