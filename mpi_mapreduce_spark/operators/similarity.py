@@ -612,6 +612,84 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nightly_ivf_update(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    index_dir: str,
+    n_cells: int = IVF_CELLS,
+):
+    """The production nightly IVF maintenance job — the third leg of
+    the nightly composite family (text signatures:
+    dedup.nightly_dedup_update; embedding buckets:
+    dedup.nightly_embedding_dedup_update; IVF cells: this), so one
+    scheduler entry exists per index family:
+
+    - the ingest LEDGER picks up only tonight's new ``(vec_id,
+      embedding)`` files (sources/io.py protocol, commit LAST);
+    - the QUANTIZER is trained ONCE — the first night's batch is the
+      initial corpus — and persisted under ``{index}/centroids``;
+      every later night LOADS it and only assigns (production
+      retraining is a separate offline decision, not a nightly side
+      effect; parquet round-trips the float64 components exactly, so
+      loaded-vs-just-trained assignment is bit-identical);
+    - tonight's batch is assigned to its nearest stored centroid
+      (the ann_ivf_assign_batch math — _assign_struct's quantized-dot
+      argmax) and APPENDED to the inverted file under
+      ``{index}/cells/batch=<bkey>`` — batch-keyed overwrite, so a
+      crash between the cells write and the ledger commit replays
+      idempotently (first-night replay re-loads the already-persisted
+      centroids and overwrites the same partitions).
+
+    Returns (assignments DataFrame — vec_id, cell, cosine — or None
+    when nothing is new, list of ingested files)."""
+    import hashlib
+    import os
+
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    bkey = "b" + hashlib.sha256(
+        "\n".join(sorted(files)).encode()
+    ).hexdigest()[:16]
+    vnew = normalized_corpus(batch).localCheckpoint()
+
+    cent_dir = os.path.join(index_dir, "centroids")
+    cells_dir = os.path.join(index_dir, "cells")
+    have_cents = os.path.isdir(cent_dir) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(cent_dir)
+        for f in fs
+    )
+    if have_cents:
+        rows = spark.read.parquet(cent_dir).orderBy("cell").collect()
+        cents = [list(r.c) for r in rows]
+    else:
+        cents = ivf_centroids(vnew, n_cells)
+        spark.createDataFrame(
+            list(enumerate(cents)), "cell int, c array<double>"
+        ).write.mode("overwrite").parquet(cent_dir)
+    assigned = (
+        vnew.select("vec_id", _assign_struct(F.col("v"), cents).alias("a"))
+        .select(
+            "vec_id",
+            F.col("a.cluster").alias("cell"),
+            F.col("a.cosine").alias("cosine"),
+        )
+        .localCheckpoint()
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(cells_dir, f"batch={bkey}")
+    )
+    record_ingested(spark, ledger_dir, files)
+    return assigned, files
+
+
 def _ivf_train_ctes(where_sql: str = "TRUE") -> str:
     """DuckDB mirror of ivf_centroids over the `embeddings` view:
     normalized corpus → md5-ordered sample (+ optional split filter)

@@ -570,3 +570,106 @@ def test_ivf_cells_total_and_deterministic(spark, sf_dir):
     for cell, cos in a.values():
         assert 0 <= cell < S.IVF_CELLS
         assert cos <= 1.000001
+
+
+def _drop_vec_file(spark, tmp_path, src, name, rows):
+    """Stage a (vec_id, embedding) parquet file into the nightly src
+    dir (same helper shape as tests/test_dedup.py's)."""
+    import os
+
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "vstage"))
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "vstage"))
+        if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "vstage" / part), os.path.join(src, name))
+
+
+def _vec(i, dim=8, wiggle=0.0):
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    if wiggle:
+        v[(i + 1) % dim] = wiggle
+    return v
+
+
+def test_nightly_ivf_two_nights_trains_once(spark, tmp_path):
+    """Night 1 trains and persists the quantizer from the initial
+    batch; night 2 reads ONLY the new file and assigns it against the
+    STORED centroids — the centroid table is byte-stable across
+    nights (no silent retrain) and the inverted file accumulates both
+    batches; a third run is a no-op."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec(i)) for i in range(4)],
+    )
+    a1, f1 = S.nightly_ivf_update(spark, src, ledger, index)
+    assert len(f1) == 1 and a1.count() == 4
+    cents1 = sorted(
+        (r.cell, tuple(r.c))
+        for r in spark.read.parquet(os.path.join(index, "centroids")).collect()
+    )
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n2.parquet",
+        [(10 + i, _vec(i, wiggle=0.05)) for i in range(4)],
+    )
+    a2, f2 = S.nightly_ivf_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    got = {r.vec_id: r.cell for r in a2.collect()}
+    assert set(got) == {10, 11, 12, 13}
+    cents2 = sorted(
+        (r.cell, tuple(r.c))
+        for r in spark.read.parquet(os.path.join(index, "centroids")).collect()
+    )
+    assert cents2 == cents1, "night 2 must NOT retrain the quantizer"
+    # near-axis night-2 vectors land in their axis's cell: same cell
+    # as the corresponding night-1 exact-axis vector
+    n1 = {r.vec_id: r.cell for r in a1.collect()}
+    for i in range(4):
+        assert got[10 + i] == n1[i]
+
+    a3, f3 = S.nightly_ivf_update(spark, src, ledger, index)
+    assert a3 is None and f3 == []
+    assert spark.read.parquet(os.path.join(index, "cells")).count() == 8
+
+
+def test_nightly_ivf_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the cells write and the ledger commit: the replay
+    loads the already-persisted centroids (training is deterministic
+    AND skipped when the table exists), reproduces identical
+    assignments, and overwrites rather than duplicates the batch
+    partition."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec(i)) for i in range(5)],
+    )
+    a1, _ = S.nightly_ivf_update(spark, src, ledger, index)
+    first = {r.vec_id: (r.cell, r.cosine) for r in a1.collect()}
+    n_cells_rows = spark.read.parquet(os.path.join(index, "cells")).count()
+
+    shutil.rmtree(ledger)  # simulate: index written, ledger commit lost
+    a2, f2 = S.nightly_ivf_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n1.parquet"]
+    assert {r.vec_id: (r.cell, r.cosine) for r in a2.collect()} == first
+    assert (
+        spark.read.parquet(os.path.join(index, "cells")).count()
+        == n_cells_rows
+    )
