@@ -462,6 +462,49 @@ def time_incr_stored(scratch: str, mods: list[int]) -> None:
     spark.stop()
 
 
+def time_ivf_assign(scratch: str, mods: list[int]) -> None:
+    """IVF incremental-ingest serving shape (round 8): per split, time
+    the ONE-TIME quantizer training (bounded md5-ordered sample +
+    driver-side quantized Lloyd — nightly_ivf_update pays this on the
+    FIRST night only) separately from the nightly marginal cost: one
+    Arrow argmax pass assigning the batch to its nearest stored
+    centroid (the ann_ivf_assign_batch / inverted-file append path)."""
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.functions import vectors as VEC
+    from mpi_mapreduce_spark.operators import similarity as S
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    emb = load_table(spark, scratch, "embeddings").select(
+        "vec_id",
+        VEC.normalize_arrow(VEC.as_double(F.col("embedding"))).alias("v"),
+    )
+    emb.count()  # session warm-up, outside every timing
+    print("| mod | quantizer train (one-time) | batch assign wall | batch rows |")
+    for mod in mods:
+        stable = emb.where(F.col("vec_id") % mod != 0)
+        batch = emb.where(F.col("vec_id") % mod == 0)
+        t0 = time.perf_counter()
+        cents = S.ivf_centroids(stable)
+        train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = (
+            batch.select(
+                "vec_id", S._assign_struct(F.col("v"), cents).alias("a")
+            )
+            .select("vec_id", F.col("a.cluster").alias("cell"))
+            .count()
+        )
+        assign = time.perf_counter() - t0
+        print(
+            f"| {mod} | {train:.1f} s | {assign:.1f} s |  # {n} rows",
+            flush=True,
+        )
+    spark.stop()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if mode == "gen":
@@ -485,6 +528,10 @@ def main() -> None:
         mods = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
         time_incr_stored(scratch, mods)
+    elif mode == "time-ivf-assign":
+        mods = [int(m) for m in sys.argv[2].split(",")]
+        scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
+        time_ivf_assign(scratch, mods)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
