@@ -679,12 +679,9 @@ def nightly_dedup_update(
         .select(F.col("doc_b").alias("doc_id"))
     )
 
-    have_index = os.path.isdir(index_dir) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(index_dir)
-        for f in fs
-    )
-    if have_index:
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    if has_committed_parquet(index_dir):
         # exclude tonight's own partition: on a crash replay the batch's
         # signatures are already persisted under this bkey
         sig_old = (
@@ -2033,7 +2030,21 @@ def nightly_embedding_dedup_update(
     bkey = "b" + hashlib.sha256(
         "\n".join(sorted(files)).encode()
     ).hexdigest()[:16]
-    dim = len(batch.select("embedding").first()[0])
+    first_row = batch.select("embedding").first()
+    if first_row is None:
+        # a valid-but-empty file (quiet upstream night): nothing to
+        # band or flag — commit the ledger so the file is consumed
+        # instead of crashing and poisoning every later run (round-8
+        # review finding), and skip the index appends entirely
+        decisions = (
+            batch.select("vec_id")
+            .withColumn("is_near_dup", F.lit(False))
+            .withColumn("keep", F.lit(True))
+            .localCheckpoint()
+        )
+        record_ingested(spark, ledger_dir, files)
+        return decisions, files
+    dim = len(first_row[0])
     # one batch-sized materialization each: the normalized vectors feed
     # the rescores and the vectors-leg write; the band rows feed the
     # intra-batch join, the index join and the bands-leg write
@@ -2066,12 +2077,9 @@ def nightly_embedding_dedup_update(
     bands_dir = os.path.join(index_dir, "bands")
     vecs_dir = os.path.join(index_dir, "vectors")
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
-        )
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
 
-    if _has_parquet(bands_dir) and _has_parquet(vecs_dir):
+    if has_committed_parquet(bands_dir) and has_committed_parquet(vecs_dir):
         stored_bands = (
             spark.read.parquet(bands_dir)
             .where(F.col("batch") != F.lit(bkey))

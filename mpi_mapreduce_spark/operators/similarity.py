@@ -261,40 +261,12 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = IVF_CELLS) -> list[list[floa
 
 def _cell_expr(vec_col: F.Column, cents: list[list[float]]) -> F.Column:
     """argmax_c quantize6(v · centroid_c) — nearest cell for unit
-    vectors, ties to the lowest cell: the SAME total order
-    _assign_struct and the ann_ivf_centroids oracle use, so the
-    inverted file, the serving assignment (ann_ivf_assign_batch) and
-    the validation recompute share one assignment function.
-    Arrow-batched; the centroid matrix ships inside the UDF closure
-    (a broadcast variable in cluster terms)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("int")
-    def _cell(xs):
-        import numpy as np
-        import pandas as pd
-
-        if len(xs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.vstack(xs.to_numpy())
-        c = np.asarray(cents, dtype=np.float64)
-        dots = np.stack(
-            [np.cumsum(m * c[j], axis=1)[:, -1] for j in range(len(c))],
-            axis=1,
-        )
-        # half-away quantize inlined (module fns don't pickle to
-        # foreign workers — see the verify-skill cloudpickle gotcha)
-        q = (
-            np.where(
-                dots >= 0,
-                np.floor(dots * 1e6 + 0.5),
-                np.ceil(dots * 1e6 - 0.5),
-            )
-            / 1e6
-        )
-        return pd.Series(np.argmax(q, axis=1).astype(np.int32))
-
-    return _cell(vec_col)
+    vectors, ties to the lowest cell. Literally _assign_struct's
+    cluster field (ONE assignment UDF body, not a hand-synced twin —
+    round-8 review finding), so the inverted file, the serving
+    assignment (ann_ivf_assign_batch / ann_ivf_cells) and the
+    validation recompute cannot fork their cell geometry."""
+    return _assign_struct(vec_col, cents)["cluster"]
 
 
 def _probe_cells_expr(vec_col: F.Column, cents: list[list[float]], nprobe: int) -> F.Column:
@@ -658,15 +630,23 @@ def nightly_ivf_update(
         "\n".join(sorted(files)).encode()
     ).hexdigest()[:16]
     vnew = normalized_corpus(batch).localCheckpoint()
+    if vnew.first() is None:
+        # a valid-but-empty file: nothing to train on or assign —
+        # commit the ledger so the file is consumed (not a permanent
+        # poison file), leave the quantizer and inverted file alone
+        assigned = vnew.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0.0).alias("cosine"),
+        ).localCheckpoint()
+        record_ingested(spark, ledger_dir, files)
+        return assigned, files
 
     cent_dir = os.path.join(index_dir, "centroids")
     cells_dir = os.path.join(index_dir, "cells")
-    have_cents = os.path.isdir(cent_dir) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(cent_dir)
-        for f in fs
-    )
-    if have_cents:
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    if has_committed_parquet(cent_dir):
         rows = spark.read.parquet(cent_dir).orderBy("cell").collect()
         cents = [list(r.c) for r in rows]
     else:

@@ -148,7 +148,7 @@ _ROUND_PRIORITY = [
     # -- r7 late additions: attest first (2) --
     "dedup_incremental_embedding",
     "dedup_incremental_embedding_validate",
-    # -- new this round (3) --
+    # -- new this round (4) --
     "embedding_bucket_index",
     "ann_ivf_centroids",
     "ann_ivf_assign_batch",
@@ -193,7 +193,7 @@ _ROUND_PRIORITY = [
     "multimodal_audio_decimate",
     "multimodal_pixel_histogram",
     "parts_abc_revenue",
-    # -- fillers: round-5 tier, adjacency + spread (7) --
+    # -- fillers: round-5 tier, adjacency + spread (6) --
     "ann_pq_topk",
     "dedup_ngram_jaccard",
     "dedup_canonical_corpus",

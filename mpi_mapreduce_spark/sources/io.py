@@ -319,6 +319,31 @@ def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 #: ledger row layout: which source files have been ingested (path is
 #: the identity; size pins against in-place rewrites)
+def has_committed_parquet(d: str) -> bool:
+    """True iff `d` contains at least one COMMITTED parquet file.
+
+    Files under '_'-prefixed directories (Spark's in-flight
+    ``_temporary`` task attempts) do not count — Spark's reader
+    ignores them too, so a naive os.walk census that counts them
+    makes a crash replay treat a TORN write as a readable table and
+    die with UNABLE_TO_INFER_SCHEMA on every retry instead of
+    treating the directory as absent (round-8 review finding,
+    reproduced: kill the driver mid-write, replay forever fails
+    until someone hand-deletes ``_temporary``). Shared by all three
+    nightly index-maintenance jobs."""
+    import os
+
+    if not os.path.isdir(d):
+        return False
+    for _root, dirs, fs in os.walk(d):
+        dirs[:] = [x for x in dirs if not x.startswith("_")]
+        if any(
+            f.endswith(".parquet") and not f.startswith("_") for f in fs
+        ):
+            return True
+    return False
+
+
 LEDGER_SCHEMA = "file_path string, file_size long"
 
 

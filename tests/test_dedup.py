@@ -1091,32 +1091,19 @@ def test_bucket_index_margin():
         assert margin >= 1e-9, f"{os.path.dirname(path)}: margin {margin}"
 
 
-def _drop_vec_file(spark, tmp_path, src, name, rows):
-    """Stage a (vec_id, embedding) parquet file into the nightly src
-    dir (the vector twin of _drop_doc_file)."""
-    import os
+from tests.conftest import axis_vec, drop_vec_file
 
-    spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "vstage"))
-    part = next(
-        f
-        for f in os.listdir(str(tmp_path / "vstage"))
-        if f.endswith(".parquet")
-    )
-    os.replace(str(tmp_path / "vstage" / part), os.path.join(src, name))
+
+def _drop_vec_file(spark, tmp_path, src, name, rows):
+    return drop_vec_file(spark, tmp_path, src, name, rows)
 
 
 def _axis(i, dim=8):
-    v = [0.0] * dim
-    v[i] = 1.0
-    return v
+    return axis_vec(i, dim)
 
 
 def _near(i, dim=8):
-    v = _axis(i, dim)
-    v[(i + 1) % dim] = 0.04  # cosine vs _axis(i) ≈ 0.9992 — a near-dup
-    return v
+    return axis_vec(i, dim, wiggle=0.04)
 
 
 def test_nightly_embedding_two_nights(spark, tmp_path):
@@ -1212,3 +1199,29 @@ def test_nightly_embedding_crash_replay_idempotent(spark, tmp_path):
     assert {r.vec_id: (r.is_near_dup, r.keep) for r in d2.collect()} == first
     assert spark.read.parquet(os.path.join(index, "bands")).count() == n_bands
     assert spark.read.parquet(os.path.join(index, "vectors")).count() == n_vecs
+
+
+def test_nightly_embedding_empty_file_is_consumed(spark, tmp_path):
+    """Round-8 review regression: a valid zero-row vector file must be
+    consumed (ledger committed, empty decisions) instead of crashing
+    on the dim probe and poisoning every later run."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_vec_file(spark, tmp_path, src, "empty.parquet", [])
+    d1, f1 = D.nightly_embedding_dedup_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert [os.path.basename(f) for f in f1] == ["empty.parquet"]
+    assert d1.count() == 0
+    d2, f2 = D.nightly_embedding_dedup_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert d2 is None and f2 == []
+    # a later real night still works (no index legs were written)
+    _drop_vec_file(spark, tmp_path, src, "n1.parquet", [(1, _axis(0))])
+    d3, _ = D.nightly_embedding_dedup_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert {r.vec_id: r.keep for r in d3.collect()} == {1: True}

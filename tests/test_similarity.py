@@ -572,28 +572,8 @@ def test_ivf_cells_total_and_deterministic(spark, sf_dir):
         assert cos <= 1.000001
 
 
-def _drop_vec_file(spark, tmp_path, src, name, rows):
-    """Stage a (vec_id, embedding) parquet file into the nightly src
-    dir (same helper shape as tests/test_dedup.py's)."""
-    import os
-
-    spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "vstage"))
-    part = next(
-        f
-        for f in os.listdir(str(tmp_path / "vstage"))
-        if f.endswith(".parquet")
-    )
-    os.replace(str(tmp_path / "vstage" / part), os.path.join(src, name))
-
-
-def _vec(i, dim=8, wiggle=0.0):
-    v = [0.0] * dim
-    v[i % dim] = 1.0
-    if wiggle:
-        v[(i + 1) % dim] = wiggle
-    return v
+from tests.conftest import axis_vec as _vec
+from tests.conftest import drop_vec_file as _drop_vec_file
 
 
 def test_nightly_ivf_two_nights_trains_once(spark, tmp_path):
@@ -673,3 +653,27 @@ def test_nightly_ivf_crash_replay_idempotent(spark, tmp_path):
         spark.read.parquet(os.path.join(index, "cells")).count()
         == n_cells_rows
     )
+
+
+def test_nightly_ivf_empty_file_is_consumed(spark, tmp_path):
+    """Round-8 review regression (IVF leg): a zero-row file commits
+    the ledger without training a quantizer; the first REAL night
+    then trains as if it were night one."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_vec_file(spark, tmp_path, src, "empty.parquet", [])
+    a1, f1 = S.nightly_ivf_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert [os.path.basename(f) for f in f1] == ["empty.parquet"]
+    assert a1.count() == 0
+    assert not os.path.isdir(os.path.join(str(tmp_path / "index"), "centroids"))
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet", [(i, _vec(i)) for i in range(3)]
+    )
+    a2, _ = S.nightly_ivf_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert a2.count() == 3

@@ -374,3 +374,24 @@ def test_incremental_ingest_ledger(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="rewritten in place"):
         ingest_incremental(spark, src, ledger)
+
+
+def test_has_committed_parquet_ignores_temporary(tmp_path):
+    """Round-8 review regression: a TORN Spark write (only
+    _temporary task attempts on disk) must read as 'no committed
+    table' — Spark's reader ignores underscore dirs, so counting them
+    made nightly crash replays die with UNABLE_TO_INFER_SCHEMA
+    forever."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    d = str(tmp_path / "idx")
+    assert not has_committed_parquet(d)  # absent
+    os.makedirs(os.path.join(d, "_temporary", "0"))
+    open(os.path.join(d, "_temporary", "0", "part-0.snappy.parquet"), "w").close()
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert not has_committed_parquet(d)  # torn: only in-flight files
+    os.makedirs(os.path.join(d, "batch=b1"))
+    open(os.path.join(d, "batch=b1", "part-0.snappy.parquet"), "w").close()
+    assert has_committed_parquet(d)  # committed file present
