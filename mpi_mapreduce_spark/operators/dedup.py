@@ -2124,6 +2124,89 @@ def nightly_embedding_dedup_update(
     return decisions, files
 
 
+def embedding_index_integrity(
+    spark: SparkSession,
+    index_dir: str,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """DQ audit over a persisted embedding dedup index (the
+    bands + vectors legs nightly_embedding_dedup_update maintains) —
+    the stored-index analog of dq.py's table audits, because at 100 TB
+    the index IS a production table that rots like any other
+    (partial restores, manual surgery, a writer bug):
+
+    one row of violation counters —
+    - ``n_vectors`` / ``n_band_rows``: leg sizes;
+    - ``n_orphan_band_rows``: band rows whose vec_id has no stored
+      vector (broken referential integrity — candidates would join
+      against vectors the rescore can't fetch);
+    - ``n_incomplete_vectors``: stored vectors with != n_bands band
+      rows (partial banding — silent recall loss for those vectors);
+    - ``n_stale_band_rows``: band rows that DISAGREE with the bucket
+      recomputed from the stored vector (e.g. the index predates a
+      banding-constant change — silent wrong-bucket candidates).
+
+    A clean index reads (n, n·L, 0, 0, 0). Every check is an
+    equi-join or grouped count over the two legs — no pairwise term,
+    linear at any corpus size; the recompute reuses the registered
+    embedding_band_rows arithmetic so 'stale' means 'would not be
+    rebuilt bit-identically today'. Returned as ONE lazy plan (a
+    tagged union of the violation frames under a conditional
+    aggregate), not driver-side counts."""
+    import os
+
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        "vec_id", "v"
+    )
+    bands = spark.read.parquet(os.path.join(index_dir, "bands")).select(
+        "vec_id", "band", "bucket"
+    )
+    dim = len(vecs.select("v").first()[0])
+    recomputed = embedding_band_rows(vecs, dim, band_bits, n_bands).select(
+        "vec_id",
+        F.col("band").alias("r_band"),
+        F.col("bucket").alias("r_bucket"),
+    )
+    orphans = bands.join(vecs.select("vec_id"), "vec_id", "left_anti")
+    incomplete = (
+        vecs.select("vec_id")
+        .join(bands.groupBy("vec_id").count(), "vec_id", "left")
+        .where(F.coalesce(F.col("count"), F.lit(0)) != F.lit(n_bands))
+    )
+    stale = bands.join(
+        recomputed,
+        (bands.vec_id == recomputed.vec_id)
+        & (bands.band == recomputed.r_band)
+        & (bands.bucket == recomputed.r_bucket),
+        "left_anti",
+    ).join(vecs.select("vec_id"), "vec_id", "left_semi")
+
+    def _tag(df: DataFrame, k: str) -> DataFrame:
+        return df.select(F.lit(k).alias("k"))
+
+    tagged = (
+        _tag(vecs, "n_vectors")
+        .unionByName(_tag(bands, "n_band_rows"))
+        .unionByName(_tag(orphans, "n_orphan_band_rows"))
+        .unionByName(_tag(incomplete, "n_incomplete_vectors"))
+        .unionByName(_tag(stale, "n_stale_band_rows"))
+    )
+    counters = [
+        "n_vectors",
+        "n_band_rows",
+        "n_orphan_band_rows",
+        "n_incomplete_vectors",
+        "n_stale_band_rows",
+    ]
+    return tagged.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("k") == c, 1).otherwise(0)).alias(c)
+            for c in counters
+        ]
+    )
+
+
 #: auto path selection: LSH only if its candidate-generation join
 #: volume undercuts brute-force scoring by ≥ 2× — the banding UDF, the
 #: pair distinct and the gather stages have to be paid for (SCALING.md

@@ -1225,3 +1225,57 @@ def test_nightly_embedding_empty_file_is_consumed(spark, tmp_path):
         spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
     )
     assert {r.vec_id: r.keep for r in d3.collect()} == {1: True}
+
+
+def test_embedding_index_integrity_clean_and_corrupted(spark, tmp_path):
+    """The stored-index DQ audit: a two-night nightly index reads
+    clean (n, n·L, 0, 0, 0); planting an orphan band row and a
+    wrong-bucket row for a real vector trips exactly the orphan,
+    incomplete and stale counters."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet", [(1, _axis(0)), (2, _axis(1))]
+    )
+    D.nightly_embedding_dedup_update(spark, src, ledger, index)
+    _drop_vec_file(
+        spark, tmp_path, src, "n2.parquet", [(3, _near(0)), (4, _axis(2))]
+    )
+    D.nightly_embedding_dedup_update(spark, src, ledger, index)
+
+    L = D.EMBED_LSH_BANDS
+    clean = D.embedding_index_integrity(spark, index).collect()[0]
+    assert (
+        clean.n_vectors,
+        clean.n_band_rows,
+        clean.n_orphan_band_rows,
+        clean.n_incomplete_vectors,
+        clean.n_stale_band_rows,
+    ) == (4, 4 * L, 0, 0, 0)
+
+    # corruption: one orphan row (vec 999 has no stored vector) and
+    # one wrong-bucket row for real vec 1 (stale + makes it L+1 rows)
+    good = spark.read.parquet(os.path.join(index, "bands")).where(
+        (F.col("vec_id") == 1) & (F.col("band") == 0)
+    ).collect()[0]
+    spark.createDataFrame(
+        [
+            (999, 0, 0),
+            (1, 0, (good.bucket + 1) % (1 << D.EMBED_LSH_BAND_BITS)),
+        ],
+        "vec_id long, band int, bucket int",
+    ).write.mode("overwrite").parquet(
+        os.path.join(index, "bands", "batch=bcorrupt")
+    )
+    bad = D.embedding_index_integrity(spark, index).collect()[0]
+    assert (
+        bad.n_vectors,
+        bad.n_band_rows,
+        bad.n_orphan_band_rows,
+        bad.n_incomplete_vectors,
+        bad.n_stale_band_rows,
+    ) == (4, 4 * L + 2, 1, 1, 1)
