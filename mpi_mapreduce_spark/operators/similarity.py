@@ -146,15 +146,28 @@ def ann_lsh(
     dim: int,
     k: int = TOP_K,
     probe_bits: int = LSH_PROBE_BITS_DEFAULT,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket the corpus once, probe each query's
     bucket plus every neighbor within ``probe_bits`` bit flips
     (multiprobe), exact-rescore only the touched candidates via a
     shuffle equi-join on bucket id. The registered query keeps the
     1-bit default (recall/wall trade measured at 100k — SCALING.md);
-    ``probe_bits=2`` is the serving knob for recall-critical batches."""
+    ``probe_bits=2`` is the serving knob for recall-critical batches.
+
+    ``corpus_buckets`` is the STORED index path (round 8, same
+    contract as the IVF and embedding-dedup families): pass the
+    persisted ``(vec_id, bucket)`` table — the ann_lsh_bucket_table
+    artifact — and the corpus is never re-bucketed; vectors rejoin
+    per-id for the rescore. Stored-vs-recomputed output equality is
+    pinned in tests/test_similarity.py."""
     dot = VEC.dot_arrow(F.col("qv"), F.col("v"))
-    bucketed = corpus.withColumn("bucket", bucket_expr(F.col("v"), dim))
+    if corpus_buckets is None:
+        bucketed = corpus.withColumn("bucket", bucket_expr(F.col("v"), dim))
+    else:
+        bucketed = corpus_buckets.select("vec_id", "bucket").join(
+            corpus, "vec_id"
+        )
     qb = queries.withColumn("qbucket", bucket_expr(F.col("qv"), dim))
     probes = F.array(
         *[
@@ -179,6 +192,51 @@ def ann_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ann_lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-LSH bucket index ARTIFACT: ``(vec_id, bucket)`` over
+    the whole corpus — the stored table ann_lsh's probe join scans
+    when serving (``corpus_buckets``), completing the stored-index
+    symmetry across all three search/dedup families (IVF: centroids/
+    cells/assign-batch; embedding dedup: embedding_bucket_index; this
+    is the ANN-LSH leg). Fully oracle-checked via the same inlined
+    sign-hyperplane mirror as embedding_bucket_index (single
+    LSH_BITS-bit band; the sign-boundary margin of these hyperplanes
+    is pinned alongside the banding ones in
+    tests/test_dedup.py::test_bucket_index_margin)."""
+    corpus, _queries, dim = _table_corpus_queries(spark, sf_dir)
+    return corpus.select(
+        "vec_id", bucket_expr(F.col("v"), dim).alias("bucket")
+    )
+
+
+def _lsh_bucket_table_oracle() -> str:
+    hps = _hyperplanes(64)
+    rows = []
+    for j, h in enumerate(hps):
+        lit = "[" + ", ".join(f"'{float(x)!r}'" for x in h) + "]::DOUBLE[]"
+        rows.append(f"({j}, {lit})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             CASE WHEN list_dot_product(e, e) > 0
+                  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                  ELSE e END AS v
+      FROM raw
+    ), hp(j, h) AS (VALUES
+        {values}
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v, h) > 0
+                         THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+    FROM n CROSS JOIN hp
+    GROUP BY vec_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1938,6 +1996,7 @@ QUERIES = {
     "ann_ivf_centroids": ann_ivf_centroids,
     "ann_ivf_assign_batch": ann_ivf_assign_batch,
     "ann_ivf_cells": ann_ivf_cells,
+    "ann_lsh_bucket_table": ann_lsh_bucket_table,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
@@ -1957,6 +2016,7 @@ ORACLE = {
     "ann_ivf_centroids": _ivf_centroids_oracle(),
     "ann_ivf_assign_batch": _ivf_assign_batch_oracle(),
     "ann_ivf_cells": _ivf_cells_oracle(),
+    "ann_lsh_bucket_table": _lsh_bucket_table_oracle(),
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,

@@ -1074,7 +1074,11 @@ def test_bucket_index_margin():
     import duckdb
     import numpy as np
 
-    hps = D._band_hyperplanes(64, D.EMBED_LSH_BAND_BITS, D.EMBED_LSH_BANDS)
+    from mpi_mapreduce_spark.operators import similarity as SIM
+
+    hps = list(
+        D._band_hyperplanes(64, D.EMBED_LSH_BAND_BITS, D.EMBED_LSH_BANDS)
+    ) + [__import__("numpy").asarray(h) for h in SIM._hyperplanes(64)]
     sfs = sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
     assert sfs, "no embedding fixtures found"
     for path in sfs:

@@ -677,3 +677,29 @@ def test_nightly_ivf_empty_file_is_consumed(spark, tmp_path):
         spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
     )
     assert a2.count() == 3
+
+
+def test_ann_lsh_stored_buckets_match_recomputed(spark, sf_dir):
+    """Stored-index serving contract for the ANN-LSH leg: running
+    ann_lsh against the persisted ann_lsh_bucket_table artifact
+    yields EXACTLY the rows of the re-bucketing path, and the
+    artifact equals the inline bucketing."""
+    corpus, queries, dim = S._table_corpus_queries(spark, sf_dir)
+    stored = S.ann_lsh_bucket_table(spark, sf_dir)
+    inline = corpus.select(
+        "vec_id", S.bucket_expr(F.col("v"), dim).alias("bucket")
+    )
+    assert {(r.vec_id, r.bucket) for r in stored.collect()} == {
+        (r.vec_id, r.bucket) for r in inline.collect()
+    }
+    via_stored = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in S.ann_lsh(
+            corpus, queries, dim, corpus_buckets=stored
+        ).collect()
+    }
+    recomputed = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in S.ann_lsh(corpus, queries, dim).collect()
+    }
+    assert via_stored == recomputed and len(recomputed) > 0
