@@ -730,6 +730,226 @@ def nightly_dedup_update(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership screen — the O(1)-memory incremental pre-pass
+# ---------------------------------------------------------------------------
+
+#: m — filter size in bits. 2^16 here (2048 packed words ≈ 16 KiB);
+#: at 100 TB the same construction scales m with the corpus (1e10
+#: keys at 10 bits/key ≈ 12 GiB = ~4e8 word rows — a table PARTITIONED
+#: BY word range that the screen equi-joins, never a driver object).
+BLOOM_BITS = 1 << 16
+
+#: bits packed per BIGINT word. 32 keeps every shift result strictly
+#: positive in BOTH engines (bit 63 of a BIGINT flips the sign in
+#: Spark and overflows DuckDB's checked <<), so the packed words
+#: hash-compare across engines with no sign gymnastics.
+BLOOM_WORD_BITS = 32
+
+#: k — hash probes per key, double-hashing h1 + i·h2 (Kirsch &
+#: Mitzenmacher 2006: two base hashes simulate k independent ones
+#: with no loss in the asymptotic false-positive rate).
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """The k bit positions of ``key`` — pure md5 arithmetic, computed
+    IDENTICALLY by Spark and DuckDB (the repo's cross-engine hash
+    convention, similarity.py's md5-ordered IVF sample precedent):
+    h1/h2 are the two 60-bit halves of md5(key); position i is
+    (h1 + i·h2) mod m. 60-bit halves + i ≤ 3 stay far below 2^63,
+    so the arithmetic never overflows in either engine."""
+    h1 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 17, 15), 16, 10).cast("long")
+    return [
+        (h1 + F.lit(i) * h2) % F.lit(BLOOM_BITS)
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str = "text") -> DataFrame:
+    """Build the packed Bloom filter table ``(word, bits)`` over a key
+    column — the stored ARTIFACT of this family.
+
+    Scale shape: explode each key into its k positions, then a single
+    bit_or groupBy packs them into words. bit_or is idempotent,
+    commutative and associative, so partial aggregation collapses each
+    map partition to ≤ m/32 rows before the shuffle — the shuffle
+    carries at most (partitions × live words) rows regardless of key
+    count. The same property makes SHARD MERGE free: filters built
+    over disjoint shards union to the corpus filter by one more
+    bit_or groupBy (pytest-pinned), which is how 1000 executors build
+    a 100 TB filter with no global pass."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos")
+    )
+    return pos.groupBy(
+        F.floor(F.col("pos") / F.lit(BLOOM_WORD_BITS))
+        .cast("long")
+        .alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            )
+        ).alias("bits")
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """OR-merge a union of per-shard filter tables into one filter:
+    the mergeable-sketch identity (HLL union / histogram sum analog)
+    for membership. merge(build(A) ∪ build(B)) ≡ build(A ∪ B)."""
+    return filters.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_screen(
+    batch: DataFrame, bloom: DataFrame, key_col: str = "text"
+) -> DataFrame:
+    """Membership screen: per batch row, ``bloom_seen`` = all k probed
+    bits set. One equi-join on word id — the batch side carries
+    k rows per key, the filter side is the stored table; no text
+    moves, no corpus scan. Guarantee: NO false negatives (a key whose
+    bits were all set at build time always reports seen); false
+    positives at rate ≈ (1 - e^{-kn/m})^k are the price, which is why
+    this is the PRE-pass in front of the exact incremental join, not
+    a replacement for it."""
+    probes = batch.select(
+        "doc_id",
+        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / F.lit(BLOOM_WORD_BITS))
+        .cast("long")
+        .alias("word"),
+        (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+    )
+    hits = probes.join(bloom, "word", "left").select(
+        "doc_id",
+        F.expr(
+            "CAST((shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) & 1)"
+            " = 1 AS INT)"
+        ).alias("hit"),
+    )
+    return hits.groupBy("doc_id").agg(
+        (F.min("hit") == 1).alias("bloom_seen")
+    )
+
+
+def dedup_bloom_filter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ARTIFACT query: the packed ``(word, bits)`` Bloom
+    filter over the historical corpus (the non-batch side of the
+    standing INCR_BATCH_MOD split) — the table a nightly ingest loads
+    to screen tonight's batch before paying the exact join. Fully
+    hash-attested: the md5 double-hashing and the 32-bit word packing
+    are mirrored literally in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return bloom_build(corpus)
+
+
+def dedup_incremental_bloom(
+    spark: SparkSession, sf_dir: str, bloom: DataFrame | None = None
+) -> DataFrame:
+    """Registered screen query: tonight's batch (every
+    INCR_BATCH_MOD-th doc) tested against the corpus Bloom filter,
+    alongside ground truth so the filter's contract is attested in
+    the output itself: ``bloom_seen`` (the k-probe verdict),
+    ``in_corpus`` (exact membership via the compound-key semi join),
+    and ``is_fp`` (= bloom_seen ∧ ¬in_corpus, the bounded price).
+    No-false-negative (in_corpus ⇒ bloom_seen) holds row-for-row in
+    the hash-compared output. Pass ``bloom`` to serve from the STORED
+    dedup_bloom_filter_table artifact instead of rebuilding
+    (stored-vs-recomputed equality pytest-pinned, same contract as
+    the ANN-LSH / IVF / embedding-index stored paths)."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    if bloom is None:
+        bloom = bloom_build(corpus)
+    seen = bloom_screen(batch, bloom)
+    exact = (
+        batch.withColumn("h", F.xxhash64("text"))
+        .join(
+            corpus.select(F.xxhash64("text").alias("h"), "text").distinct(),
+            ["h", "text"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("in_corpus", F.lit(True))
+    )
+    return (
+        seen.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_seen",
+            F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"),
+        )
+        .withColumn(
+            "is_fp", F.col("bloom_seen") & ~F.col("in_corpus")
+        )
+    )
+
+
+_BLOOM_CTE = f"""
+    WITH corpus AS (
+      SELECT DISTINCT text FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ), ch AS (
+      SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(text), 17, 15))::BIGINT AS h2
+      FROM corpus
+    ), cpos AS (
+      SELECT (h1 + i * h2) % {BLOOM_BITS} AS pos
+      FROM ch CROSS JOIN (
+        SELECT unnest(range({BLOOM_HASHES})) AS i
+      )
+    ), bloom AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS bits
+      FROM cpos GROUP BY 1
+    )
+"""
+
+ORACLE_BLOOM_FILTER_TABLE = _BLOOM_CTE + """
+    SELECT word, bits FROM bloom
+"""
+
+ORACLE_INCREMENTAL_BLOOM = _BLOOM_CTE + f"""
+    , batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ), bh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(text), 17, 15))::BIGINT AS h2
+      FROM batch
+    ), bprobe AS (
+      SELECT doc_id, (h1 + i * h2) % {BLOOM_BITS} AS pos
+      FROM bh CROSS JOIN (
+        SELECT unnest(range({BLOOM_HASHES})) AS i
+      )
+    ), hits AS (
+      SELECT p.doc_id,
+             CASE WHEN b.bits IS NOT NULL
+                   AND ((b.bits >> (p.pos % {BLOOM_WORD_BITS})::INT) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM bprobe p
+      LEFT JOIN bloom b ON p.pos // {BLOOM_WORD_BITS} = b.word
+    ), seen AS (
+      SELECT doc_id, MIN(hit) = 1 AS bloom_seen FROM hits GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.bloom_seen,
+           EXISTS (SELECT 1 FROM corpus c
+                   WHERE c.text = (SELECT text FROM batch b2
+                                   WHERE b2.doc_id = s.doc_id)) AS in_corpus,
+           s.bloom_seen AND NOT EXISTS
+             (SELECT 1 FROM corpus c
+              WHERE c.text = (SELECT text FROM batch b2
+                              WHERE b2.doc_id = s.doc_id)) AS is_fp
+    FROM seen s
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH — the scale path
 # ---------------------------------------------------------------------------
 
@@ -3331,6 +3551,8 @@ QUERIES = {
     "dedup_incremental_minhash_validate": dedup_incremental_minhash_validate,
     "dedup_incremental_embedding": dedup_incremental_embedding,
     "dedup_incremental_embedding_validate": dedup_incremental_embedding_validate,
+    "dedup_bloom_filter_table": dedup_bloom_filter_table,
+    "dedup_incremental_bloom": dedup_incremental_bloom,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
@@ -3375,6 +3597,8 @@ ORACLE = {
     "dedup_incremental_embedding_validate": (
         ORACLE_INCREMENTAL_EMBEDDING_VALIDATE
     ),
+    "dedup_bloom_filter_table": ORACLE_BLOOM_FILTER_TABLE,
+    "dedup_incremental_bloom": ORACLE_INCREMENTAL_BLOOM,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,

@@ -209,12 +209,182 @@ ORACLE_QUANTILE_SKETCH = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency table) — round-8 late addition
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  #: d rows — failure prob per lookup ≤ e^-d ≈ 1.8%
+CMS_WIDTH = 1024  #: w columns — expected overcount ≤ e·N/w per row
+CMS_TOPK = 20  #: heavy-hitter rows the registered query reports
+
+
+def _cms_bucket(term, j: int):
+    """Row-j column of ``term`` — the cross-engine md5 convention
+    (similarity.py's md5-ordered sample, dedup.py's Bloom positions):
+    row index j is prefixed into the key so the d rows are independent
+    hash functions, then the leading 60 bits of the md5 mod w."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), term)), 1, 15), 16, 10
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_build(toks: DataFrame, col: str = "term") -> DataFrame:
+    """Build the count-min TABLE ``(j, c, cnt)`` over a token column —
+    the stored artifact. Each token contributes one count to one cell
+    per row; the groupBy's partial aggregation collapses every map
+    partition to ≤ d·w rows (4096 here) before the shuffle, so the
+    shuffle volume is bounded by (partitions × d·w) regardless of
+    token count — the same bound as the HLL and histogram sketch
+    tables. Counts are plain sums, so per-shard sketches merge by
+    ADDITION (pytest-pinned), and the estimate for any term is
+    min_j cnt[j, h_j(term)] — never an undercount."""
+    probes = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(col), j).alias("c"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    )
+    return probes.groupBy(
+        F.col("p.j").alias("j"), F.col("p.c").alias("c")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Sum-merge a union of per-shard CMS tables: the mergeable-sketch
+    identity (HLL union / histogram sum / Bloom bit_or analog for
+    frequencies). merge(build(A) ∪ build(B)) ≡ build(A ∪ B)."""
+    return sketches.groupBy("j", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpi_mapreduce_spark.functions.text import tokens
+
+    return load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+
+
+def text_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ARTIFACT query: the d×w count-min table over the
+    document tokens — the fixed-size frequency summary a 100 TB
+    deployment stores per shard/day and sum-merges for any coarser
+    scope, instead of re-shuffling a billion-type vocabulary. Fully
+    hash-attested: the row-prefixed md5 bucketing is mirrored
+    literally in DuckDB."""
+    return cms_build(_doc_tokens(spark, sf_dir))
+
+
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered read-side query: the exact top-CMS_TOPK terms (by
+    true count, term as the deterministic tiebreak) with their CMS
+    estimates — the sketch's accuracy contract attested in the
+    hash-compared output itself: ``est_cnt`` (min over the d probed
+    cells) alongside ``exact_cnt``, plus ``is_overestimate``
+    (est ≥ exact, TRUE by construction — the min-of-overcounts can
+    never undercount). The exact side exists at this scale to attest
+    the sketch; a 100 TB serving path reads ONLY the stored table:
+    d lookups per term, no scan."""
+    toks = _doc_tokens(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    topk = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+            ),
+        )
+        .where(F.col("rk") <= CMS_TOPK)
+        .drop("rk")
+    )
+    sketch = cms_build(toks)
+    probes = topk.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("term"), j).alias("c"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "exact_cnt", F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .withColumn(
+            "is_overestimate", F.col("est_cnt") >= F.col("exact_cnt")
+        )
+    )
+
+
+_CMS_CTE = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), probes AS (
+      SELECT CAST(j AS INTEGER) AS j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))
+               ::BIGINT % {CMS_WIDTH} AS c
+      FROM toks CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+    ), cms AS (
+      SELECT j, c, COUNT(*) AS cnt FROM probes GROUP BY j, c
+    )
+"""
+
+ORACLE_CMS_SKETCH = _CMS_CTE + """
+    SELECT j, c, cnt FROM cms
+"""
+
+ORACLE_CMS_HEAVY_HITTERS = _CMS_CTE + f"""
+    , exact AS (
+      SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term
+    ), topk AS (
+      SELECT term, exact_cnt
+      FROM (SELECT term, exact_cnt,
+                   ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, term) AS rk
+            FROM exact)
+      WHERE rk <= {CMS_TOPK}
+    ), tprobes AS (
+      SELECT term, exact_cnt, CAST(j AS INTEGER) AS j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))
+               ::BIGINT % {CMS_WIDTH} AS c
+      FROM topk CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+    )
+    SELECT p.term, p.exact_cnt, MIN(s.cnt) AS est_cnt,
+           MIN(s.cnt) >= p.exact_cnt AS is_overestimate
+    FROM tprobes p JOIN cms s ON p.j = s.j AND p.c = s.c
+    GROUP BY p.term, p.exact_cnt
+"""
+
+
 QUERIES = {
     "events_hll_user_rollup": events_hll_user_rollup,
     "events_quantile_sketch": events_quantile_sketch,
+    "text_cms_sketch": text_cms_sketch,
+    "text_cms_heavy_hitters": text_cms_heavy_hitters,
 }
 
 ORACLE: dict[str, str] = {
+    "text_cms_sketch": ORACLE_CMS_SKETCH,
+    "text_cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "events_quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "events_hll_user_rollup": """
         SELECT event_type,

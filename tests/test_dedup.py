@@ -1283,3 +1283,88 @@ def test_embedding_index_integrity_clean_and_corrupted(spark, tmp_path):
         bad.n_incomplete_vectors,
         bad.n_stale_band_rows,
     ) == (4, 4 * L + 2, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership screen (round-8 late addition)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_screen_no_false_negatives(spark, sf_dir):
+    """The Bloom contract: every batch doc whose text IS in the corpus
+    must be flagged seen — zero false negatives, at every row."""
+    rows = D.dedup_incremental_bloom(spark, sf_dir).collect()
+    assert rows
+    fns = [r for r in rows if r.in_corpus and not r.bloom_seen]
+    assert fns == []
+    # the fixture split may hold no exact cross-split dup, so pin the
+    # positive direction on a planted frame: a corpus-member text MUST
+    # screen seen
+    corpus = spark.createDataFrame(
+        [(i, f"planted text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "planted text 7"), (101, "definitely novel text")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bloom_seen
+        for r in D.bloom_screen(batch, D.bloom_build(corpus)).collect()
+    }
+    assert got[100] is True
+
+
+def test_bloom_stored_filter_serving_matches_recomputed(spark, sf_dir):
+    """Stored-index serving contract (same as the ANN-LSH / IVF /
+    embedding-index legs): screening against the persisted
+    dedup_bloom_filter_table artifact yields exactly the rebuilt-
+    filter rows."""
+    stored = D.dedup_bloom_filter_table(spark, sf_dir)
+    via_stored = {
+        tuple(r)
+        for r in D.dedup_incremental_bloom(spark, sf_dir, bloom=stored)
+        .collect()
+    }
+    recomputed = {
+        tuple(r) for r in D.dedup_incremental_bloom(spark, sf_dir).collect()
+    }
+    assert via_stored == recomputed and recomputed
+
+
+def test_bloom_shard_merge_equals_direct(spark, sf_dir):
+    """Mergeable-sketch identity: per-shard filters OR-merged equal
+    the filter built over the whole corpus in one pass — the property
+    that lets 1000 executors build a 100 TB filter with no global
+    scan."""
+    docs = D._docs(spark, sf_dir).where(
+        F.col("doc_id") % D.INCR_BATCH_MOD != 0
+    )
+    shards = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    per_shard = D.bloom_build(shards[0])
+    for s in shards[1:]:
+        per_shard = per_shard.unionByName(D.bloom_build(s))
+    merged = {(r.word, r.bits) for r in D.bloom_merge(per_shard).collect()}
+    direct = {(r.word, r.bits) for r in D.bloom_build(docs).collect()}
+    assert merged == direct and direct
+
+
+def test_bloom_false_positive_rate_within_bound(spark, sf_dir):
+    """FP rate ≤ 2× the analytic (1 - e^{-kn/m})^k bound (generous
+    slack for the small fixture; the bound itself is asymptotic)."""
+    import math
+
+    docs = D._docs(spark, sf_dir)
+    n = (
+        docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+        .select("text")
+        .distinct()
+        .count()
+    )
+    rows = D.dedup_incremental_bloom(spark, sf_dir).collect()
+    novel = [r for r in rows if not r.in_corpus]
+    assert novel, "fixture has no novel batch docs"
+    fp = sum(1 for r in novel if r.is_fp)
+    bound = (
+        1.0 - math.exp(-D.BLOOM_HASHES * n / D.BLOOM_BITS)
+    ) ** D.BLOOM_HASHES
+    assert fp / len(novel) <= max(2.0 * bound, 0.02), (fp, len(novel), bound)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.datamodel import load_table
+from mpi_mapreduce_spark.operators import sketches as SK
 from mpi_mapreduce_spark.operators.sketches import (
     LG_K,
     daily_user_sketches,
@@ -149,3 +150,67 @@ def test_streaming_sketch_maintenance_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round-8 late addition)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_any_term(spark, sf_dir):
+    """The count-min guarantee holds for EVERY term, not just the
+    registered top-K: min over the d probed cells ≥ the true count."""
+    toks = SK._doc_tokens(spark, sf_dir)
+    sketch = {(r.j, r.c): r.cnt for r in SK.cms_build(toks).collect()}
+    exact = {
+        r.term: r.cnt
+        for r in toks.groupBy("term").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert exact
+    import hashlib
+
+    def bucket(term, j):
+        h = hashlib.md5(f"{j}:{term}".encode()).hexdigest()
+        return int(h[:15], 16) % SK.CMS_WIDTH
+
+    for term, cnt in exact.items():
+        est = min(
+            sketch[(j, bucket(term, j))] for j in range(SK.CMS_DEPTH)
+        )
+        assert est >= cnt, (term, est, cnt)
+
+
+def test_cms_shard_merge_equals_direct(spark, sf_dir):
+    """Mergeable-sketch identity: per-source shard sketches sum-merge
+    to the whole-corpus sketch."""
+    from mpi_mapreduce_spark.datamodel import load_table
+    from mpi_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = [
+        docs.where(F.col("doc_id") % 3 == i).select(
+            F.explode(tokens(F.col("text"))).alias("term")
+        )
+        for i in range(3)
+    ]
+    per_shard = SK.cms_build(shards[0])
+    for s in shards[1:]:
+        per_shard = per_shard.unionByName(SK.cms_build(s))
+    merged = {(r.j, r.c, r.cnt) for r in SK.cms_merge(per_shard).collect()}
+    direct = {
+        (r.j, r.c, r.cnt)
+        for r in SK.cms_build(SK._doc_tokens(spark, sf_dir)).collect()
+    }
+    assert merged == direct and direct
+
+
+def test_cms_heavy_hitter_error_within_epsilon(spark, sf_dir):
+    """Estimate error on the registered top-K ≤ 2·N/w each (the e·N/w
+    Markov bound with generous constant; N = total tokens)."""
+    n = SK._doc_tokens(spark, sf_dir).count()
+    rows = SK.text_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == SK.CMS_TOPK
+    bound = max(2.0 * n / SK.CMS_WIDTH, 1.0)
+    for r in rows:
+        assert r.is_overestimate
+        assert r.est_cnt - r.exact_cnt <= bound, (r, bound)
