@@ -949,6 +949,100 @@ ORACLE_INCREMENTAL_BLOOM = _BLOOM_CTE + f"""
 """
 
 
+def nightly_bloom_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
+):
+    """The MEMBERSHIP leg of the nightly family (one callable per
+    modality: text signatures, embedding buckets, IVF cells, and this
+    filter — a scheduler runs whichever the deployment needs): the
+    ingest LEDGER picks up only tonight's new ``(doc_id, text)``
+    files; each doc is screened against the stored corpus filter
+    (OR-merge of every prior batch partition — k probe-bit lookups,
+    never a corpus scan) and exact-checked against earlier docs in
+    tonight's own batch (keep-first on doc_id); tonight's per-batch
+    filter is appended under ``batch=<bkey>``; the ledger commits
+    LAST (sources/io.py protocol).
+
+    This leg's append is the cheapest of the four: a batch's filter
+    is ≤ m/32 rows regardless of batch size, and because bit_or is
+    idempotent/associative the serving merge over any set of batch
+    partitions equals the filter built over their docs in one pass
+    (pytest-pinned across nights). Crash-replay safety as in the
+    siblings: the partition write is keyed by the deterministic batch
+    id and overwritten, and the serving merge EXCLUDES tonight's own
+    partition — without that, every replayed doc would probe its own
+    persisted bits and flip bloom_seen to True.
+
+    Returns (decisions DataFrame — doc_id, bloom_seen (possibly-seen:
+    route to the exact verify), seen_in_batch (exact text already
+    arrived tonight under a lower doc_id), novel (neither — skip the
+    exact join entirely, the whole point of the screen) — or None
+    when nothing is new, list of ingested files)."""
+    import hashlib
+    import os
+
+    from mpi_mapreduce_spark.sources.io import (
+        has_committed_parquet,
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    bkey = "b" + hashlib.sha256(
+        "\n".join(sorted(files)).encode()
+    ).hexdigest()[:16]
+    if batch.select("doc_id").first() is None:
+        # valid-but-empty file: consume it (ledger), skip the append —
+        # same guard as the embedding leg's round-8 review finding
+        decisions = (
+            batch.select("doc_id")
+            .withColumn("bloom_seen", F.lit(False))
+            .withColumn("seen_in_batch", F.lit(False))
+            .withColumn("novel", F.lit(True))
+            .localCheckpoint()
+        )
+        record_ingested(spark, ledger_dir, files)
+        return decisions, files
+
+    # intra-batch exact keep-first: the repo's compound-key convention
+    # ((xxhash64(text), text) — the 8-byte hash resolves almost every
+    # comparison, the text key makes collisions harmless)
+    wdup = W.partitionBy(F.xxhash64("text"), F.col("text")).orderBy("doc_id")
+    intra = batch.select(
+        "doc_id", (F.row_number().over(wdup) > 1).alias("seen_in_batch")
+    )
+
+    if has_committed_parquet(index_dir):
+        stored = bloom_merge(
+            spark.read.parquet(index_dir)
+            .where(F.col("batch") != F.lit(bkey))
+            .select("word", "bits")
+        )
+        seen = bloom_screen(batch, stored)
+    else:
+        seen = batch.select("doc_id").withColumn(
+            "bloom_seen", F.lit(False)
+        )
+
+    decisions = (
+        intra.join(seen, "doc_id")
+        .select(
+            "doc_id",
+            "bloom_seen",
+            "seen_in_batch",
+            (~F.col("bloom_seen") & ~F.col("seen_in_batch")).alias("novel"),
+        )
+        .localCheckpoint()
+    )
+    bloom_build(batch).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch={bkey}")
+    )
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH — the scale path
 # ---------------------------------------------------------------------------

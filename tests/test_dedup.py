@@ -1368,3 +1368,125 @@ def test_bloom_false_positive_rate_within_bound(spark, sf_dir):
         1.0 - math.exp(-D.BLOOM_HASHES * n / D.BLOOM_BITS)
     ) ** D.BLOOM_HASHES
     assert fp / len(novel) <= max(2.0 * bound, 0.02), (fp, len(novel), bound)
+
+
+def test_nightly_bloom_two_nights(spark, tmp_path):
+    """Night 1 seeds the filter; night 2 reads ONLY the new file,
+    flags the exact copy of a night-1 doc via the STORED filter
+    (no false negative), leaves the novel doc novel, and the ledger
+    makes a third run a no-op. The OR-merge of the two batch
+    partitions equals the filter built over all four docs in one
+    pass (the across-nights merge identity)."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(1, "alpha text one"), (2, "beta text two")],
+    )
+    d1, f1 = D.nightly_bloom_update(spark, src, ledger, index)
+    assert len(f1) == 1
+    assert {r.doc_id: r.novel for r in d1.collect()} == {1: True, 2: True}
+
+    _drop_doc_file(
+        spark, tmp_path, src, "n2.parquet",
+        [(3, "alpha text one"), (4, "gamma text three")],
+    )
+    d2, f2 = D.nightly_bloom_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    got = {r.doc_id: (r.bloom_seen, r.novel) for r in d2.collect()}
+    assert got[3] == (True, False)  # no false negative on the copy
+    assert got[4][1] or got[4][0]  # novel unless an honest FP fired
+    assert not got[4][0] or not got[4][1]
+
+    d3, f3 = D.nightly_bloom_update(spark, src, ledger, index)
+    assert d3 is None and f3 == []
+
+    merged = {
+        (r.word, r.bits)
+        for r in D.bloom_merge(
+            spark.read.parquet(index).select("word", "bits")
+        ).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(1, "alpha text one"), (2, "beta text two"),
+         (3, "alpha text one"), (4, "gamma text three")],
+        "doc_id long, text string",
+    )
+    direct = {(r.word, r.bits) for r in D.bloom_build(all_docs).collect()}
+    assert merged == direct
+
+
+def test_nightly_bloom_intra_batch_keep_first(spark, tmp_path):
+    """The same text arriving twice the SAME night: the lower doc_id
+    stays novel, the higher is flagged seen_in_batch — without this
+    both would persist as 'novel' forever (the ledger never re-reads
+    their file)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+    )
+    d1, _ = D.nightly_bloom_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    got = {r.doc_id: (r.seen_in_batch, r.novel) for r in d1.collect()}
+    assert got == {
+        1: (False, True),
+        2: (True, False),
+        3: (False, True),
+    }
+
+
+def test_nightly_bloom_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the filter append and the ledger commit: the
+    replay reproduces the SAME decisions (tonight's own partition is
+    excluded from the serving merge — otherwise every replayed doc
+    probes its own persisted bits and flips bloom_seen) and does not
+    grow the index (keyed overwrite)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(1, "first doc text"), (2, "second doc text")],
+    )
+    d1, _ = D.nightly_bloom_update(spark, src, ledger, index)
+    first = {tuple(r) for r in d1.collect()}
+    n_rows = spark.read.parquet(index).count()
+
+    shutil.rmtree(ledger)
+    d2, f2 = D.nightly_bloom_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n1.parquet"]
+    assert {tuple(r) for r in d2.collect()} == first
+    assert spark.read.parquet(index).count() == n_rows
+
+
+def test_nightly_bloom_empty_file_is_consumed(spark, tmp_path):
+    """A valid-but-empty file is committed to the ledger (not
+    re-ingested forever) and appends nothing."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_doc_file(spark, tmp_path, src, "n1.parquet", [])
+    d1, f1 = D.nightly_bloom_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert d1.count() == 0 and len(f1) == 1
+    d2, f2 = D.nightly_bloom_update(
+        spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
+    )
+    assert d2 is None and f2 == []
