@@ -751,22 +751,34 @@ BLOOM_WORD_BITS = 32
 BLOOM_HASHES = 4
 
 
-def _bloom_positions(key: F.Column) -> list[F.Column]:
+def _bloom_positions(
+    key: F.Column,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> list[F.Column]:
     """The k bit positions of ``key`` — pure md5 arithmetic, computed
     IDENTICALLY by Spark and DuckDB (the repo's cross-engine hash
     convention, similarity.py's md5-ordered IVF sample precedent):
     h1/h2 are the two 60-bit halves of md5(key); position i is
-    (h1 + i·h2) mod m. 60-bit halves + i ≤ 3 stay far below 2^63,
-    so the arithmetic never overflows in either engine."""
+    (h1 + i·h2) mod m. 60-bit halves + i small stay far below 2^63,
+    so the arithmetic never overflows in either engine. ``m_bits``/
+    ``n_hashes`` are per-call knobs (the r7 MinHash convention) — the
+    registered queries pin the module defaults; the SCALING.md sweep
+    varies m."""
     h1 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5(key), 17, 15), 16, 10).cast("long")
     return [
-        (h1 + F.lit(i) * h2) % F.lit(BLOOM_BITS)
-        for i in range(BLOOM_HASHES)
+        (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        for i in range(n_hashes)
     ]
 
 
-def bloom_build(keys: DataFrame, key_col: str = "text") -> DataFrame:
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "text",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
     """Build the packed Bloom filter table ``(word, bits)`` over a key
     column — the stored ARTIFACT of this family.
 
@@ -780,7 +792,9 @@ def bloom_build(keys: DataFrame, key_col: str = "text") -> DataFrame:
     bit_or groupBy (pytest-pinned), which is how 1000 executors build
     a 100 TB filter with no global pass."""
     pos = keys.select(
-        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos")
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, n_hashes))
+        ).alias("pos")
     )
     return pos.groupBy(
         F.floor(F.col("pos") / F.lit(BLOOM_WORD_BITS))
@@ -804,7 +818,11 @@ def bloom_merge(filters: DataFrame) -> DataFrame:
 
 
 def bloom_screen(
-    batch: DataFrame, bloom: DataFrame, key_col: str = "text"
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "text",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """Membership screen: per batch row, ``bloom_seen`` = all k probed
     bits set. One equi-join on word id — the batch side carries
@@ -816,7 +834,9 @@ def bloom_screen(
     a replacement for it."""
     probes = batch.select(
         "doc_id",
-        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos"),
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, n_hashes))
+        ).alias("pos"),
     ).select(
         "doc_id",
         F.floor(F.col("pos") / F.lit(BLOOM_WORD_BITS))

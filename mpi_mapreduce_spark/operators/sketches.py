@@ -218,7 +218,7 @@ CMS_WIDTH = 1024  #: w columns — expected overcount ≤ e·N/w per row
 CMS_TOPK = 20  #: heavy-hitter rows the registered query reports
 
 
-def _cms_bucket(term, j: int):
+def _cms_bucket(term, j: int, width: int = CMS_WIDTH):
     """Row-j column of ``term`` — the cross-engine md5 convention
     (similarity.py's md5-ordered sample, dedup.py's Bloom positions):
     row index j is prefixed into the key so the d rows are independent
@@ -227,11 +227,16 @@ def _cms_bucket(term, j: int):
         F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{j}:"), term)), 1, 15), 16, 10
         ).cast("long")
-        % CMS_WIDTH
+        % width
     )
 
 
-def cms_build(toks: DataFrame, col: str = "term") -> DataFrame:
+def cms_build(
+    toks: DataFrame,
+    col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
     """Build the count-min TABLE ``(j, c, cnt)`` over a token column —
     the stored artifact. Each token contributes one count to one cell
     per row; the groupBy's partial aggregation collapses every map
@@ -247,9 +252,9 @@ def cms_build(toks: DataFrame, col: str = "term") -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        _cms_bucket(F.col(col), j).alias("c"),
+                        _cms_bucket(F.col(col), j, width).alias("c"),
                     )
-                    for j in range(CMS_DEPTH)
+                    for j in range(depth)
                 ]
             )
         ).alias("p")

@@ -505,6 +505,134 @@ def time_ivf_assign(scratch: str, mods: list[int]) -> None:
     spark.stop()
 
 
+def time_bloom(scratch: str, m_bits_list: list[int]) -> None:
+    """Bloom bits-per-key sweep at the 100k planted text corpus
+    (round 8): per filter size m, time the one-pass build over the
+    90% corpus split and the screen of the 10% batch, and compare the
+    measured false-positive rate on the truly-novel batch docs to the
+    closed-form (1 - e^{-kn/m})^k. No-false-negative is asserted, not
+    measured — a violation raises."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators import dedup as D
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    docs = spark.read.parquet(f"{scratch}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).localCheckpoint()
+    # batch = the 10% split (novel modulo the planted near-pairs, which
+    # are token EDITS, not exact copies) + 5000 exact copies of corpus
+    # texts re-keyed high — the planted members that make the no-FN
+    # assertion non-vacuous
+    members = corpus.orderBy("doc_id").limit(5000).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(members)
+        .localCheckpoint()
+    )
+    n_keys = corpus.select("text").distinct().count()
+    truth = {
+        r.doc_id
+        for r in batch.join(
+            corpus.select("text").distinct(), "text", "left_semi"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    n_batch = batch.count()
+    print(f"corpus keys {n_keys}, batch {n_batch}, true members {len(truth)}")
+    print("| m bits | bits/key | build | screen | FP measured | FP predicted |")
+    for m in m_bits_list:
+        t0 = time.perf_counter()
+        filt = D.bloom_build(corpus, m_bits=m).localCheckpoint()
+        build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = D.bloom_screen(batch, filt, m_bits=m).collect()
+        screen = time.perf_counter() - t0
+        seen = {r.doc_id for r in rows if r.bloom_seen}
+        fn = truth - seen
+        if fn:
+            raise AssertionError(f"false negatives at m={m}: {sorted(fn)[:5]}")
+        novel = n_batch - len(truth)
+        fp = len(seen - truth) / max(novel, 1)
+        pred = (1.0 - math.exp(-D.BLOOM_HASHES * n_keys / m)) ** D.BLOOM_HASHES
+        print(
+            f"| 2^{int(math.log2(m))} | {m / n_keys:.1f} | {build:.1f} s "
+            f"| {screen:.1f} s | {fp:.4f} | {pred:.4f} |",
+            flush=True,
+        )
+    spark.stop()
+
+
+def time_cms(scratch: str, widths: list[int]) -> None:
+    """CMS width sweep at the 100k planted text corpus (round 8): per
+    width w, time the sketch build over the ~6M-token stream and
+    compare the mean and p99 overestimate across the full vocabulary
+    to the N/w expectation (every term's estimate is exact+noise where
+    the noise is the colliding mass — mean collision mass per cell is
+    (N - f_t)/w, so mean overestimate ≈ N/w for a flat-ish Zipf
+    tail). Never-undercount is asserted, not measured."""
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.functions.text import tokens
+    from mpi_mapreduce_spark.operators import sketches as SK
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    toks = (
+        spark.read.parquet(f"{scratch}/documents.parquet")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .localCheckpoint()
+    )
+    n_tokens = toks.count()
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    print(f"tokens {n_tokens}, vocab {exact.count()}")
+    print("| w | build | mean over | p99 over | N/w |")
+    for w in widths:
+        t0 = time.perf_counter()
+        sk = SK.cms_build(toks, width=w).localCheckpoint()
+        build = time.perf_counter() - t0
+        probes = exact.select(
+            "term",
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            SK._cms_bucket(F.col("term"), j, w).alias("c"),
+                        )
+                        for j in range(SK.CMS_DEPTH)
+                    ]
+                )
+            ).alias("p"),
+        ).select("term", "exact_cnt", "p.j", "p.c")
+        est = (
+            probes.join(sk, ["j", "c"])
+            .groupBy("term", "exact_cnt")
+            .agg(F.min("cnt").alias("est_cnt"))
+            .select((F.col("est_cnt") - F.col("exact_cnt")).alias("over"))
+        )
+        stats = est.agg(
+            F.min("over").alias("mn"),
+            F.avg("over").alias("mean"),
+            F.expr("percentile(over, 0.99)").alias("p99"),
+        ).first()
+        if stats.mn < 0:
+            raise AssertionError(f"undercount at w={w}")
+        print(
+            f"| {w} | {build:.1f} s | {stats.mean:.1f} | {stats.p99:.0f} "
+            f"| {n_tokens / w:.1f} |",
+            flush=True,
+        )
+    spark.stop()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if mode == "gen":
@@ -532,6 +660,14 @@ def main() -> None:
         mods = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
         time_ivf_assign(scratch, mods)
+    elif mode == "time-bloom":
+        ms = [int(m) for m in sys.argv[2].split(",")]
+        scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
+        time_bloom(scratch, ms)
+    elif mode == "time-cms":
+        ws = [int(w) for w in sys.argv[2].split(",")]
+        scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
+        time_cms(scratch, ws)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
