@@ -969,6 +969,86 @@ ORACLE_INCREMENTAL_BLOOM = _BLOOM_CTE + f"""
 """
 
 
+def novelty_scores(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Per-batch-doc NOVELTY: the fraction of the doc's distinct
+    word-3-gram shingles that appear in NO corpus doc — the continuous
+    complement to the binary is_exact_dup / is_near_dup flags, and the
+    signal a curation pipeline ranks on when it prefers novel data
+    over yet-another-boilerplate page (novelty 1 = nothing seen
+    before, 0 = every shingle already in the corpus).
+
+    Scale shape: one distinct over the corpus shingles, then a
+    broadcast-free left join on the shingle string (at 100 TB the key
+    becomes xxhash64(s) — 8 bytes through the shuffle, the repo's
+    standing convention for string shuffle keys) and a per-doc mean.
+    Work is linear in batch shingles + corpus shingles; there is no
+    pairwise term at all, which is what separates this from
+    containment (that op answers "which corpus doc covers me",
+    this one answers "how much of me is new anywhere")."""
+    seen = corpus.transform(shingle_rows).select("s").distinct()
+    flags = (
+        shingle_rows(batch)
+        .join(seen.withColumn("seen", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        ex.quantize(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
+
+
+def dedup_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: novelty of tonight's batch (the standing
+    INCR_BATCH_MOD split) against the historical corpus."""
+    docs = _docs(spark, sf_dir)
+    return novelty_scores(
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0),
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0),
+    )
+
+
+ORACLE_NOVELTY_SCORE = f"""
+    WITH sh0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM sh0
+    ), seen AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh
+      WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ), batch_sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+      WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ), flags AS (
+      SELECT b.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM batch_sh b LEFT JOIN seen ON b.s = seen.s
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           ROUND((n_novel::DOUBLE / n_shingles) * 1000000.0) / 1000000.0
+             AS novelty
+    FROM flags
+"""
+
+
 def nightly_bloom_update(
     spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
 ):
@@ -3667,6 +3747,7 @@ QUERIES = {
     "dedup_incremental_embedding_validate": dedup_incremental_embedding_validate,
     "dedup_bloom_filter_table": dedup_bloom_filter_table,
     "dedup_incremental_bloom": dedup_incremental_bloom,
+    "dedup_novelty_score": dedup_novelty_score,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
@@ -3713,6 +3794,7 @@ ORACLE = {
     ),
     "dedup_bloom_filter_table": ORACLE_BLOOM_FILTER_TABLE,
     "dedup_incremental_bloom": ORACLE_INCREMENTAL_BLOOM,
+    "dedup_novelty_score": ORACLE_NOVELTY_SCORE,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,

@@ -1490,3 +1490,32 @@ def test_nightly_bloom_empty_file_is_consumed(spark, tmp_path):
         spark, src, str(tmp_path / "ledger"), str(tmp_path / "index")
     )
     assert d2 is None and f2 == []
+
+
+def test_novelty_score_planted_semantics(spark):
+    """Novelty endpoints and midpoint: an exact copy of a corpus doc
+    scores 0, an all-new doc scores 1, and a doc whose second half is
+    copied lands strictly between."""
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "xx yy zz ww vv uu")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "aa bb cc dd ee ff gg hh"),  # exact copy
+            (20, "n1 n2 n3 n4 n5 n6 n7 n8"),  # all new
+            (30, "m1 m2 m3 cc dd ee ff gg hh"),  # tail copied
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.novelty, r.n_shingles, r.n_novel)
+        for r in D.novelty_scores(batch, corpus).collect()
+    }
+    assert got[10][0] == 0.0
+    assert got[20][0] == 1.0
+    assert 0.0 < got[30][0] < 1.0
+    # every row: novelty == n_novel / n_shingles (to the registered
+    # 6-decimal quantization)
+    for _id, (nov, n, k) in got.items():
+        assert abs(nov - k / n) <= 5e-7
