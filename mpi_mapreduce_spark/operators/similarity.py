@@ -240,6 +240,162 @@ def _lsh_bucket_table_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified re-rank (round-8 late addition)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7  #: relevance weight
+#: diversity penalty weight — an INDEPENDENT literal, not 1-λ:
+#: 1.0 - 0.7 is 0.30000000000000004 in IEEE doubles, and the oracle's
+#: SQL literal 0.3 is not that number; both engines must multiply by
+#: the same double or boundary rows flip at the 6-decimal quantize
+MMR_MU = 0.3
+MMR_SHORTLIST = 30  #: exact top-N shortlist the greedy runs over
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = MMR_SHORTLIST,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein
+    1998): per query, greedily pick k of the top-``shortlist`` exact
+    candidates maximizing λ·relevance − μ·max-similarity-to-already-
+    picked — the diversity-aware serving top-k (RAG context selection,
+    dedup-aware retrieval) where plain kNN returns five copies of the
+    same passage.
+
+    Scale shape: the RELEVANCE pass is the distributed exact top-N
+    (knn_topk — broadcast queries, one corpus scan, per-query window);
+    the GREEDY pass is applyInPandas over one (query, shortlist)
+    group — O(N²·d) per query with N fixed at 30, constant serving
+    work per query regardless of corpus size. The greedy is
+    cross-engine deterministic: pairwise sims use the same left-fold
+    dot and 6-decimal quantize as every score in this module,
+    round-half-away-from-zero matches Spark's scale-0 ROUND and
+    DuckDB's (functions/exact.py), and ties break on vec_id — the
+    DuckDB oracle replays the identical recursion as a recursive CTE
+    with a LATERAL argmax."""
+    short = knn_topk(corpus, queries, k=shortlist)
+    cand = short.select(
+        "query_id", "vec_id", F.col("cosine").alias("rel")
+    ).join(corpus, "vec_id")
+    lam, mu, kk = MMR_LAMBDA, MMR_MU, k
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def q6(x):
+            y = np.asarray(x, dtype=np.float64) * 1e6
+            return np.sign(y) * np.floor(np.abs(y) + 0.5) / 1e6
+
+        qid = pdf["query_id"].iloc[0]
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nc = len(ids)
+        sims = np.empty((nc, nc))
+        for i in range(nc):
+            # cumsum = the module's left-fold dot, bit-equal to the
+            # oracle's list_dot_product
+            sims[i] = q6(np.cumsum(m * m[i], axis=1)[:, -1])
+        picked = np.zeros(nc, dtype=bool)
+        # step-1 penalty term is literal 0 (empty selected set); from
+        # step 2 it is the TRUE max over selected — which can be
+        # NEGATIVE on anti-similar vectors (an MMR bonus). A zeros
+        # init + running np.maximum would silently floor it at 0.
+        maxsim = np.zeros(nc)
+        first = True
+        rows = []
+        for step in range(1, min(kk, nc) + 1):
+            score = q6(lam * rel - mu * maxsim)
+            masked = np.where(picked, -np.inf, score)
+            best = np.lexsort((ids, -masked))[0]
+            rows.append((qid, ids[best], rel[best], score[best], step))
+            picked[best] = True
+            if first:
+                maxsim = sims[best].copy()
+                first = False
+            else:
+                maxsim = np.maximum(maxsim, sims[best])
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "relevance", "mmr", "rank"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, vec_id long, relevance double, mmr double, rank int",
+    )
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered MMR query over the standing corpus/query fixture."""
+    corpus, queries, _dim = _table_corpus_queries(spark, sf_dir)
+    return mmr_rerank(corpus, queries)
+
+
+ORACLE_MMR = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM v
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_dot_product(q.v, c.v) * 1000000.0) / 1000000.0
+               AS rel
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), cand AS (
+      SELECT query_id, vec_id, rel
+      FROM (SELECT query_id, vec_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {MMR_SHORTLIST}
+    ), cvec AS (
+      SELECT c.query_id, c.vec_id, c.rel, n.v FROM cand c JOIN n USING (vec_id)
+    ), sims AS (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             ROUND(list_dot_product(a.v, b.v) * 1000000.0) / 1000000.0 AS sim
+      FROM cvec a JOIN cvec b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ), sel AS (
+      SELECT query_id, 1 AS rank, vec_id, rel,
+             ROUND(({MMR_LAMBDA} * rel - {MMR_MU} * 0.0) * 1000000.0)
+               / 1000000.0 AS mmr,
+             [vec_id] AS ids
+      FROM (SELECT query_id, vec_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(({MMR_LAMBDA} * rel - {MMR_MU} * 0.0)
+                                     * 1000000.0) / 1000000.0 DESC,
+                               vec_id ASC) AS rn
+            FROM cand)
+      WHERE rn = 1
+      UNION ALL
+      SELECT s.query_id, s.rank + 1, p.vec_id, p.rel, p.mmr,
+             list_append(s.ids, p.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, c.rel,
+               ROUND(({MMR_LAMBDA} * c.rel - {MMR_MU} * COALESCE(
+                 (SELECT MAX(si.sim) FROM sims si
+                  WHERE si.query_id = s.query_id AND si.va = c.vec_id
+                    AND list_contains(s.ids, si.vb)), 0.0)) * 1000000.0)
+                 / 1000000.0 AS mmr
+        FROM cand c
+        WHERE c.query_id = s.query_id AND NOT list_contains(s.ids, c.vec_id)
+        ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+      ) p
+      WHERE s.rank < {TOP_K}
+    )
+    SELECT query_id, vec_id, rel AS relevance, mmr, CAST(rank AS INTEGER) AS rank
+    FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second 100 TB scale path
 # ---------------------------------------------------------------------------
 
@@ -1997,6 +2153,7 @@ QUERIES = {
     "ann_ivf_assign_batch": ann_ivf_assign_batch,
     "ann_ivf_cells": ann_ivf_cells,
     "ann_lsh_bucket_table": ann_lsh_bucket_table,
+    "ann_mmr_topk": ann_mmr_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
@@ -2017,6 +2174,7 @@ ORACLE = {
     "ann_ivf_assign_batch": _ivf_assign_batch_oracle(),
     "ann_ivf_cells": _ivf_cells_oracle(),
     "ann_lsh_bucket_table": _lsh_bucket_table_oracle(),
+    "ann_mmr_topk": ORACLE_MMR,
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,

@@ -703,3 +703,70 @@ def test_ann_lsh_stored_buckets_match_recomputed(spark, sf_dir):
         for r in S.ann_lsh(corpus, queries, dim).collect()
     }
     assert via_stored == recomputed and len(recomputed) > 0
+
+
+def test_mmr_structural_invariants(spark, sf_dir):
+    """Rank-1 is the exact relevance top-1, every pick comes from the
+    exact top-shortlist, no duplicates, exactly TOP_K per query."""
+    corpus, queries, _dim = S._table_corpus_queries(spark, sf_dir)
+    mmr = S.ann_mmr_topk(spark, sf_dir).collect()
+    short = S.knn_topk(corpus, queries, k=S.MMR_SHORTLIST).collect()
+    shortset = {(r.query_id, r.vec_id) for r in short}
+    top1 = {r.query_id: r.vec_id for r in short if r.rank == 1}
+    byq = {}
+    for r in mmr:
+        byq.setdefault(r.query_id, []).append(r)
+    for qid, rows in byq.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == S.TOP_K
+        assert len({r.vec_id for r in rows}) == S.TOP_K
+        assert rows[0].vec_id == top1[qid]
+        for r in rows:
+            assert (qid, r.vec_id) in shortset
+
+
+def test_mmr_diversifies_planted_clusters(spark):
+    """Planted fixture: the 10 most-relevant candidates are all
+    near-copies of each other (one tight cluster hugging the query);
+    a second, looser cluster sits a bit further. Plain kNN top-3 is
+    all cluster A; MMR top-3 must break out of cluster A by rank 3."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    q = np.zeros(dim); q[0] = 1.0
+    rows = [(0, q.tolist())]
+    # two clusters on the SAME cone around q but opposite azimuths:
+    # A at 24° (+e1 side, 10 near-copies, pairwise sim ≈ 1), B at 26°
+    # (−e1 side). kNN ranks all of A first (24° < 26°), but once one
+    # A-copy is picked, a second costs μ·1.0 while a B-copy costs only
+    # μ·cos(50°) — MMR must cross to B at rank 2.
+    ta, tb = np.deg2rad(24.0), np.deg2rad(26.0)
+    a = np.zeros(dim); a[0] = np.cos(ta); a[1] = np.sin(ta)
+    b = np.zeros(dim); b[0] = np.cos(tb); b[1] = -np.sin(tb)
+    for i in range(10):
+        v = a + rng.randn(dim) * 0.002
+        rows.append((10 + i, v.tolist()))
+    for i in range(10):
+        v = b + rng.randn(dim) * 0.002
+        rows.append((30 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = S.normalized_corpus(emb)
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    knn3 = [
+        r.vec_id
+        for r in S.knn_topk(corpus, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    mmr3 = [
+        r.vec_id
+        for r in S.mmr_rerank(corpus, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert all(10 <= v < 20 for v in knn3), knn3  # kNN: all cluster A
+    assert any(v >= 30 for v in mmr3), mmr3  # MMR escapes by rank 3
+    assert 10 <= mmr3[0] < 20  # rank 1 still pure relevance
