@@ -295,6 +295,14 @@ def _resolve(name):
         op = name.removeprefix("embsep_")
         if op == "knn_exact":
             return lambda spark, d: S.knn_topk(_norm(spark, d), _qs(_norm(spark, d)))
+        if op == "mmr":
+            # diversified re-rank at 100k: exact top-30 shortlist scan
+            # + per-query bounded greedy — wall should track knn_exact
+            # (the shortlist pass dominates; the greedy is O(N²·d) per
+            # query, corpus-size-free)
+            return lambda spark, d: S.mmr_rerank(
+                _norm(spark, d), _qs(_norm(spark, d))
+            )
         if op == "ann_lsh":
             return lambda spark, d: S.ann_lsh(
                 _norm(spark, d), _qs(_norm(spark, d)), EMB_SEP_DIM
