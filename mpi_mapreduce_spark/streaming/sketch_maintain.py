@@ -55,5 +55,47 @@ def read_sketch_table(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def start_cms_maintenance(
+    spark: SparkSession, sf_dir: str, table_path: str, checkpoint: str
+):
+    """Streaming maintenance of the count-min TABLE (round-8 CMS
+    family): each micro-batch of documents appends its own partial
+    d×w cell counts; the read path sums per (j, c). Same append-only
+    contract as the histogram leg above — CMS cells merge by integer
+    addition, so partial granularity is invisible to readers and the
+    hot path never does read-modify-write."""
+    from mpi_mapreduce_spark.functions.text import tokens
+    from mpi_mapreduce_spark.operators.sketches import cms_build
+
+    def upd(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cms_build(
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("term"))
+        ).write.mode("append").parquet(table_path)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # glob, not bare file path: a streaming source's basePath must
+        # be a directory (same trick as windows.stream_events)
+        .load(f"{sf_dir}/documents.parque[t]")
+        .writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_cms_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Canonical view of the appended CMS partials: sum per (j, c)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy("j", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 QUERIES: dict = {}
 ORACLE: dict = {}

@@ -214,3 +214,28 @@ def test_cms_heavy_hitter_error_within_epsilon(spark, sf_dir):
     for r in rows:
         assert r.is_overestimate
         assert r.est_cnt - r.exact_cnt <= bound, (r, bound)
+
+
+def test_streaming_cms_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Appended per-micro-batch CMS partials sum to exactly the
+    batch-built sketch (merge-by-addition parity, the CMS analog of
+    the histogram parity above)."""
+    from mpi_mapreduce_spark.streaming.sketch_maintain import (
+        read_cms_table,
+        start_cms_maintenance,
+    )
+
+    table = str(tmp_path / "cms")
+    q = start_cms_maintenance(spark, sf_dir, table, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.j, r.c): r.cnt for r in read_cms_table(spark, table).collect()
+    }
+    batch = {
+        (r.j, r.c): r.cnt
+        for r in SK.cms_build(SK._doc_tokens(spark, sf_dir)).collect()
+    }
+    assert streamed == batch and streamed
