@@ -238,7 +238,7 @@ def cms_build(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Build the count-min TABLE ``(j, c, cnt)`` over a token column —
-    the stored artifact. Each token contributes one count to one cell
+    the stored artifact (Cormode & Muthukrishnan 2005). Each token contributes one count to one cell
     per row; the groupBy's partial aggregation collapses every map
     partition to ≤ d·w rows (4096 here) before the shuffle, so the
     shuffle volume is bounded by (partitions × d·w) regardless of
