@@ -316,7 +316,11 @@ ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle("documents")
 INCR_BATCH_MOD = 10
 
 
-def dedup_against_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    exact_candidates: DataFrame | None = None,
+) -> DataFrame:
     """Per-batch-doc keep/drop decision against an EXISTING corpus —
     the shape a production ingest actually runs nightly: the historical
     corpus is never re-paired with itself (that work happened when it
@@ -334,8 +338,20 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
       whole point of the incremental form.
 
     Exact text equality implies identical shingle sets (Jaccard 1), so
-    is_exact_dup ⊆ is_near_dup — asserted in tests."""
-    batch_h = batch.withColumn("h", F.xxhash64("text"))
+    is_exact_dup ⊆ is_near_dup — asserted in tests.
+
+    ``exact_candidates`` (a doc_id frame) restricts the EXACT leg's
+    batch side — the hook the Bloom-screened pipeline uses: only
+    possibly-seen docs pay the membership join. Correctness requires
+    the candidate set to be a SUPERSET of the true exact-dups (the
+    Bloom no-false-negative guarantee); the near leg always sees the
+    whole batch (Bloom answers exact membership only)."""
+    exact_side = (
+        batch
+        if exact_candidates is None
+        else batch.join(exact_candidates.select("doc_id"), "doc_id")
+    )
+    batch_h = exact_side.withColumn("h", F.xxhash64("text"))
     corpus_keys = (
         corpus.select(F.xxhash64("text").alias("h"), "text").distinct()
     )
@@ -1047,6 +1063,35 @@ ORACLE_NOVELTY_SCORE = f"""
              AS novelty
     FROM flags
 """
+
+
+def dedup_incremental_screened(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCREENED incremental pipeline — the production composition
+    of the two pieces registered separately: the Bloom filter screens
+    tonight's batch first, and only the ``bloom_seen`` survivors pay
+    the exact compound-key membership join (the no-false-negative
+    guarantee means every true exact-dup survives the screen; the
+    bounded false positives are exactly the rows the verify join then
+    clears). The near-dup leg is untouched — Bloom answers exact
+    membership only.
+
+    The attestation IS the theorem: this query's output must be
+    row-for-row IDENTICAL to the unscreened dedup_incremental, so it
+    carries the SAME oracle (ORACLE_DEDUP_INCREMENTAL) — the driver
+    hash-compares the screened plan against the unscreened semantics.
+    The pruning itself (the point of the screen: novel docs skip the
+    join entirely) is pytest-pinned."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    survivors = (
+        bloom_screen(batch, bloom_build(corpus))
+        .where(F.col("bloom_seen"))
+        .select("doc_id")
+    )
+    return dedup_against_corpus(batch, corpus, exact_candidates=survivors)
 
 
 def nightly_bloom_update(
@@ -3748,6 +3793,7 @@ QUERIES = {
     "dedup_bloom_filter_table": dedup_bloom_filter_table,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_novelty_score": dedup_novelty_score,
+    "dedup_incremental_screened": dedup_incremental_screened,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
@@ -3795,6 +3841,9 @@ ORACLE = {
     "dedup_bloom_filter_table": ORACLE_BLOOM_FILTER_TABLE,
     "dedup_incremental_bloom": ORACLE_INCREMENTAL_BLOOM,
     "dedup_novelty_score": ORACLE_NOVELTY_SCORE,
+    # the screened pipeline's contract IS the unscreened semantics
+    # (Bloom no-false-negative theorem) — same oracle by design
+    "dedup_incremental_screened": ORACLE_DEDUP_INCREMENTAL,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,

@@ -97,5 +97,44 @@ def read_cms_table(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def start_bloom_maintenance(
+    spark: SparkSession, sf_dir: str, table_path: str, checkpoint: str
+):
+    """Streaming maintenance of the Bloom membership filter — the
+    third mergeable-sketch streaming leg (histogram: sum, CMS: sum,
+    Bloom: bit_or). Each micro-batch appends its own partial
+    ``(word, bits)`` filter; the read path OR-merges per word.
+    bit_or is additionally IDEMPOTENT, so this leg tolerates
+    re-delivered epochs with no resolution step at all — a replayed
+    append changes nothing in the merged view."""
+    from mpi_mapreduce_spark.operators.dedup import bloom_build
+
+    def upd(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bloom_build(batch_df).write.mode("append").parquet(table_path)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/documents.parque[t]")
+        .writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_bloom_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Canonical view of the appended filter partials: bit_or per
+    word — directly servable to operators.dedup.bloom_screen."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 QUERIES: dict = {}
 ORACLE: dict = {}

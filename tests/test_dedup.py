@@ -1519,3 +1519,29 @@ def test_novelty_score_planted_semantics(spark):
     # 6-decimal quantization)
     for _id, (nov, n, k) in got.items():
         assert abs(nov - k / n) <= 5e-7
+
+
+def test_screened_incremental_matches_unscreened_and_prunes(spark, sf_dir):
+    """The screened pipeline's two contracts: (1) output identical to
+    the unscreened dedup_incremental (the Bloom no-false-negative
+    theorem, also driver-attested — same oracle); (2) the screen
+    actually PRUNES: the exact leg's candidate set is a strict subset
+    of the batch whenever any batch doc is truly novel."""
+    screened = {
+        tuple(r) for r in D.dedup_incremental_screened(spark, sf_dir).collect()
+    }
+    plain = {tuple(r) for r in D.dedup_incremental(spark, sf_dir).collect()}
+    assert screened == plain and screened
+
+    docs = D._docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    n_batch = batch.count()
+    n_survivors = (
+        D.bloom_screen(batch, D.bloom_build(corpus))
+        .where(F.col("bloom_seen"))
+        .count()
+    )
+    # on this fixture most batch docs are novel — the screen must cut
+    # the exact join's left side hard (any FP-rate under ~50% would)
+    assert n_survivors < n_batch / 2, (n_survivors, n_batch)

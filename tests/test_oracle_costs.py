@@ -54,6 +54,10 @@ EXCLUDED_SF01 = {
     # restricted to batch×corpus pairs (r7 addition)
     "dedup_incremental_embedding_validate",
     "dedup_incremental",
+    # shares ORACLE_DEDUP_INCREMENTAL verbatim (the screened pipeline's
+    # contract IS the unscreened semantics) — same quadratic oracle,
+    # same exclusion (r8 late addition)
+    "dedup_incremental_screened",
     "dedup_incremental_minhash_validate",
     "dedup_minhash_lsh_validate",
     "dedup_ngram_jaccard",

@@ -239,3 +239,27 @@ def test_streaming_cms_maintenance_equals_batch(spark, sf_dir, tmp_path):
         for r in SK.cms_build(SK._doc_tokens(spark, sf_dir)).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_streaming_bloom_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Appended per-micro-batch Bloom partials OR-merge to exactly
+    the batch-built filter, and the merged view serves bloom_screen
+    identically (the streamed filter IS the stored artifact)."""
+    from mpi_mapreduce_spark.operators import dedup as D
+    from mpi_mapreduce_spark.streaming.sketch_maintain import (
+        read_bloom_table,
+        start_bloom_maintenance,
+    )
+
+    table = str(tmp_path / "bloom")
+    q = start_bloom_maintenance(spark, sf_dir, table, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = load_table(spark, sf_dir, "documents")
+    streamed = {
+        (r.word, r.bits) for r in read_bloom_table(spark, table).collect()
+    }
+    batch = {(r.word, r.bits) for r in D.bloom_build(docs).collect()}
+    assert streamed == batch and streamed
