@@ -1065,6 +1065,142 @@ ORACLE_NOVELTY_SCORE = f"""
 """
 
 
+def novelty_scores_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Novelty estimated against a Bloom filter of the CORPUS SHINGLE
+    SET instead of the shingle set itself — the membership sketch
+    generalized from doc-level to feature-level screening. At 100 TB
+    the exact path's ``seen`` table is the corpus's distinct shingles
+    (same order of magnitude as the corpus); this path replaces it
+    with a fixed-size filter a nightly job maintains by bit_or append.
+    Bloom false positives mark some truly-novel shingles as seen, so
+    the estimate can only UNDERESTIMATE novelty — never inflate it
+    (n_novel_est ≤ n_novel, pytest-pinned against the exact op; the
+    expected gap is the measured FP curve, SCALING.md round-8)."""
+    filt = bloom_build(
+        corpus.transform(shingle_rows).select("s"),
+        key_col="s",
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    )
+    probes = (
+        shingle_rows(batch)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.array(*_bloom_positions(F.col("s"), m_bits, n_hashes))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.floor(F.col("pos") / F.lit(BLOOM_WORD_BITS))
+            .cast("long")
+            .alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).cast("int").alias("bit"),
+        )
+    )
+    shingle_seen = (
+        probes.join(filt, "word", "left")
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                "CAST((shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit)"
+                " & 1) = 1 AS INT)"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "s")
+        .agg((F.min("hit") == 1).alias("seen"))
+    )
+    agg = shingle_seen.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(~F.col("seen"), 1).otherwise(0)).alias("n_novel_est"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel_est",
+        ex.quantize(
+            F.col("n_novel_est").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty_est"),
+    )
+
+
+def dedup_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: Bloom-approximated novelty of the standing
+    batch split — fully hash-attested (the shingle-level md5/bit
+    arithmetic is mirrored literally in DuckDB, like the doc-level
+    filter)."""
+    docs = _docs(spark, sf_dir)
+    return novelty_scores_bloom(
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0),
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0),
+    )
+
+
+ORACLE_NOVELTY_BLOOM = f"""
+    WITH sh0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= {SHINGLE_N}
+                  THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
+                       i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                  ELSE [array_to_string(tok, ' ')] END AS sh
+      FROM sh0
+    ), cshingle AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh
+      WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ), ch AS (
+      SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
+      FROM cshingle
+    ), cpos AS (
+      SELECT (h1 + i * h2) % {BLOOM_BITS} AS pos
+      FROM ch CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i)
+    ), bloom AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS word,
+             bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS bits
+      FROM cpos GROUP BY 1
+    ), bshingle AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+      WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ), bprobe AS (
+      SELECT doc_id, s,
+             (('0x' || substr(md5(s), 1, 15))::BIGINT
+              + i * ('0x' || substr(md5(s), 17, 15))::BIGINT)
+               % {BLOOM_BITS} AS pos
+      FROM bshingle CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i)
+    ), hits AS (
+      SELECT p.doc_id, p.s,
+             CASE WHEN b.bits IS NOT NULL
+                   AND ((b.bits >> (p.pos % {BLOOM_WORD_BITS})::INT) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM bprobe p
+      LEFT JOIN bloom b ON p.pos // {BLOOM_WORD_BITS} = b.word
+    ), sseen AS (
+      SELECT doc_id, s, MIN(hit) = 1 AS seen FROM hits GROUP BY doc_id, s
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_est
+      FROM sseen GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel_est,
+           ROUND((n_novel_est::DOUBLE / n_shingles) * 1000000.0) / 1000000.0
+             AS novelty_est
+    FROM agg
+"""
+
+
 def dedup_incremental_screened(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3793,6 +3929,7 @@ QUERIES = {
     "dedup_bloom_filter_table": dedup_bloom_filter_table,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_novelty_score": dedup_novelty_score,
+    "dedup_novelty_bloom": dedup_novelty_bloom,
     "dedup_incremental_screened": dedup_incremental_screened,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
@@ -3841,6 +3978,7 @@ ORACLE = {
     "dedup_bloom_filter_table": ORACLE_BLOOM_FILTER_TABLE,
     "dedup_incremental_bloom": ORACLE_INCREMENTAL_BLOOM,
     "dedup_novelty_score": ORACLE_NOVELTY_SCORE,
+    "dedup_novelty_bloom": ORACLE_NOVELTY_BLOOM,
     # the screened pipeline's contract IS the unscreened semantics
     # (Bloom no-false-negative theorem) — same oracle by design
     "dedup_incremental_screened": ORACLE_DEDUP_INCREMENTAL,

@@ -1545,3 +1545,23 @@ def test_screened_incremental_matches_unscreened_and_prunes(spark, sf_dir):
     # on this fixture most batch docs are novel — the screen must cut
     # the exact join's left side hard (any FP-rate under ~50% would)
     assert n_survivors < n_batch / 2, (n_survivors, n_batch)
+
+
+def test_novelty_bloom_never_inflates_novelty(spark, sf_dir):
+    """The feature-level screen's one-sided error: Bloom FPs mark
+    truly-novel shingles as seen, so per doc n_novel_est ≤ n_novel
+    and novelty_est ≤ novelty (to the shared quantization). Shingle
+    counts must agree exactly."""
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_novel)
+        for r in D.dedup_novelty_score(spark, sf_dir).collect()
+    }
+    est = {
+        r.doc_id: (r.n_shingles, r.n_novel_est)
+        for r in D.dedup_novelty_bloom(spark, sf_dir).collect()
+    }
+    assert est.keys() == exact.keys() and est
+    for doc_id, (n, k_est) in est.items():
+        n_exact, k_exact = exact[doc_id]
+        assert n == n_exact
+        assert k_est <= k_exact, (doc_id, k_est, k_exact)
