@@ -380,6 +380,53 @@ ORACLE_CMS_HEAVY_HITTERS = _CMS_CTE + f"""
 """
 
 
+def nightly_cms_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, table_dir: str
+):
+    """The CMS leg of the nightly maintenance family (text signatures,
+    embedding buckets, IVF cells, Bloom filter, and this frequency
+    table — one callable per maintained index): the ingest LEDGER
+    picks up tonight's new document files, the batch's partial d×w
+    cell counts are appended under ``batch=<bkey>``, and the ledger
+    commits LAST (sources/io.py protocol). Crash-replay safety is the
+    keyed overwrite: a replayed night rewrites its own partition
+    rather than double-appending, so the summed read (cms_merge over
+    all partitions) stays exact. Returns (tonight's partial sketch —
+    or None when nothing is new, list of ingested files)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.functions.text import tokens
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    bkey = "b" + hashlib.sha256(
+        "\n".join(sorted(files)).encode()
+    ).hexdigest()[:16]
+    partial = cms_build(
+        batch.select(F.explode(tokens(F.col("text"))).alias("term"))
+    ).localCheckpoint()
+    partial.write.mode("overwrite").parquet(
+        os.path.join(table_dir, f"batch={bkey}")
+    )
+    record_ingested(spark, ledger_dir, files)
+    return partial, files
+
+
+def read_nightly_cms(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Serving view of the nightly partials: sum per (j, c)."""
+    return cms_merge(
+        spark.read.parquet(table_dir).select("j", "c", "cnt")
+    )
+
+
 QUERIES = {
     "events_hll_user_rollup": events_hll_user_rollup,
     "events_quantile_sketch": events_quantile_sketch,

@@ -263,3 +263,92 @@ def test_streaming_bloom_maintenance_equals_batch(spark, sf_dir, tmp_path):
     }
     batch = {(r.word, r.bits) for r in D.bloom_build(docs).collect()}
     assert streamed == batch and streamed
+
+
+def test_nightly_cms_two_nights_and_crash_replay(spark, sf_dir, tmp_path):
+    """Two nights of partials sum to the one-pass sketch over both
+    nights' docs; a crash between the partition write and the ledger
+    commit replays with an overwrite (same summed view, no growth);
+    a third clean run is a no-op."""
+    import os
+    import shutil
+
+    from mpi_mapreduce_spark.functions.text import tokens
+    from mpi_mapreduce_spark.operators.sketches import (
+        nightly_cms_update,
+        read_nightly_cms,
+    )
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    table = str(tmp_path / "cms")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / "stage"))
+            if f.endswith(".parquet")
+        )
+        os.replace(str(tmp_path / "stage" / part), os.path.join(src, name))
+
+    drop("n1.parquet", [(1, "aa bb aa"), (2, "cc dd")])
+    p1, f1 = nightly_cms_update(spark, src, ledger, table)
+    assert p1 is not None and len(f1) == 1
+
+    drop("n2.parquet", [(3, "aa ee"), (4, "ff")])
+    p2, f2 = nightly_cms_update(spark, src, ledger, table)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+
+    merged = {
+        (r.j, r.c): r.cnt for r in read_nightly_cms(spark, table).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc dd"), (3, "aa ee"), (4, "ff")],
+        "doc_id long, text string",
+    )
+    direct = {
+        (r.j, r.c): r.cnt
+        for r in SK.cms_build(
+            all_docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        ).collect()
+    }
+    assert merged == direct
+
+    # a third clean run is a no-op
+    p3, f3 = nightly_cms_update(spark, src, ledger, table)
+    assert p3 is None and f3 == []
+
+    # crash replay, sibling-test shape: ONE night ingested, the
+    # partition written, the ledger commit lost — the replay carries
+    # the SAME file set, hence the same batch key, hence a keyed
+    # overwrite: the summed view is unchanged and the table does not
+    # grow
+    src2 = str(tmp_path / "src2")
+    ledger2 = str(tmp_path / "ledger2")
+    table2 = str(tmp_path / "cms2")
+    os.makedirs(src2)
+    spark.createDataFrame(
+        [(1, "xx yy xx")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    part = next(
+        f
+        for f in os.listdir(str(tmp_path / "stage2"))
+        if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "stage2" / part), os.path.join(src2, "n1.parquet"))
+    q1, _ = nightly_cms_update(spark, src2, ledger2, table2)
+    first = {
+        (r.j, r.c): r.cnt for r in read_nightly_cms(spark, table2).collect()
+    }
+    n_rows = spark.read.parquet(table2).count()
+    shutil.rmtree(ledger2)
+    q2, g2 = nightly_cms_update(spark, src2, ledger2, table2)
+    assert [os.path.basename(f) for f in g2] == ["n1.parquet"]
+    assert {
+        (r.j, r.c): r.cnt for r in read_nightly_cms(spark, table2).collect()
+    } == first
+    assert spark.read.parquet(table2).count() == n_rows
