@@ -238,3 +238,105 @@ def test_duplicated_spans_match_python_reference(spark, docs, n):
             if p is not None:
                 run.append(p)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 sketch invariants: Bloom packing + no-FN, CMS never-undercount
+# ---------------------------------------------------------------------------
+
+_word = st.text(
+    alphabet=st.characters(
+        min_codepoint=ord("a"), max_codepoint=ord("z")
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bloom_py_reference(texts):
+    """Packed (word, bits) dict computed the oracle's way in pure
+    python — the third independent implementation of the md5
+    double-hashing (Spark expressions, DuckDB SQL, this)."""
+    import hashlib
+
+    from mpi_mapreduce_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_WORD_BITS,
+    )
+
+    words: dict[int, int] = {}
+    for t in set(texts):
+        h = hashlib.md5(t.encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[16:31], 16)
+        for i in range(BLOOM_HASHES):
+            pos = (h1 + i * h2) % BLOOM_BITS
+            w, b = pos // BLOOM_WORD_BITS, pos % BLOOM_WORD_BITS
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(_word, min_size=1, max_size=25),
+    batch=st.lists(_word, min_size=1, max_size=10),
+)
+def test_bloom_packing_matches_reference_and_never_misses(
+    spark, corpus, batch
+):
+    from mpi_mapreduce_spark.operators import dedup as D
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    filt = D.bloom_build(cdf)
+    got = {(r.word, r.bits) for r in filt.collect()}
+    want = {(w, b) for w, b in _bloom_py_reference(corpus).items()}
+    assert got == want
+    seen = {r.doc_id: r.bloom_seen for r in D.bloom_screen(bdf, filt).collect()}
+    members = set(corpus)
+    for i, t in enumerate(batch):
+        if t in members:
+            assert seen[i], (t, "false negative")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=st.lists(_word, min_size=1, max_size=60))
+def test_cms_matches_reference_and_never_undercounts(spark, toks):
+    import hashlib
+    from collections import Counter
+
+    from mpi_mapreduce_spark.operators import sketches as SK
+
+    tdf = spark.createDataFrame([(t,) for t in toks], "term string")
+    got = {(r.j, r.c): r.cnt for r in SK.cms_build(tdf).collect()}
+    want: dict[tuple[int, int], int] = {}
+    for t in toks:
+        for j in range(SK.CMS_DEPTH):
+            h = hashlib.md5(f"{j}:{t}".encode()).hexdigest()
+            c = int(h[:15], 16) % SK.CMS_WIDTH
+            want[(j, c)] = want.get((j, c), 0) + 1
+    assert got == want
+    for t, n in Counter(toks).items():
+        est = min(
+            got[
+                (
+                    j,
+                    int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
+                    % SK.CMS_WIDTH,
+                )
+            ]
+            for j in range(SK.CMS_DEPTH)
+        )
+        assert est >= n
