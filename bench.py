@@ -72,6 +72,12 @@ HEADLINE = [
     # headline plan
     "dedup_incremental_embedding",
     "embedding_bucket_index",
+    # round 8 late: one representative per new family — the Bloom
+    # screen (membership pre-pass), the CMS table build (frequency
+    # summary), and the MMR re-rank (diversified serving)
+    "dedup_incremental_bloom",
+    "text_cms_sketch",
+    "ann_mmr_topk",
 ]
 
 
