@@ -770,3 +770,24 @@ def test_mmr_diversifies_planted_clusters(spark):
     assert all(10 <= v < 20 for v in knn3), knn3  # kNN: all cluster A
     assert any(v >= 30 for v in mmr3), mmr3  # MMR escapes by rank 3
     assert 10 <= mmr3[0] < 20  # rank 1 still pure relevance
+
+
+def test_mmr_fewer_candidates_than_k(spark):
+    """A query whose shortlist is smaller than k must return every
+    candidate once, still relevance-first — the greedy's min(k, n)
+    bound, and the applyInPandas schema under a short group."""
+    import numpy as np
+
+    dim = 8
+    rows = [(0, ([1.0] + [0.0] * (dim - 1)))]
+    for i in range(3):  # only 3 candidates, k defaults to 10
+        v = np.zeros(dim); v[0] = 1.0; v[1 + i] = 0.5
+        rows.append((10 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = S.normalized_corpus(emb)
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = S.mmr_rerank(corpus, queries).orderBy("rank").collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert len({r.vec_id for r in out}) == 3
