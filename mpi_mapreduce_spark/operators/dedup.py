@@ -1065,10 +1065,22 @@ ORACLE_NOVELTY_SCORE = f"""
 """
 
 
+#: shingle-level filter size — a SEPARATE knob from the doc-level
+#: BLOOM_BITS because the key population is ~50× larger (every
+#: distinct word-3-gram, not every distinct text). 2^22 bits keeps
+#: the fixture corpora (15k-27k shingles) at ≲0.03 load → FP ≈ 0,
+#: i.e. the registered query is near-exact; the 100k sweep sizes m
+#: by the same bits/key formula (SCALING.md round-8: 2^26 at 5.2M
+#: shingles). An undersized filter is not WRONG — the error stays
+#: one-sided — but a saturated one estimates novelty ≈ 0 everywhere,
+#: which is useless for ranking.
+NOVELTY_BLOOM_BITS = 1 << 22
+
+
 def novelty_scores_bloom(
     batch: DataFrame,
     corpus: DataFrame,
-    m_bits: int = BLOOM_BITS,
+    m_bits: int = NOVELTY_BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """Novelty estimated against a Bloom filter of the CORPUS SHINGLE
@@ -1164,7 +1176,7 @@ ORACLE_NOVELTY_BLOOM = f"""
              ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
       FROM cshingle
     ), cpos AS (
-      SELECT (h1 + i * h2) % {BLOOM_BITS} AS pos
+      SELECT (h1 + i * h2) % {NOVELTY_BLOOM_BITS} AS pos
       FROM ch CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i)
     ), bloom AS (
       SELECT pos // {BLOOM_WORD_BITS} AS word,
@@ -1177,7 +1189,7 @@ ORACLE_NOVELTY_BLOOM = f"""
       SELECT doc_id, s,
              (('0x' || substr(md5(s), 1, 15))::BIGINT
               + i * ('0x' || substr(md5(s), 17, 15))::BIGINT)
-               % {BLOOM_BITS} AS pos
+               % {NOVELTY_BLOOM_BITS} AS pos
       FROM bshingle CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i)
     ), hits AS (
       SELECT p.doc_id, p.s,
