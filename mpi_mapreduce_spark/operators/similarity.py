@@ -257,6 +257,7 @@ def mmr_rerank(
     queries: DataFrame,
     k: int = TOP_K,
     shortlist: int = MMR_SHORTLIST,
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-rank (Carbonell & Goldstein
     1998): per query, greedily pick k of the top-``shortlist`` exact
@@ -276,7 +277,15 @@ def mmr_rerank(
     DuckDB's (functions/exact.py), and ties break on vec_id — the
     DuckDB oracle replays the identical recursion as a recursive CTE
     with a LATERAL argmax."""
-    short = knn_topk(corpus, queries, k=shortlist)
+    # serving composition: pass ``shortlist_df`` (query_id, vec_id,
+    # cosine — e.g. an ANN result) and the exact-scan relevance pass
+    # is skipped entirely; the greedy diversifies whatever shortlist
+    # the caller's index produced (subset/diversity pytest-pinned)
+    short = (
+        knn_topk(corpus, queries, k=shortlist)
+        if shortlist_df is None
+        else shortlist_df
+    )
     cand = short.select(
         "query_id", "vec_id", F.col("cosine").alias("rel")
     ).join(corpus, "vec_id")

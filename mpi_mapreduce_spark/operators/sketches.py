@@ -289,7 +289,9 @@ def text_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_build(_doc_tokens(spark, sf_dir))
 
 
-def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, cms: DataFrame | None = None
+) -> DataFrame:
     """Registered read-side query: the exact top-CMS_TOPK terms (by
     true count, term as the deterministic tiebreak) with their CMS
     estimates — the sketch's accuracy contract attested in the
@@ -313,7 +315,11 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= CMS_TOPK)
         .drop("rk")
     )
-    sketch = cms_build(toks)
+    # stored-serving contract (same as the ANN-LSH / IVF / Bloom
+    # stored paths): pass the persisted text_cms_sketch artifact (or
+    # the summed nightly/streaming view) and the read side never
+    # rebuilds the table — stored-vs-recomputed equality pytest-pinned
+    sketch = cms_build(toks) if cms is None else cms
     probes = topk.select(
         "term",
         "exact_cnt",

@@ -791,3 +791,29 @@ def test_mmr_fewer_candidates_than_k(spark):
     out = S.mmr_rerank(corpus, queries).orderBy("rank").collect()
     assert [r.rank for r in out] == [1, 2, 3]
     assert len({r.vec_id for r in out}) == 3
+
+
+def test_mmr_over_ann_shortlist(spark, sf_dir):
+    """The production serving composition: MMR diversifies an
+    ANN-produced shortlist instead of the exact scan. Contracts:
+    every pick comes from the supplied shortlist, rank 1 is the
+    shortlist's top relevance, k rows per query (or the whole
+    shortlist when shorter)."""
+    corpus, queries, dim = S._table_corpus_queries(spark, sf_dir)
+    ann = S.ann_lsh(corpus, queries, dim, k=S.MMR_SHORTLIST)
+    out = S.mmr_rerank(corpus, queries, shortlist_df=ann).collect()
+    short = {(r.query_id, r.vec_id): r.cosine for r in ann.collect()}
+    byq = {}
+    for r in out:
+        byq.setdefault(r.query_id, []).append(r)
+    for qid, rows in byq.items():
+        rows.sort(key=lambda r: r.rank)
+        n_short = sum(1 for (q, _v) in short if q == qid)
+        assert len(rows) == min(S.TOP_K, n_short)
+        for r in rows:
+            assert (qid, r.vec_id) in short
+            assert r.relevance == short[(qid, r.vec_id)]
+        top_rel = max(
+            (c, -v) for (q, v), c in short.items() if q == qid
+        )
+        assert rows[0].relevance == top_rel[0]

@@ -352,3 +352,17 @@ def test_nightly_cms_two_nights_and_crash_replay(spark, sf_dir, tmp_path):
         (r.j, r.c): r.cnt for r in read_nightly_cms(spark, table2).collect()
     } == first
     assert spark.read.parquet(table2).count() == n_rows
+
+
+def test_cms_heavy_hitters_stored_sketch_matches_recomputed(spark, sf_dir):
+    """Stored-serving contract: reading estimates from the persisted
+    text_cms_sketch artifact yields exactly the rebuilt-sketch rows."""
+    stored = SK.text_cms_sketch(spark, sf_dir)
+    via_stored = {
+        tuple(r)
+        for r in SK.text_cms_heavy_hitters(spark, sf_dir, cms=stored).collect()
+    }
+    recomputed = {
+        tuple(r) for r in SK.text_cms_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert via_stored == recomputed and recomputed
