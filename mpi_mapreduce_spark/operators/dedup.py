@@ -3817,6 +3817,72 @@ def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     )
 
 
+def incremental_span_rows(
+    batch: DataFrame, corpus: DataFrame, n: int = SPAN_N
+) -> DataFrame:
+    """The INCREMENTAL form of :func:`duplicated_span_rows` — the
+    fifth modality of the batch-vs-corpus family (exact text, MinHash,
+    embedding, Bloom membership, and now substring spans): maximal
+    runs of tonight's batch tokens covered by an ``n``-gram that
+    ALREADY APPEARS in the historical corpus. This is Lee et al. 2021
+    span removal as a nightly job: the corpus is touched only through
+    its distinct gram vocabulary (at 100 TB a stored xxhash64(gram)
+    index the batch semi-joins — same contract as the MinHash
+    signature and embedding bucket indexes; the string key here keeps
+    the DuckDB-checkable property), work ∝ batch grams + one probe
+    join, no pairwise term, and intra-batch repeats deliberately do
+    NOT flag (they are the full-corpus op's job when the batch is
+    folded in).
+
+    Same islands/merge tail as the full op; same (doc_id) partitioning
+    reuse across the two window passes."""
+    occ = positional_ngram_rows(batch, n).where(F.col("glen") == n)
+    seen = (
+        positional_ngram_rows(corpus, n)
+        .where(F.col("glen") == n)
+        .select("s")
+        .distinct()
+    )
+    starts = occ.join(seen, "s").select("doc_id", "q")
+    w = W.partitionBy("doc_id").orderBy("q")
+    flagged = starts.select(
+        "doc_id",
+        "q",
+        F.when(F.col("q") - F.lag("q", 1).over(w) <= n, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "q",
+        F.sum("brk")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("q").cast("long").alias("span_start"),
+        (F.max("q") + F.lit(n) - 1).cast("long").alias("span_end"),
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def dedup_incremental_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered incremental-substring query over the standing
+    INCR_BATCH_MOD split."""
+    docs = _docs(spark, sf_dir)
+    return incremental_span_rows(
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0),
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0),
+    )
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`duplicated_span_rows` over documents."""
     return duplicated_span_rows(_docs(spark, sf_dir))
@@ -3870,6 +3936,45 @@ _SUBSTRING_SPANS_CTE = f"""
       FROM isl GROUP BY doc_id, island
     )
 """
+
+ORACLE_INCREMENTAL_SUBSTRING = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(tok) - {SPAN_N - 1}),
+                    i -> {{'q': i, 's': {_ngram_concat_sql(SPAN_N)}}}),
+                    recursive := true)
+      FROM toks WHERE len(tok) >= {SPAN_N}
+    ), seen AS (
+      SELECT DISTINCT s FROM grams WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ), starts AS (
+      SELECT doc_id, q FROM grams JOIN seen USING (s)
+      WHERE doc_id % {INCR_BATCH_MOD} = 0
+    ), flagged AS (
+      SELECT doc_id, q,
+             CASE WHEN q - lag(q) OVER (PARTITION BY doc_id ORDER BY q)
+                       <= {SPAN_N}
+                  THEN 0 ELSE 1 END AS brk
+      FROM starts
+    ), isl AS (
+      SELECT doc_id, q,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY q
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id,
+             CAST(MIN(q) AS BIGINT) AS span_start,
+             CAST(MAX(q) + {SPAN_N - 1} AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+"""
+
 
 ORACLE_SUBSTRING_SPANS = _SUBSTRING_SPANS_CTE + """
     SELECT doc_id, span_start, span_end,
@@ -3943,6 +4048,7 @@ QUERIES = {
     "dedup_novelty_score": dedup_novelty_score,
     "dedup_novelty_bloom": dedup_novelty_bloom,
     "dedup_incremental_screened": dedup_incremental_screened,
+    "dedup_incremental_substring": dedup_incremental_substring,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
@@ -3994,6 +4100,7 @@ ORACLE = {
     # the screened pipeline's contract IS the unscreened semantics
     # (Bloom no-false-negative theorem) — same oracle by design
     "dedup_incremental_screened": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_substring": ORACLE_INCREMENTAL_SUBSTRING,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,

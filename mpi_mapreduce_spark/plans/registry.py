@@ -204,11 +204,12 @@ _ROUND_PRIORITY = [
 # With this window every registered query's newest green driver row
 # will be round 5+ (r5:39 / r6:45 / r7:50 / r8:50 less overlaps —
 # recompute from CORRECTNESS_r01..r08 as always); the rows-only LSH
-# paths stay green-by-twin per their contract. The nine r8 late
+# paths stay green-by-twin per their contract. The ten r8 late
 # additions (ann_lsh_bucket_table, dedup_bloom_filter_table,
 # dedup_incremental_bloom, text_cms_sketch, text_cms_heavy_hitters,
 # dedup_novelty_score, ann_mmr_topk, dedup_incremental_screened,
-# dedup_novelty_bloom — all registered after the window froze) follow
+# dedup_novelty_bloom, dedup_incremental_substring — all registered
+# after the window froze) follow
 # the established late-addition handling: builder-attested this round
 # (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
 # tools/rehearse.py + the oracle harness), FIRST IN LINE for the

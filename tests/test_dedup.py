@@ -1565,3 +1565,31 @@ def test_novelty_bloom_never_inflates_novelty(spark, sf_dir):
         n_exact, k_exact = exact[doc_id]
         assert n == n_exact
         assert k_est <= k_exact, (doc_id, k_est, k_exact)
+
+
+def test_incremental_substring_planted_semantics(spark):
+    """Incremental span contract on a planted split: a batch doc
+    sharing a ≥SPAN_N-token passage with a CORPUS doc gets exactly
+    that maximal span; a passage shared only WITHIN the batch does
+    not flag (intra-batch is the full op's job); a fully novel batch
+    doc yields no rows."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens ≥ SPAN_N=8
+    intra = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    corpus = spark.createDataFrame(
+        [(1, f"c-lead {shared} c-tail"),
+         (2, "corpus filler words only here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"b-lead-a b-lead-b {shared} b-tail"),  # cross-split
+            (20, f"x-a x-b {intra} x-c"),  # intra-batch only
+            (30, f"y-a y-b {intra} y-c"),
+            (40, "completely novel material with no repeats anywhere ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.incremental_span_rows(batch, corpus).collect()
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in rows}
+    # doc 10: tokens 2..11 are the shared passage
+    assert got == {10: (2, 11, 10)}
