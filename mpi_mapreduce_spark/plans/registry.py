@@ -116,104 +116,90 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-8 window (the driver checks the first DRIVER_CAP registered
+#: Round-9 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build). Keeps the
-#: ≤3-round freshness invariant: the 37 queries whose newest green
-#: driver row is round 4 (MapReduce parity, the TPC-H q1/q3 block,
-#: BM25/DSIR/BPE, the substring family, PQ/k-means/int8 artifacts)
-#: ALL rotate in alongside the round's new and changed queries, so
-#: after round 8 no query's newest green row predates round 5.
-#: - late additions, first as promised by the r7 window note (2):
-#:   dedup_incremental_embedding + its validate twin.
-#: - NEW this round (4): embedding_bucket_index (the stored LSH index
-#:   artifact, full sign-hyperplane oracle), ann_ivf_centroids (the
-#:   IVF quantizer artifact, full quantized-Lloyd training mirror),
-#:   ann_ivf_assign_batch (incremental cell assignment against the
-#:   stored quantizer), ann_ivf_cells (the inverted FILE — the celled
-#:   corpus ann_ivf's probe join scans).
-#: - re-attest of changed code (1): ann_ivf_topk — ivf_centroids
-#:   switched to the md5-sampled quantized training and _cell_expr to
-#:   the quantized argmax, so its plan and cell geometry changed.
-#: - rotation (37): the entire round-4 tier.
-#: - fillers (6): round-5 tier, changed-code adjacency + spread —
-#:   ann_pq_topk (similarity family, same file as the IVF rework),
-#:   dedup_ngram_jaccard + dedup_canonical_corpus +
-#:   pipeline_canonical_containment (the three heaviest dedup plans),
-#:   customer_name_fuzzy_pairs (watch-list: sf0.1 oracle near the
-#:   budget floor), window_topk_suppliers. (q2_min_cost_supplier was
-#:   the seventh filler until the late-added ann_ivf_cells claimed
-#:   its slot — new queries outrank discretionary fillers; q2's
-#:   newest green row is round 5, inside the freshness invariant.)
+#: ≤3-round freshness invariant: after round 9 no query's newest
+#: green driver row predates round 6.
+#: - late additions from round 8, attest first as promised by the r8
+#:   window note (10): the Bloom/CMS/novelty/substring/screened
+#:   families, ann_lsh_bucket_table, ann_mmr_topk — all
+#:   builder-attested at 3 scales last round and independently
+#:   verified by the judge 10/10 at sf0.01, but never driver-sampled.
+#:   dedup_incremental_substring is ALSO changed code this round (it
+#:   now serves from the stored substring_gram_index artifact instead
+#:   of re-deriving the corpus gram vocabulary per run), so its slot
+#:   doubles as the re-attest.
+#: - rotation (40): the entire round-5 tier — the TPC-H q2–q19
+#:   block, the join family, cube/rollup/pivot/grouping-sets/unpivot,
+#:   percentiles/distinct/topk/setops, the containment + capped
+#:   Jaccard + CC dedup trio, window deltas — derived by newest-green
+#:   over CORRECTNESS_r01..r08 (exactly 40 queries; 10 + 40 fills the
+#:   window precisely, so there are no discretionary fillers this
+#:   round).
 _ROUND_PRIORITY = [
-    # -- r7 late additions: attest first (2) --
-    "dedup_incremental_embedding",
-    "dedup_incremental_embedding_validate",
-    # -- new this round (4) --
-    "embedding_bucket_index",
-    "ann_ivf_centroids",
-    "ann_ivf_assign_batch",
-    "ann_ivf_cells",
-    # -- changed this round: re-attest (1) --
-    "ann_ivf_topk",
-    # -- rotation: newest green row is round 4 (37) --
-    "map1_charclass",
-    "map2_letterfreq",
-    "map3_synthetic",
-    "wordcount",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "text_bm25_topk",
-    "training_dsir_resample",
-    "training_quality_logreg",
-    "training_epoch_shard",
-    "training_shard_manifest",
-    "training_split_cluster_safe",
-    "text_boilerplate_strip",
-    "text_bpe_encode",
-    "text_bpe_fertility_by_lang",
-    "text_bpe_train_merges",
-    "text_unigram_entropy",
-    "dedup_embedding",
-    "dedup_embedding_auto",
-    "dedup_semantic",
-    "dedup_repeated_ngrams",
-    "dedup_substring_spans",
-    "dedup_substring_stats",
-    "dedup_substring_strip",
-    "ann_int8_topk",
-    "embedding_covariance",
-    "embedding_hard_negatives",
-    "embedding_int8_quantize",
-    "embedding_kmeans",
-    "embedding_pq_codes",
-    "events_quantile_sketch",
-    "events_seasonal_profile",
-    "events_user_value_ewma",
-    "dq_skew_report_events",
-    "multimodal_audio_decimate",
-    "multimodal_pixel_histogram",
-    "parts_abc_revenue",
-    # -- fillers: round-5 tier, adjacency + spread (6) --
-    "ann_pq_topk",
-    "dedup_ngram_jaccard",
-    "dedup_canonical_corpus",
-    "pipeline_canonical_containment",
-    "customer_name_fuzzy_pairs",
-    "window_topk_suppliers",
+    # -- r8 late additions: attest first (10) --
+    "ann_lsh_bucket_table",
+    "ann_mmr_topk",
+    "dedup_bloom_filter_table",
+    "dedup_incremental_bloom",
+    "dedup_incremental_screened",
+    "dedup_incremental_substring",
+    "dedup_novelty_bloom",
+    "dedup_novelty_score",
+    "text_cms_heavy_hitters",
+    "text_cms_sketch",
+    # -- rotation: newest green row is round 5 (40) --
+    "cube_order_stats",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_ngram_jaccard_capped",
+    "distinct_counts",
+    "events_json_stats",
+    "grouping_sets_pricing",
+    "join_anti_idle_customers",
+    "join_broadcast_part",
+    "join_range_price_band",
+    "join_semi_active_customers",
+    "orders_by_month",
+    "orders_metrics_unpivot",
+    "percentile_order_prices",
+    "pivot_linestatus",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_pricing",
+    "setops_customer_cohorts",
+    "sql_customer_max_order",
+    "sql_q4_order_priority",
+    "string_functions_showcase",
+    "topk_orders",
+    "window_event_deltas",
+    "window_running_customer_spend",
 ]
 # With this window every registered query's newest green driver row
-# will be round 5+ (r5:39 / r6:45 / r7:50 / r8:50 less overlaps —
-# recompute from CORRECTNESS_r01..r08 as always); the rows-only LSH
-# paths stay green-by-twin per their contract. The ten r8 late
-# additions (ann_lsh_bucket_table, dedup_bloom_filter_table,
-# dedup_incremental_bloom, text_cms_sketch, text_cms_heavy_hitters,
-# dedup_novelty_score, ann_mmr_topk, dedup_incremental_screened,
-# dedup_novelty_bloom, dedup_incremental_substring — all registered
-# after the window froze) follow
-# the established late-addition handling: builder-attested this round
-# (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
-# tools/rehearse.py + the oracle harness), FIRST IN LINE for the
-# round-9 window.
+# will be round 6+ (r6:45 / r7:49 / r8:50 / r9:50 less overlaps —
+# recompute from CORRECTNESS_r01..r09 as always); the rows-only LSH
+# paths stay green-by-twin per their contract. Queries REGISTERED in
+# round 9 after this window froze (the substring_gram_index artifact
+# family, multimodal_png_decode, the nightly curation composite)
+# follow the established late-addition handling: builder-attested
+# this round (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1
+# via tools/rehearse.py + the oracle harness), FIRST IN LINE for the
+# round-10 window.
 
 
 def _promote(names: list[str]) -> None:
