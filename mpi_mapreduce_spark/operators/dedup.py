@@ -640,9 +640,6 @@ def nightly_dedup_update(
     None when nothing is new, list of ingested files). Decisions are
     eagerly materialized BEFORE the index write; with the partition
     exclusion this is belt-and-braces, not load-bearing."""
-    import hashlib
-    import os
-
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
         record_ingested,
@@ -651,11 +648,38 @@ def nightly_dedup_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    # deterministic batch key ("b" prefix keeps partition-value
-    # inference from ever parsing an all-digit hash as a number)
-    bkey = "b" + hashlib.sha256(
-        "\n".join(sorted(files)).encode()
-    ).hexdigest()[:16]
+    decisions = _nightly_minhash_core(
+        spark, batch, _batch_key(files), index_dir
+    )
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
+def _batch_key(files: list[str]) -> str:
+    """Deterministic batch id over the ingested file list ("b" prefix
+    keeps partition-value inference from ever parsing an all-digit
+    hash as a number) — shared by every nightly leg and by the
+    composed nightly_curation_update (which hashes the UNION of both
+    modalities' files, so a composite replay rewrites the same
+    partitions)."""
+    import hashlib
+
+    return (
+        "b"
+        + hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+    )
+
+
+def _nightly_minhash_core(
+    spark: SparkSession, batch: DataFrame, bkey: str, index_dir: str
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_dedup_update`: flag
+    ``batch`` against the stored signature index + itself, append
+    tonight's signatures under ``batch=<bkey>``, return eager
+    decisions. Factored out so nightly_curation_update runs every leg
+    against ONE ingested batch with ONE ledger commit."""
+    import os
+
     # one batch-sized materialization: signatures feed the index write,
     # both sides of the intra-batch join, and the cross verify
     sig_new = minhash_signature_table(shingle_rows(batch)).localCheckpoint()
@@ -741,8 +765,7 @@ def nightly_dedup_update(
     sig_new.write.mode("overwrite").parquet(
         os.path.join(index_dir, f"batch={bkey}")
     )
-    record_ingested(spark, ledger_dir, files)
-    return decisions, files
+    return decisions
 
 
 # ---------------------------------------------------------------------------
@@ -1271,11 +1294,7 @@ def nightly_bloom_update(
     arrived tonight under a lower doc_id), novel (neither — skip the
     exact join entirely, the whole point of the screen) — or None
     when nothing is new, list of ingested files)."""
-    import hashlib
-    import os
-
     from mpi_mapreduce_spark.sources.io import (
-        has_committed_parquet,
         ingest_incremental,
         record_ingested,
     )
@@ -1283,21 +1302,32 @@ def nightly_bloom_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    bkey = "b" + hashlib.sha256(
-        "\n".join(sorted(files)).encode()
-    ).hexdigest()[:16]
+    decisions = _nightly_bloom_core(spark, batch, _batch_key(files), index_dir)
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
+def _nightly_bloom_core(
+    spark: SparkSession, batch: DataFrame, bkey: str, index_dir: str
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_bloom_update` (see the
+    wrapper for the full contract) — screen ``batch`` against the
+    stored filter, append tonight's per-batch filter under
+    ``batch=<bkey>``, return eager decisions."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
     if batch.select("doc_id").first() is None:
         # valid-but-empty file: consume it (ledger), skip the append —
         # same guard as the embedding leg's round-8 review finding
-        decisions = (
+        return (
             batch.select("doc_id")
             .withColumn("bloom_seen", F.lit(False))
             .withColumn("seen_in_batch", F.lit(False))
             .withColumn("novel", F.lit(True))
             .localCheckpoint()
         )
-        record_ingested(spark, ledger_dir, files)
-        return decisions, files
 
     # intra-batch exact keep-first: the repo's compound-key convention
     # ((xxhash64(text), text) — the 8-byte hash resolves almost every
@@ -1332,8 +1362,7 @@ def nightly_bloom_update(
     bloom_build(batch).write.mode("overwrite").parquet(
         os.path.join(index_dir, f"batch={bkey}")
     )
-    record_ingested(spark, ledger_dir, files)
-    return decisions, files
+    return decisions
 
 
 # ---------------------------------------------------------------------------
@@ -2623,9 +2652,6 @@ def nightly_embedding_dedup_update(
 
     Returns (decisions DataFrame — vec_id, is_near_dup, keep — or
     None when nothing is new, list of ingested files)."""
-    import hashlib
-    import os
-
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
         record_ingested,
@@ -2634,23 +2660,41 @@ def nightly_embedding_dedup_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    bkey = "b" + hashlib.sha256(
-        "\n".join(sorted(files)).encode()
-    ).hexdigest()[:16]
+    decisions = _nightly_embedding_core(
+        spark, batch, _batch_key(files), index_dir,
+        threshold=threshold, band_bits=band_bits, n_bands=n_bands,
+    )
+    record_ingested(spark, ledger_dir, files)
+    return decisions, files
+
+
+def _nightly_embedding_core(
+    spark: SparkSession,
+    batch: DataFrame,
+    bkey: str,
+    index_dir: str,
+    threshold: float = EMBED_DUP_THRESHOLD,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_embedding_dedup_update`
+    (see the wrapper for the full contract) — flag ``batch`` against
+    the stored bands+vectors index and itself, append both legs under
+    ``batch=<bkey>``, return eager decisions."""
+    import os
+
     first_row = batch.select("embedding").first()
     if first_row is None:
         # a valid-but-empty file (quiet upstream night): nothing to
-        # band or flag — commit the ledger so the file is consumed
-        # instead of crashing and poisoning every later run (round-8
-        # review finding), and skip the index appends entirely
-        decisions = (
+        # band or flag — consume it (ledger commit stays the caller's
+        # job), skip the index appends entirely (round-8 review
+        # finding)
+        return (
             batch.select("vec_id")
             .withColumn("is_near_dup", F.lit(False))
             .withColumn("keep", F.lit(True))
             .localCheckpoint()
         )
-        record_ingested(spark, ledger_dir, files)
-        return decisions, files
     dim = len(first_row[0])
     # one batch-sized materialization each: the normalized vectors feed
     # the rescores and the vectors-leg write; the band rows feed the
@@ -2727,8 +2771,7 @@ def nightly_embedding_dedup_update(
     vnew.write.mode("overwrite").parquet(
         os.path.join(vecs_dir, f"batch={bkey}")
     )
-    record_ingested(spark, ledger_dir, files)
-    return decisions, files
+    return decisions
 
 
 def embedding_index_integrity(
@@ -3817,8 +3860,32 @@ def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     )
 
 
+def substring_gram_index_rows(corpus: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """The stored ARTIFACT of the substring modality: the corpus's
+    distinct full-``n``-gram vocabulary, one ``(s)`` row per gram —
+    what :func:`incremental_span_rows` probes instead of re-gramming
+    the corpus per night (the round-8 caveat SCALING.md documented:
+    every other incremental modality served from a registered index;
+    this closes the last one). At 100 TB the key becomes xxhash64(s)
+    — 8 bytes through the shuffle — but the string key keeps the
+    DuckDB-checkable property, the repo's standing artifact
+    convention (MinHash signatures, Bloom words, embedding buckets).
+    Distinct-over-grams is a single hash aggregate: partial combine
+    collapses repeats map-side, so the shuffle carries ≈ the
+    vocabulary, not the corpus."""
+    return (
+        positional_ngram_rows(corpus, n)
+        .where(F.col("glen") == n)
+        .select("s")
+        .distinct()
+    )
+
+
 def incremental_span_rows(
-    batch: DataFrame, corpus: DataFrame, n: int = SPAN_N
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    n: int = SPAN_N,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The INCREMENTAL form of :func:`duplicated_span_rows` — the
     fifth modality of the batch-vs-corpus family (exact text, MinHash,
@@ -3826,24 +3893,29 @@ def incremental_span_rows(
     runs of tonight's batch tokens covered by an ``n``-gram that
     ALREADY APPEARS in the historical corpus. This is Lee et al. 2021
     span removal as a nightly job: the corpus is touched only through
-    its distinct gram vocabulary (at 100 TB a stored xxhash64(gram)
-    index the batch semi-joins — same contract as the MinHash
-    signature and embedding bucket indexes; the string key here keeps
-    the DuckDB-checkable property), work ∝ batch grams + one probe
-    join, no pairwise term, and intra-batch repeats deliberately do
-    NOT flag (they are the full-corpus op's job when the batch is
-    folded in).
+    its distinct gram vocabulary — pass ``corpus_grams`` (the STORED
+    :func:`substring_gram_index_rows` artifact, stored-vs-recomputed
+    equality pytest-pinned, same contract as the MinHash / Bloom /
+    embedding-index stored paths) to skip re-deriving it from
+    ``corpus``; work is then ∝ batch grams + one probe join, no
+    pairwise term and NO corpus-scan term. Intra-batch repeats
+    deliberately do NOT flag (they are the full-corpus op's job when
+    the batch is folded in).
 
     Same islands/merge tail as the full op; same (doc_id) partitioning
     reuse across the two window passes."""
+    if (corpus is None) == (corpus_grams is None):
+        raise ValueError("pass exactly one of corpus / corpus_grams")
     occ = positional_ngram_rows(batch, n).where(F.col("glen") == n)
     seen = (
-        positional_ngram_rows(corpus, n)
-        .where(F.col("glen") == n)
-        .select("s")
-        .distinct()
+        corpus_grams.select("s")
+        if corpus_grams is not None
+        else substring_gram_index_rows(corpus, n)
     )
-    starts = occ.join(seen, "s").select("doc_id", "q")
+    # LEFT SEMI, not inner: "does this gram exist in the vocabulary" —
+    # duplicate-tolerant, so a serving-side UNION of per-batch index
+    # partitions probes correctly without paying a distinct first
+    starts = occ.join(seen, "s", "left_semi").select("doc_id", "q")
     w = W.partitionBy("doc_id").orderBy("q")
     flagged = starts.select(
         "doc_id",
@@ -3871,16 +3943,105 @@ def incremental_span_rows(
     )
 
 
+def substring_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ARTIFACT query: the corpus side's distinct full-gram
+    vocabulary (the standing INCR_BATCH_MOD split) — the table a
+    nightly ingest loads so :func:`incremental_span_rows` probes a
+    stored index instead of re-gramming the corpus. Fully
+    hash-attested: the positional n-gram derivation is mirrored
+    literally in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    return substring_gram_index_rows(
+        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    )
+
+
 def dedup_incremental_substring(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, corpus_grams: DataFrame | None = None
 ) -> DataFrame:
     """Registered incremental-substring query over the standing
-    INCR_BATCH_MOD split."""
+    INCR_BATCH_MOD split. Pass ``corpus_grams`` to serve from the
+    STORED :func:`substring_gram_index` artifact instead of
+    rebuilding (stored-vs-recomputed equality pytest-pinned, same
+    contract as the Bloom / MinHash / embedding-index stored paths)."""
     docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    if corpus_grams is not None:
+        return incremental_span_rows(batch, corpus_grams=corpus_grams)
     return incremental_span_rows(
-        docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0),
-        docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0),
+        batch, docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
     )
+
+
+def nightly_substring_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
+):
+    """The SUBSTRING-SPAN leg of the nightly family (sixth sibling of
+    the text-signature / embedding-bucket / IVF-cell / Bloom / CMS
+    legs): the ingest LEDGER picks up only tonight's new ``(doc_id,
+    text)`` files; each doc's maximal corpus-covered spans are
+    computed against the stored gram vocabulary (a union of every
+    prior batch partition probed by ONE semi join — never a corpus
+    re-gram); tonight's per-batch distinct grams are appended under
+    ``batch=<bkey>``; the ledger commits LAST (sources/io.py
+    protocol).
+
+    The per-batch partitions are each distinct WITHIN the batch but
+    may repeat grams ACROSS batches — the serving probe is a semi
+    join, so cross-batch repeats are harmless (duplicate-tolerant by
+    construction, pinned by the two-night pytest scenario), and the
+    append stays batch-proportional: no read-merge-rewrite of the
+    accumulated vocabulary, the exact property that makes this leg
+    viable nightly at 100 TB. Crash-replay safety as in the siblings:
+    the partition write is keyed by the deterministic batch id and
+    overwritten, and the serving union EXCLUDES tonight's own
+    partition — without that, every replayed doc would probe its own
+    persisted grams and flag itself end-to-end as one giant span.
+
+    Returns (spans DataFrame — doc_id, span_start, span_end,
+    span_tokens, empty when nothing in the batch is corpus-covered —
+    or None when nothing is new, list of ingested files)."""
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    spans = _nightly_substring_core(spark, batch, _batch_key(files), index_dir)
+    record_ingested(spark, ledger_dir, files)
+    return spans, files
+
+
+def _nightly_substring_core(
+    spark: SparkSession, batch: DataFrame, bkey: str, index_dir: str
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_substring_update` (see
+    the wrapper for the full contract) — span-flag ``batch`` against
+    the stored gram vocabulary, append tonight's distinct grams under
+    ``batch=<bkey>``, return eager spans."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    if has_committed_parquet(index_dir):
+        stored = (
+            spark.read.parquet(index_dir)
+            .where(F.col("batch") != F.lit(bkey))
+            .select("s")
+        )
+        spans = incremental_span_rows(batch, corpus_grams=stored)
+    else:
+        # first night: nothing seen before, nothing to flag
+        spans = incremental_span_rows(
+            batch, corpus_grams=batch.select(F.lit("").alias("s")).limit(0)
+        )
+    spans = spans.localCheckpoint()
+    substring_gram_index_rows(batch).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch={bkey}")
+    )
+    return spans
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3935,6 +4096,21 @@ _SUBSTRING_SPANS_CTE = f"""
              CAST(MAX(q) + {SPAN_N - 1} AS BIGINT) AS span_end
       FROM isl GROUP BY doc_id, island
     )
+"""
+
+ORACLE_SUBSTRING_GRAM_INDEX = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents WHERE doc_id % {INCR_BATCH_MOD} <> 0
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(tok) - {SPAN_N - 1}),
+                    i -> {{'q': i, 's': {_ngram_concat_sql(SPAN_N)}}}),
+                    recursive := true)
+      FROM toks WHERE len(tok) >= {SPAN_N}
+    )
+    SELECT DISTINCT s FROM grams
 """
 
 ORACLE_INCREMENTAL_SUBSTRING = f"""
@@ -4049,6 +4225,7 @@ QUERIES = {
     "dedup_novelty_bloom": dedup_novelty_bloom,
     "dedup_incremental_screened": dedup_incremental_screened,
     "dedup_incremental_substring": dedup_incremental_substring,
+    "substring_gram_index": substring_gram_index,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
@@ -4101,6 +4278,7 @@ ORACLE = {
     # (Bloom no-false-negative theorem) — same oracle by design
     "dedup_incremental_screened": ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_substring": ORACLE_INCREMENTAL_SUBSTRING,
+    "substring_gram_index": ORACLE_SUBSTRING_GRAM_INDEX,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,
     "dedup_repeated_ngrams": ORACLE_REPEATED_NGRAMS,

@@ -1,0 +1,140 @@
+"""The ONE-callable nightly curation composite.
+
+The per-modality nightly jobs (text MinHash signatures, Bloom filter,
+substring gram vocabulary, CMS frequency table, embedding bucket
+index, IVF inverted file) each carry their own ingest + ledger so a
+deployment can schedule any subset — but production runs them as ONE
+nightly unit against ONE batch. :func:`nightly_curation_update`
+composes every leg's ledger-free core over a single ingest with a
+single ledger commit at the END, so the whole night is one atomic
+unit under the crash-replay protocol (sources/io.py): a crash between
+ANY two legs replays the entire night, every leg's batch-keyed
+overwrite rewrites its own partition, and the state after the replay
+is byte-identical to a crash-free run (pytest-pinned in
+tests/test_nightly_composite.py).
+
+Generalizes the reference's single-shot job lifecycle (reference
+main.cpp:129-308: read → map → shuffle → reduce → write, once) to the
+recurring-ingest regime a 100 TB training-data pipeline actually runs:
+same stages, plus a ledger so only tonight's bytes are touched and a
+set of stored indexes so the corpus never is.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: batch_dir subdirectories by modality — text legs read
+#: ``docs/*.parquet`` (doc_id, text), vector legs read
+#: ``vecs/*.parquet`` (vec_id, embedding); either may be absent or
+#: quiet on a given night.
+DOCS_SUBDIR = "docs"
+VECS_SUBDIR = "vecs"
+
+#: state_dir layout: one shared ledger + one index dir per leg.
+LEDGER_SUBDIR = "ledger"
+STATE_SUBDIRS = {
+    "minhash": "minhash",
+    "bloom": "bloom",
+    "grams": "grams",
+    "cms": "cms",
+    "embedding": "embedding",
+    "ivf": "ivf",
+}
+
+
+def nightly_curation_update(
+    spark: SparkSession, batch_dir: str, state_dir: str
+) -> tuple[dict[str, DataFrame] | None, list[str]]:
+    """Run every nightly maintenance leg against tonight's batch as
+    ONE unit with ONE ledger commit.
+
+    - ``batch_dir/docs/*.parquet`` (doc_id, text) feeds the four text
+      legs: Bloom membership screen, MinHash signature index,
+      substring gram vocabulary, CMS frequency table.
+    - ``batch_dir/vecs/*.parquet`` (vec_id, embedding) feeds the two
+      vector legs: embedding bucket index (bands + vectors), IVF
+      inverted file (train-once quantizer + cell assignments).
+    - ``state_dir`` holds ONE ledger (shared across both modalities —
+      ledger rows are absolute file paths, so the union is
+      unambiguous) and one index directory per leg.
+
+    Atomicity: every leg's core writes its artifact under
+    ``batch=<bkey>`` where bkey hashes the UNION of tonight's doc and
+    vec files, and every core's serving read EXCLUDES that partition —
+    so a crash after ANY prefix of the legs replays the whole night
+    with keyed overwrites and reproduces byte-identical state and
+    decisions. The ledger commits once, LAST: either the entire night
+    is recorded or none of it is. Each leg's decisions are eagerly
+    materialized (localCheckpoint inside the cores) BEFORE its
+    artifact write, preserving the per-leg discipline.
+
+    Returns (dict of per-leg decision frames — keys ``bloom``
+    (doc_id, bloom_seen, seen_in_batch, novel), ``minhash`` (doc_id,
+    is_near_dup, keep), ``substring`` (doc_id, span_start, span_end,
+    span_tokens), ``cms`` (tonight's partial sketch), ``embedding``
+    (vec_id, is_near_dup, keep), ``ivf`` (vec_id, cell, cosine) —
+    only the legs whose modality had new files; or None when nothing
+    is new — and the list of ingested files)."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        _batch_key,
+        _nightly_bloom_core,
+        _nightly_embedding_core,
+        _nightly_minhash_core,
+        _nightly_substring_core,
+    )
+    from mpi_mapreduce_spark.operators.similarity import _nightly_ivf_core
+    from mpi_mapreduce_spark.operators.sketches import _nightly_cms_core
+    from mpi_mapreduce_spark.sources.io import (
+        list_new_files,
+        record_ingested,
+    )
+
+    ledger = os.path.join(state_dir, LEDGER_SUBDIR)
+    docs_src = os.path.join(batch_dir, DOCS_SUBDIR)
+    vecs_src = os.path.join(batch_dir, VECS_SUBDIR)
+    doc_files = (
+        list_new_files(spark, docs_src, ledger, ".parquet")
+        if os.path.isdir(docs_src)
+        else []
+    )
+    vec_files = (
+        list_new_files(spark, vecs_src, ledger, ".parquet")
+        if os.path.isdir(vecs_src)
+        else []
+    )
+    files = doc_files + vec_files
+    if not files:
+        return None, []
+    # ONE batch id over the union: a composite replay recomputes the
+    # same key, so every leg overwrites its own partitions
+    bkey = _batch_key(files)
+
+    def _idx(leg: str) -> str:
+        return os.path.join(state_dir, STATE_SUBDIRS[leg])
+
+    out: dict[str, DataFrame] = {}
+    if doc_files:
+        docs = spark.read.parquet(*doc_files)
+        # screen first (the cheap pre-pass), then the index legs — the
+        # order is documentation; each leg is independent and replays
+        # idempotently on its own
+        out["bloom"] = _nightly_bloom_core(spark, docs, bkey, _idx("bloom"))
+        out["minhash"] = _nightly_minhash_core(
+            spark, docs, bkey, _idx("minhash")
+        )
+        out["substring"] = _nightly_substring_core(
+            spark, docs, bkey, _idx("grams")
+        )
+        out["cms"] = _nightly_cms_core(spark, docs, bkey, _idx("cms"))
+    if vec_files:
+        vecs = spark.read.parquet(*vec_files)
+        out["embedding"] = _nightly_embedding_core(
+            spark, vecs, bkey, _idx("embedding")
+        )
+        out["ivf"] = _nightly_ivf_core(spark, vecs, bkey, _idx("ivf"))
+
+    record_ingested(spark, ledger, files)
+    return out, files

@@ -838,9 +838,7 @@ def nightly_ivf_update(
 
     Returns (assignments DataFrame — vec_id, cell, cosine — or None
     when nothing is new, list of ingested files)."""
-    import hashlib
-    import os
-
+    from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
         record_ingested,
@@ -849,21 +847,36 @@ def nightly_ivf_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    bkey = "b" + hashlib.sha256(
-        "\n".join(sorted(files)).encode()
-    ).hexdigest()[:16]
+    assigned = _nightly_ivf_core(
+        spark, batch, _batch_key(files), index_dir, n_cells=n_cells
+    )
+    record_ingested(spark, ledger_dir, files)
+    return assigned, files
+
+
+def _nightly_ivf_core(
+    spark: SparkSession,
+    batch: DataFrame,
+    bkey: str,
+    index_dir: str,
+    n_cells: int = IVF_CELLS,
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_ivf_update` (see the
+    wrapper for the full contract) — train-once/load the quantizer,
+    assign ``batch`` to cells, append the inverted file under
+    ``batch=<bkey>``, return eager assignments."""
+    import os
+
     vnew = normalized_corpus(batch).localCheckpoint()
     if vnew.first() is None:
         # a valid-but-empty file: nothing to train on or assign —
-        # commit the ledger so the file is consumed (not a permanent
-        # poison file), leave the quantizer and inverted file alone
-        assigned = vnew.select(
+        # consume it (ledger commit stays the caller's job), leave
+        # the quantizer and inverted file alone
+        return vnew.select(
             "vec_id",
             F.lit(0).cast("int").alias("cell"),
             F.lit(0.0).alias("cosine"),
         ).localCheckpoint()
-        record_ingested(spark, ledger_dir, files)
-        return assigned, files
 
     cent_dir = os.path.join(index_dir, "centroids")
     cells_dir = os.path.join(index_dir, "cells")
@@ -889,8 +902,7 @@ def nightly_ivf_update(
     assigned.write.mode("overwrite").parquet(
         os.path.join(cells_dir, f"batch={bkey}")
     )
-    record_ingested(spark, ledger_dir, files)
-    return assigned, files
+    return assigned
 
 
 def _ivf_train_ctes(where_sql: str = "TRUE") -> str:

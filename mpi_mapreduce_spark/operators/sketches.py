@@ -399,12 +399,7 @@ def nightly_cms_update(
     rather than double-appending, so the summed read (cms_merge over
     all partitions) stays exact. Returns (tonight's partial sketch —
     or None when nothing is new, list of ingested files)."""
-    import hashlib
-    import os
-
-    from pyspark.sql import functions as F
-
-    from mpi_mapreduce_spark.functions.text import tokens
+    from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
         record_ingested,
@@ -413,17 +408,27 @@ def nightly_cms_update(
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    bkey = "b" + hashlib.sha256(
-        "\n".join(sorted(files)).encode()
-    ).hexdigest()[:16]
+    partial = _nightly_cms_core(spark, batch, _batch_key(files), table_dir)
+    record_ingested(spark, ledger_dir, files)
+    return partial, files
+
+
+def _nightly_cms_core(spark, batch, bkey: str, table_dir: str):
+    """The ledger-free body of :func:`nightly_cms_update` — append
+    tonight's partial d×w cell counts under ``batch=<bkey>``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.functions.text import tokens
+
     partial = cms_build(
         batch.select(F.explode(tokens(F.col("text"))).alias("term"))
     ).localCheckpoint()
     partial.write.mode("overwrite").parquet(
         os.path.join(table_dir, f"batch={bkey}")
     )
-    record_ingested(spark, ledger_dir, files)
-    return partial, files
+    return partial
 
 
 def read_nightly_cms(spark: SparkSession, table_dir: str) -> DataFrame:

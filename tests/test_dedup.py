@@ -4,6 +4,7 @@ must find what the exact blocked-Jaccard op finds)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.operators import dedup as D
@@ -825,7 +826,7 @@ def test_collapsed_cc_reconstruction_equals_full_graph(spark):
     }                                     # singleton 30 absent
 
 
-def test_fixture_has_no_tokenless_documents():
+def test_fixture_has_no_tokenless_documents(sf_dir):
     """Pins the non-empty-text fixture PRECONDITION documented on
     _ngram_jaccard_oracle: engine shingling emits nothing for
     empty / whitespace-only texts while the oracle's ELSE branch gives
@@ -838,7 +839,9 @@ def test_fixture_has_no_tokenless_documents():
 
     import pyarrow.parquet as pq
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # the unit-test scale (sf_dir honours SPARK_GRAFT_TEST_SF_DIR) and
+    # the driver's own gate scale
+    for sf in dict.fromkeys((sf_dir, "/root/testdata/sf0.01")):
         texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
         bad = sum(
             1
@@ -1593,3 +1596,150 @@ def test_incremental_substring_planted_semantics(spark):
     got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in rows}
     # doc 10: tokens 2..11 are the shared passage
     assert got == {10: (2, 11, 10)}
+
+
+def test_substring_stored_gram_index_serving_matches_recomputed(
+    spark, sf_dir, tmp_path
+):
+    """Stored-index serving contract (same as the Bloom / ANN-LSH /
+    IVF / embedding-index legs): probing the PERSISTED
+    substring_gram_index artifact yields exactly the recomputed-
+    vocabulary spans — closing the round-8 caveat that this was the
+    one incremental modality re-gramming its corpus per run."""
+    idx = str(tmp_path / "gram_index")
+    D.substring_gram_index(spark, sf_dir).write.parquet(idx)
+    stored = spark.read.parquet(idx)
+    via_stored = {
+        tuple(r)
+        for r in D.dedup_incremental_substring(
+            spark, sf_dir, corpus_grams=stored
+        ).collect()
+    }
+    recomputed = {
+        tuple(r)
+        for r in D.dedup_incremental_substring(spark, sf_dir).collect()
+    }
+    assert via_stored == recomputed
+
+
+def test_incremental_span_rows_rejects_ambiguous_vocabulary(spark):
+    """Exactly one of corpus / corpus_grams — neither and both are
+    programming errors, refused loudly."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.incremental_span_rows(df)
+    with pytest.raises(ValueError):
+        D.incremental_span_rows(df, df, corpus_grams=df.select(F.col("text").alias("s")))
+
+
+def test_incremental_span_probe_duplicate_tolerant(spark):
+    """The serving probe is a SEMI join: a gram vocabulary with
+    repeated rows (the nightly union of per-batch partitions) yields
+    the same spans as the distinct vocabulary — no row multiplication,
+    no span distortion."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    batch = spark.createDataFrame(
+        [(10, f"lead-a lead-b {shared} tail")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, f"c-lead {shared} c-tail")], "doc_id long, text string"
+    )
+    grams = D.substring_gram_index_rows(corpus)
+    doubled = grams.unionByName(grams)
+    one = {tuple(r) for r in D.incremental_span_rows(
+        batch, corpus_grams=grams).collect()}
+    two = {tuple(r) for r in D.incremental_span_rows(
+        batch, corpus_grams=doubled).collect()}
+    assert one == two == {(10, 2, 11, 10)}
+
+
+def test_nightly_substring_two_nights(spark, tmp_path):
+    """Night 1 seeds the gram index (no prior vocabulary → no spans);
+    night 2 reads ONLY the new file: the doc repeating a night-1
+    passage gets exactly that maximal span via the STORED index, the
+    intra-batch-only repeat does NOT flag (the standing contract),
+    the novel doc yields no rows; the ledger makes a third run a
+    no-op."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens ≥ SPAN_N=8
+    intra = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(1, f"c-lead {shared} c-tail"), (2, "nothing shared here at all ok")],
+    )
+    d1, f1 = D.nightly_substring_update(spark, src, ledger, index)
+    assert len(f1) == 1 and d1.count() == 0
+
+    _drop_doc_file(
+        spark, tmp_path, src, "n2.parquet",
+        [
+            (10, f"b-lead-a b-lead-b {shared} b-tail"),
+            (20, f"x-a x-b {intra} x-c"),
+            (21, f"y-a y-b {intra} y-c"),
+            (30, "completely novel material with no repeats anywhere ok2"),
+        ],
+    )
+    d2, f2 = D.nightly_substring_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+           for r in d2.collect()}
+    assert got == {10: (2, 11, 10)}
+
+    d3, f3 = D.nightly_substring_update(spark, src, ledger, index)
+    assert d3 is None and f3 == []
+
+    # night 3: the intra-batch passage from night 2 is NOW corpus
+    # vocabulary — tonight's repeat of it flags via the stored index
+    _drop_doc_file(
+        spark, tmp_path, src, "n3.parquet",
+        [(40, f"z-a {intra} z-b")],
+    )
+    d4, _ = D.nightly_substring_update(spark, src, ledger, index)
+    got4 = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+            for r in d4.collect()}
+    assert got4 == {40: (1, 9, 9)}
+
+
+def test_nightly_substring_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the gram append and the ledger commit: the
+    replay reproduces the SAME spans (tonight's own partition is
+    excluded from the serving union — otherwise every replayed doc
+    probes its own persisted grams and flags itself end-to-end) and
+    does not grow the index (keyed overwrite)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet", [(1, f"c-lead {shared} c-tail")]
+    )
+    D.nightly_substring_update(spark, src, ledger, index)
+    # snapshot the post-night-1 ledger: restoring it simulates a crash
+    # AFTER night 2's gram append but BEFORE its ledger commit
+    shutil.copytree(ledger, str(tmp_path / "ledger_n1"))
+
+    _drop_doc_file(
+        spark, tmp_path, src, "n2.parquet", [(10, f"b-pre {shared} b-post")]
+    )
+    d2, _ = D.nightly_substring_update(spark, src, ledger, index)
+    first = {tuple(r) for r in d2.collect()}
+    assert first == {(10, 1, 10, 10)}
+    n_rows = spark.read.parquet(index).count()
+
+    shutil.rmtree(ledger)
+    shutil.copytree(str(tmp_path / "ledger_n1"), ledger)
+    d3, f3 = D.nightly_substring_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f3] == ["n2.parquet"]
+    assert {tuple(r) for r in d3.collect()} == first
+    assert spark.read.parquet(index).count() == n_rows

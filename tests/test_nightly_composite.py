@@ -1,0 +1,244 @@
+"""The one-callable nightly curation composite: every maintenance leg
+against ONE batch, ONE ledger commit.
+
+Scenarios (the standing nightly-protocol trio, composed):
+- two nights: night 1 seeds every index; night 2 flags via STORED
+  state across all legs; a third call is a no-op.
+- crash BETWEEN legs: a prefix of the legs has written its artifacts
+  when the night dies before the ledger commit — the replay reruns
+  the whole night and leaves byte-identical state and decisions.
+- intra-batch idempotence: same-night duplicates resolve keep-first,
+  and a full-night replay reproduces the identical decisions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mpi_mapreduce_spark.operators import dedup as D
+from mpi_mapreduce_spark.operators import nightly as N
+from tests.conftest import axis_vec, drop_vec_file
+from tests.test_dedup import _drop_doc_file
+
+SHARED = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens ≥ SPAN_N=8
+
+
+def _stage(spark, tmp_path, batch, name, docs=None, vecs=None):
+    """Stage one night's files under batch_dir/{docs,vecs}."""
+    if docs is not None:
+        d = os.path.join(batch, N.DOCS_SUBDIR)
+        os.makedirs(d, exist_ok=True)
+        _drop_doc_file(spark, tmp_path, d, name, docs)
+    if vecs is not None:
+        v = os.path.join(batch, N.VECS_SUBDIR)
+        os.makedirs(v, exist_ok=True)
+        drop_vec_file(spark, tmp_path, v, name, vecs)
+
+
+def _state_rows(spark, state_dir):
+    """Logical content of every index leg: {relative dir: sorted row
+    tuples} — the byte-identical-state comparator (parquet physical
+    bytes carry timestamps; the STATE is the rows)."""
+    out = {}
+    for leg, sub in N.STATE_SUBDIRS.items():
+        d = os.path.join(state_dir, sub)
+        from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+        if leg == "embedding":
+            for part in ("bands", "vectors"):
+                p = os.path.join(d, part)
+                if has_committed_parquet(p):
+                    out[f"{leg}/{part}"] = sorted(
+                        map(tuple, spark.read.parquet(p).collect())
+                    )
+        elif leg == "ivf":
+            for part in ("centroids", "cells"):
+                p = os.path.join(d, part)
+                if has_committed_parquet(p):
+                    out[f"{leg}/{part}"] = sorted(
+                        map(tuple, spark.read.parquet(p).collect())
+                    )
+        elif has_committed_parquet(d):
+            out[leg] = sorted(map(tuple, spark.read.parquet(d).collect()))
+    return out
+
+
+def _decisions(result):
+    return {
+        leg: sorted(map(tuple, df.collect())) for leg, df in result.items()
+    }
+
+
+def test_nightly_composite_two_nights(spark, tmp_path):
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(1))],
+    )
+    r1, f1 = N.nightly_curation_update(spark, batch, state)
+    assert len(f1) == 2  # one docs file + one vecs file, ONE commit
+    assert set(r1) == {
+        "bloom", "minhash", "substring", "cms", "embedding", "ivf"
+    }
+    # night 1: nothing stored yet — everything novel / kept / span-free
+    assert {r.doc_id: r.novel for r in r1["bloom"].collect()} == {
+        1: True, 2: True
+    }
+    assert {r.doc_id: r.keep for r in r1["minhash"].collect()} == {
+        1: True, 2: True
+    }
+    assert r1["substring"].count() == 0
+    assert {r.vec_id: r.keep for r in r1["embedding"].collect()} == {
+        1: True, 2: True
+    }
+
+    _stage(
+        spark, tmp_path, batch, "n2.parquet",
+        docs=[
+            (10, "beta text two words"),            # exact copy of doc 2
+            (11, f"b-pre {SHARED} b-post"),         # repeats night-1 passage
+            (12, "completely novel stuff here ok"),
+        ],
+        vecs=[(10, axis_vec(0, wiggle=0.04)), (11, axis_vec(2))],
+    )
+    r2, f2 = N.nightly_curation_update(spark, batch, state)
+    assert sorted(os.path.basename(f) for f in f2) == [
+        "n2.parquet", "n2.parquet"
+    ]
+    bloom2 = {r.doc_id: r.bloom_seen for r in r2["bloom"].collect()}
+    assert bloom2[10] is True  # exact copy: no false negative
+    mh2 = {r.doc_id: r.is_near_dup for r in r2["minhash"].collect()}
+    assert mh2[10] is True and mh2[12] is False
+    spans2 = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in r2["substring"].collect()
+    }
+    assert spans2.get(11) == (1, 10, 10)
+    emb2 = {r.vec_id: r.keep for r in r2["embedding"].collect()}
+    assert emb2 == {10: False, 11: True}
+
+    r3, f3 = N.nightly_curation_update(spark, batch, state)
+    assert r3 is None and f3 == []
+
+
+def test_nightly_composite_crash_between_legs_replays_identically(
+    spark, tmp_path
+):
+    """Kill the night after a PREFIX of the legs has written (bloom +
+    minhash done, rest not, ledger uncommitted): the replay reruns
+    everything with the same batch key and leaves state and decisions
+    identical to a crash-free night."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(1))],
+    )
+    N.nightly_curation_update(spark, batch, state)
+
+    _stage(
+        spark, tmp_path, batch, "n2.parquet",
+        docs=[(10, "beta text two words"), (11, f"b-pre {SHARED} b-post")],
+        vecs=[(10, axis_vec(0, wiggle=0.04))],
+    )
+    # --- the crash-free reference night, on a cloned state dir ---
+    ref_state = str(tmp_path / "ref_state")
+    shutil.copytree(state, ref_state)
+    ref, _ = N.nightly_curation_update(spark, batch, ref_state)
+    ref_rows = _state_rows(spark, ref_state)
+    ref_dec = _decisions(ref)
+
+    # --- the crashed night: run only a prefix of the legs, by hand,
+    # with the composite's own batch key; no ledger commit ---
+    from mpi_mapreduce_spark.sources.io import list_new_files
+
+    ledger = os.path.join(state, N.LEDGER_SUBDIR)
+    doc_files = list_new_files(
+        spark, os.path.join(batch, N.DOCS_SUBDIR), ledger, ".parquet"
+    )
+    vec_files = list_new_files(
+        spark, os.path.join(batch, N.VECS_SUBDIR), ledger, ".parquet"
+    )
+    bkey = D._batch_key(doc_files + vec_files)
+    docs = spark.read.parquet(*doc_files)
+    D._nightly_bloom_core(
+        spark, docs, bkey, os.path.join(state, N.STATE_SUBDIRS["bloom"])
+    )
+    D._nightly_minhash_core(
+        spark, docs, bkey, os.path.join(state, N.STATE_SUBDIRS["minhash"])
+    )
+    # CRASH here — substring/cms/embedding/ivf never ran, no commit
+
+    got, files = N.nightly_curation_update(spark, batch, state)
+    assert sorted(os.path.basename(f) for f in files) == [
+        "n2.parquet", "n2.parquet"
+    ]
+    assert _decisions(got) == ref_dec
+    assert _state_rows(spark, state) == ref_rows
+
+    # and the night is committed exactly once
+    again, f_again = N.nightly_curation_update(spark, batch, state)
+    assert again is None and f_again == []
+
+
+def test_nightly_composite_intra_batch_and_full_replay(spark, tmp_path):
+    """Same-night duplicates resolve keep-first in every text leg,
+    and replaying the FULL night (ledger rolled back after a complete
+    run — the crash-before-commit case) reproduces identical
+    decisions and state."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[
+            (1, "same text here indeed"),
+            (2, "same text here indeed"),
+            (3, "other text entirely now"),
+        ],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(0, wiggle=0.01))],
+    )
+    # snapshot the (absent) pre-night ledger state
+    r1, _ = N.nightly_curation_update(spark, batch, state)
+    first_dec = _decisions(r1)
+    first_rows = _state_rows(spark, state)
+    assert {r.doc_id: r.seen_in_batch for r in r1["bloom"].collect()} == {
+        1: False, 2: True, 3: False
+    }
+    assert {r.vec_id: r.keep for r in r1["embedding"].collect()} == {
+        1: True, 2: False
+    }
+
+    # roll the ledger back: a crash after every leg but before commit
+    shutil.rmtree(os.path.join(state, N.LEDGER_SUBDIR))
+    r2, _ = N.nightly_curation_update(spark, batch, state)
+    assert _decisions(r2) == first_dec
+    assert _state_rows(spark, state) == first_rows
+
+
+def test_nightly_composite_single_modality_nights(spark, tmp_path):
+    """A docs-only night runs only the text legs; a vecs-only night
+    only the vector legs; an empty batch dir is a no-op."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    r0, f0 = N.nightly_curation_update(spark, batch, state)
+    assert r0 is None and f0 == []
+
+    _stage(spark, tmp_path, batch, "n1.parquet",
+           docs=[(1, "only text tonight folks")])
+    r1, _ = N.nightly_curation_update(spark, batch, state)
+    assert set(r1) == {"bloom", "minhash", "substring", "cms"}
+
+    _stage(spark, tmp_path, batch, "n2.parquet",
+           vecs=[(1, axis_vec(0))])
+    r2, _ = N.nightly_curation_update(spark, batch, state)
+    assert set(r2) == {"embedding", "ivf"}

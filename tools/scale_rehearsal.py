@@ -470,6 +470,52 @@ def time_incr_stored(scratch: str, mods: list[int]) -> None:
     spark.stop()
 
 
+def time_substring_stored(scratch: str, mods: list[int]) -> None:
+    """Stored gram-index serving shape (round-9 brief item 2): persist
+    the corpus side's distinct-gram vocabulary once per split (the
+    substring_gram_index artifact — in production it already exists,
+    maintained by nightly_substring_update), then time ONLY the
+    serving query: batch positional grams + ONE semi-join probe +
+    per-doc island merge. The difference vs the inline path (which
+    re-grams the corpus in the timed region) is the index-build term
+    the nightly deployment never pays — isolating the true
+    batch-proportional marginal cost the round-8 row could not."""
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators import dedup as D
+    from mpi_mapreduce_spark.session import get_spark
+
+    import tempfile
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    docs = spark.read.parquet(f"{scratch}/documents.parquet")
+    docs.count()  # session warm-up, outside every timing
+    print("| mod | index build+write (one-time) | serving wall | inline wall | spans |")
+    for mod in mods:
+        corpus = docs.where(F.col("doc_id") % mod != 0)
+        batch = docs.where(F.col("doc_id") % mod == 0)
+        idx_dir = tempfile.mkdtemp(prefix=f"gramidx_m{mod}_")
+        t0 = time.perf_counter()
+        D.substring_gram_index_rows(corpus).write.mode("overwrite").parquet(
+            idx_dir
+        )
+        build = time.perf_counter() - t0
+        stored = spark.read.parquet(idx_dir)
+        t0 = time.perf_counter()
+        n = D.incremental_span_rows(batch, corpus_grams=stored).count()
+        serve = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n2 = D.incremental_span_rows(batch, corpus).count()
+        inline = time.perf_counter() - t0
+        assert n == n2, (n, n2)
+        print(
+            f"| {mod} | {build:.1f} s | {serve:.1f} s | {inline:.1f} s "
+            f"|  # {n} spans",
+            flush=True,
+        )
+    spark.stop()
+
+
 def time_ivf_assign(scratch: str, mods: list[int]) -> None:
     """IVF incremental-ingest serving shape (round 8): per split, time
     the ONE-TIME quantizer training (bounded md5-ordered sample +
@@ -664,6 +710,10 @@ def main() -> None:
         mods = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
         time_incr_stored(scratch, mods)
+    elif mode == "time-substring-stored":
+        mods = [int(m) for m in sys.argv[2].split(",")]
+        scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
+        time_substring_stored(scratch, mods)
     elif mode == "time-ivf-assign":
         mods = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
