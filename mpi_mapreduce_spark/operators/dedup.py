@@ -1067,7 +1067,7 @@ ORACLE_NOVELTY_SCORE = f"""
                   THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
                        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
                   ELSE [array_to_string(tok, ' ')] END AS sh
-      FROM sh0
+      FROM sh0 WHERE len(tok) > 0
     ), seen AS (
       SELECT DISTINCT unnest(sh) AS s FROM sh
       WHERE doc_id % {INCR_BATCH_MOD} <> 0
@@ -1190,7 +1190,7 @@ ORACLE_NOVELTY_BLOOM = f"""
                   THEN list_distinct(list_transform(range(len(tok) - {SHINGLE_N - 1}),
                        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
                   ELSE [array_to_string(tok, ' ')] END AS sh
-      FROM sh0
+      FROM sh0 WHERE len(tok) > 0
     ), cshingle AS (
       SELECT DISTINCT unnest(sh) AS s FROM sh
       WHERE doc_id % {INCR_BATCH_MOD} <> 0
@@ -2812,7 +2812,22 @@ def embedding_index_integrity(
     bands = spark.read.parquet(os.path.join(index_dir, "bands")).select(
         "vec_id", "band", "bucket"
     )
-    dim = len(vecs.select("v").first()[0])
+    first = vecs.select("v").first()
+    if first is None:
+        # vectors leg exists but is EMPTY — the exact rot scenario the
+        # audit is for (a wiped restore, a torn first write). Every
+        # band row is then an orphan; there is nothing to recompute,
+        # so the stale check is vacuously zero rather than a crash
+        # (ADVICE r8: None[0] TypeError here turned the audit into the
+        # failure it was meant to report).
+        return bands.groupBy().agg(
+            F.lit(0).cast("long").alias("n_vectors"),
+            F.count("*").alias("n_band_rows"),
+            F.count("*").alias("n_orphan_band_rows"),
+            F.lit(0).cast("long").alias("n_incomplete_vectors"),
+            F.lit(0).cast("long").alias("n_stale_band_rows"),
+        )
+    dim = len(first[0])
     recomputed = embedding_band_rows(vecs, dim, band_bits, n_bands).select(
         "vec_id",
         F.col("band").alias("r_band"),

@@ -322,24 +322,27 @@ def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def has_committed_parquet(d: str) -> bool:
     """True iff `d` contains at least one COMMITTED parquet file.
 
-    Files under '_'-prefixed directories (Spark's in-flight
-    ``_temporary`` task attempts) do not count — Spark's reader
-    ignores them too, so a naive os.walk census that counts them
-    makes a crash replay treat a TORN write as a readable table and
-    die with UNABLE_TO_INFER_SCHEMA on every retry instead of
-    treating the directory as absent (round-8 review finding,
-    reproduced: kill the driver mid-write, replay forever fails
-    until someone hand-deletes ``_temporary``). Shared by all three
-    nightly index-maintenance jobs."""
+    Files and directories whose names start with '_' (Spark's
+    in-flight ``_temporary`` task attempts, ``_SUCCESS`` markers) or
+    '.' (dot-staged ``.part-*`` files a direct committer renames on
+    commit, ``.crc`` checksums) do not count — Spark's
+    hiddenFileFilter ignores BOTH prefixes, so a census that counts
+    either makes a crash replay treat a TORN write as a readable
+    table and die with UNABLE_TO_INFER_SCHEMA on every retry instead
+    of treating the directory as absent (round-8 review finding for
+    '_', reproduced: kill the driver mid-write, replay forever fails
+    until someone hand-deletes ``_temporary``; ADVICE r8 for '.').
+    Shared by every nightly index-maintenance job."""
     import os
+
+    def hidden(name: str) -> bool:
+        return name.startswith(("_", "."))
 
     if not os.path.isdir(d):
         return False
     for _root, dirs, fs in os.walk(d):
-        dirs[:] = [x for x in dirs if not x.startswith("_")]
-        if any(
-            f.endswith(".parquet") and not f.startswith("_") for f in fs
-        ):
+        dirs[:] = [x for x in dirs if not hidden(x)]
+        if any(f.endswith(".parquet") and not hidden(f) for f in fs):
             return True
     return False
 

@@ -1288,6 +1288,32 @@ def test_embedding_index_integrity_clean_and_corrupted(spark, tmp_path):
     ) == (4, 4 * L + 2, 1, 1, 1)
 
 
+def test_embedding_index_integrity_empty_vectors_leg(spark, tmp_path):
+    """A vectors leg that exists but is EMPTY (wiped restore, torn
+    first write) is the rot scenario the audit exists for — it must
+    REPORT (every band row an orphan, nothing stale) rather than
+    crash on the missing dimension probe (ADVICE r8: None[0]
+    TypeError)."""
+    import os
+
+    index = str(tmp_path / "index")
+    spark.createDataFrame([], "vec_id long, v array<double>").write.parquet(
+        os.path.join(index, "vectors", "batch=b0")
+    )
+    spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 9), (2, 0, 5)],
+        "vec_id long, band int, bucket int",
+    ).write.parquet(os.path.join(index, "bands", "batch=b0"))
+    row = D.embedding_index_integrity(spark, index).collect()[0]
+    assert (
+        row.n_vectors,
+        row.n_band_rows,
+        row.n_orphan_band_rows,
+        row.n_incomplete_vectors,
+        row.n_stale_band_rows,
+    ) == (0, 3, 3, 0, 0)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter membership screen (round-8 late addition)
 # ---------------------------------------------------------------------------

@@ -392,6 +392,13 @@ def test_has_committed_parquet_ignores_temporary(tmp_path):
     open(os.path.join(d, "_temporary", "0", "part-0.snappy.parquet"), "w").close()
     open(os.path.join(d, "_SUCCESS"), "w").close()
     assert not has_committed_parquet(d)  # torn: only in-flight files
+    # dot-staged files (a direct committer's pre-rename staging) and
+    # hidden dirs are ignored by Spark's hiddenFileFilter too — a
+    # directory holding only those is still a torn table (ADVICE r8)
+    open(os.path.join(d, ".part-1.snappy.parquet"), "w").close()
+    os.makedirs(os.path.join(d, ".staging"))
+    open(os.path.join(d, ".staging", "part-2.snappy.parquet"), "w").close()
+    assert not has_committed_parquet(d)  # still torn: only hidden files
     os.makedirs(os.path.join(d, "batch=b1"))
     open(os.path.join(d, "batch=b1", "part-0.snappy.parquet"), "w").close()
     assert has_committed_parquet(d)  # committed file present
