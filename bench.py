@@ -78,6 +78,13 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "text_cms_sketch",
     "ann_mmr_topk",
+    # round 9: the stored gram-vocabulary artifact (the last
+    # incremental modality to get one) and the real PNG decode (zlib
+    # inflate + five-filter reconstruction — the heaviest pure-Python
+    # per-row work in the engine, exactly what a plan gate should
+    # watch)
+    "substring_gram_index",
+    "multimodal_png_decode",
 ]
 
 

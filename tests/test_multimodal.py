@@ -217,3 +217,166 @@ def test_pixel_histogram_counts_complete(spark, sf_dir):
         per[r.media_id] += r.n
     # every image's bins sum to exactly its pixel count
     assert all(total == BMP_W * BMP_H for total in per.values())
+
+
+def test_png_parser_decodes_hand_assembled_images():
+    """Cross-check the PNG reader against images assembled BY HAND in
+    this test (chunk layout, CRCs and filtered scanlines written with
+    independent inline logic, not the codec's own builder) — a shared
+    bug in build+parse cannot cancel out here.
+
+    Image 1 (truecolor 2×2, one filter per construction concern):
+      row 0: filter 0 (None), pixels (1,2,3),(4,5,6)
+      row 1: filter 2 (Up), raw deltas against row 0
+    Image 2 (grayscale 3×2): filter 1 (Sub) then filter 4 (Paeth).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_png_codec
+
+    _, parse = make_png_codec()
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # --- truecolor 2x2 ---
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    row0 = bytes([1, 2, 3, 4, 5, 6])
+    # row 1 raw = (11, 22, 33), (44, 55, 66); Up filter stores raw - prior
+    raw1 = bytes([11, 22, 33, 44, 55, 66])
+    filt1 = bytes((raw1[i] - row0[i]) % 256 for i in range(6))
+    scan = b"\x00" + row0 + b"\x02" + filt1
+    png = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(scan)
+    ) + chunk(b"IEND", b"")
+    img = parse(png)
+    assert img["width"] == 2 and img["height"] == 2
+    assert img["color_type"] == 2
+    assert img["rgb"].tolist() == [
+        [[1, 2, 3], [4, 5, 6]],
+        [[11, 22, 33], [44, 55, 66]],
+    ]
+
+    # --- grayscale 3x2, Sub then Paeth ---
+    ihdr_g = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    # row 0 raw = 10, 30, 25; Sub stores raw[i] - raw[i-1]
+    r0 = [10, 30, 25]
+    f0 = bytes([(r0[0]) % 256, (r0[1] - r0[0]) % 256, (r0[2] - r0[1]) % 256])
+    # row 1 raw = 50, 20, 200; Paeth predictor of (left, up, up-left)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    r1 = [50, 20, 200]
+    f1 = bytes(
+        [
+            (r1[0] - paeth(0, r0[0], 0)) % 256,
+            (r1[1] - paeth(r1[0], r0[1], r0[0])) % 256,
+            (r1[2] - paeth(r1[1], r0[2], r0[1])) % 256,
+        ]
+    )
+    scan_g = b"\x01" + f0 + b"\x04" + f1
+    png_g = sig + chunk(b"IHDR", ihdr_g) + chunk(
+        b"IDAT", zlib.compress(scan_g)
+    ) + chunk(b"IEND", b"")
+    img_g = parse(png_g)
+    assert img_g["color_type"] == 0
+    assert img_g["rgb"].reshape(2, 3).tolist() == [r0, r1]
+
+    # split IDAT across two chunks — readers must concatenate
+    z = zlib.compress(scan)
+    png_split = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", z[:5]
+    ) + chunk(b"IDAT", z[5:]) + chunk(b"IEND", b"")
+    assert np.array_equal(parse(png_split)["rgb"], img["rgb"])
+
+
+def test_png_parser_rejects_malformed_and_gates_unwired():
+    """Error taxonomy: ValueError for broken bytes (magic, CRC, zlib,
+    size, unknown filter), NotImplementedError for honestly-unwired
+    format corners (interlace, 16-bit, palette)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_png_codec
+
+    build, parse = make_png_codec()
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse(b"BM" + b"\x00" * 60)
+
+    good = bytearray(build(3))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse(bytes(good))
+
+    def mk(depth=8, ctype=2, interlace=0, scan=None, w=1, h=1):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        body = zlib.compress(scan if scan is not None else b"\x00" + b"\x00" * (w * (3 if ctype == 2 else 1)))
+        return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        parse(mk(interlace=1))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        parse(mk(depth=16))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        parse(mk(ctype=3))
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse(mk(scan=b"\x00\x01\x02\x03\x04"))  # wrong length for 1x1 RGB
+    with pytest.raises(ValueError, match="unknown PNG filter"):
+        parse(mk(scan=b"\x07\x01\x02\x03"))
+    with pytest.raises(ValueError, match="zlib"):
+        bad = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+        ) + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b"")
+        parse(bad)
+
+
+def test_png_decode_query_matches_formula(spark, sf_dir):
+    """The registered query's stats equal the generating formula
+    recomputed in numpy, per media row — the engine-side version of
+    the DuckDB oracle."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        multimodal_png_decode,
+    )
+
+    out = {r.media_id: r for r in multimodal_png_decode(spark, sf_dir).collect()}
+    assert out
+    for mid, r in list(out.items())[:5]:
+        y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+        rr = (mid * 11 + x * 5 + y * 17) % 256
+        gg = (mid * 13 + x * 3 + y * 7) % 256
+        bb = (mid * 17 + x * 19 + y * 11) % 256
+        npx = PNG_W * PNG_H
+        assert (r.width, r.height) == (PNG_W, PNG_H)
+        assert abs(r.mean_r - round(rr.sum() / npx * 1e6) / 1e6) < 1e-9
+        assert abs(r.mean_g - round(gg.sum() / npx * 1e6) / 1e6) < 1e-9
+        assert abs(r.mean_b - round(bb.sum() / npx * 1e6) / 1e6) < 1e-9
+        assert r.top_row_sum == int(rr[0].sum() + gg[0].sum() + bb[0].sum())
