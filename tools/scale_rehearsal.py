@@ -623,6 +623,69 @@ def time_bloom(scratch: str, m_bits_list: list[int]) -> None:
     spark.stop()
 
 
+def time_novelty(scratch: str, m_bits_list: list[int]) -> None:
+    """Exact vs Bloom-approximated novelty on the planted text corpus
+    (round-8 measured this at 100k with throwaway driver code; this
+    mode makes it reproducible and runs it at any scale): per filter
+    size m, time the exact novelty_scores pass (corpus shingle set
+    joined directly) and the novelty_scores_bloom pass (fixed-size
+    word table), then compare the mean per-doc novelty underestimate
+    to the (1−e^{−kn/m})^k FP prediction. One-sidedness (the Bloom
+    estimate never EXCEEDS exact novelty) is asserted per doc."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators import dedup as D
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    docs = spark.read.parquet(f"{scratch}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).localCheckpoint()
+    batch = docs.where(F.col("doc_id") % 10 == 0).localCheckpoint()
+    n_shingles = (
+        corpus.transform(D.shingle_rows).select("s").distinct().count()
+    )
+    t0 = time.perf_counter()
+    exact = {
+        r.doc_id: r.novelty
+        for r in D.novelty_scores(batch, corpus).collect()
+    }
+    exact_wall = time.perf_counter() - t0
+    print(
+        f"corpus shingles {n_shingles}, batch docs {len(exact)}, "
+        f"exact wall {exact_wall:.1f} s"
+    )
+    print("| m bits | bits/shingle | bloom wall | mean underest | "
+          "FP predicted | max gap |")
+    for m in m_bits_list:
+        t0 = time.perf_counter()
+        est = {
+            r.doc_id: r.novelty_est
+            for r in D.novelty_scores_bloom(batch, corpus, m_bits=m).collect()
+        }
+        wall = time.perf_counter() - t0
+        gaps = []
+        for did, nov in exact.items():
+            gap = nov - est[did]
+            if gap < -1e-9:
+                raise AssertionError(
+                    f"novelty inflated at m={m}, doc {did}: "
+                    f"exact {nov} < est {est[did]}"
+                )
+            gaps.append(gap)
+        pred = (
+            1.0 - math.exp(-D.BLOOM_HASHES * n_shingles / m)
+        ) ** D.BLOOM_HASHES
+        print(
+            f"| 2^{int(math.log2(m))} | {m / n_shingles:.1f} | {wall:.1f} s "
+            f"| {sum(gaps) / len(gaps):.5f} | {pred:.5f} "
+            f"| {max(gaps):.4f} |",
+            flush=True,
+        )
+    spark.stop()
+
+
 def time_cms(scratch: str, widths: list[int]) -> None:
     """CMS width sweep at the 100k planted text corpus (round 8): per
     width w, time the sketch build over the ~6M-token stream and
@@ -722,6 +785,10 @@ def main() -> None:
         ms = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
         time_bloom(scratch, ms)
+    elif mode == "time-novelty":
+        ms = [int(m) for m in sys.argv[2].split(",")]
+        scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
+        time_novelty(scratch, ms)
     elif mode == "time-cms":
         ws = [int(w) for w in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
