@@ -136,5 +136,48 @@ def read_bloom_table(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def start_gram_maintenance(
+    spark: SparkSession, sf_dir: str, table_path: str, checkpoint: str
+):
+    """Streaming maintenance of the substring gram VOCABULARY — the
+    fourth mergeable streaming leg (histogram: sum, CMS: sum, Bloom:
+    bit_or, grams: set UNION). Each micro-batch appends its own
+    distinct full-gram rows; because the serving probe
+    (operators.dedup.incremental_span_rows with ``corpus_grams=``) is
+    a duplicate-tolerant SEMI join, the RAW appended partials are
+    directly servable with no merge step at all — strictly laxer than
+    even Bloom's idempotence story (re-delivered epochs, cross-batch
+    repeats, and unmerged partials are all invisible to the serving
+    result, pytest-pinned)."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        substring_gram_index_rows,
+    )
+
+    def upd(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        substring_gram_index_rows(batch_df).write.mode("append").parquet(
+            table_path
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/documents.parque[t]")
+        .writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_gram_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Canonical view of the appended gram partials: distinct — only
+    needed when exporting the vocabulary itself; the span-serving
+    path probes the raw partials directly (semi join)."""
+    return spark.read.parquet(table_path).select("s").distinct()
+
+
 QUERIES: dict = {}
 ORACLE: dict = {}

@@ -265,6 +265,47 @@ def test_streaming_bloom_maintenance_equals_batch(spark, sf_dir, tmp_path):
     assert streamed == batch and streamed
 
 
+def test_streaming_gram_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Appended per-micro-batch gram partials distinct to exactly the
+    batch-built vocabulary, AND the RAW unmerged partials serve the
+    incremental span probe identically (the semi join is duplicate-
+    tolerant, so streaming this leg needs no merge step at all)."""
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators import dedup as D
+    from mpi_mapreduce_spark.streaming.sketch_maintain import (
+        read_gram_table,
+        start_gram_maintenance,
+    )
+
+    table = str(tmp_path / "grams")
+    q = start_gram_maintenance(spark, sf_dir, table, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = load_table(spark, sf_dir, "documents")
+    streamed = {r.s for r in read_gram_table(spark, table).collect()}
+    batch = {r.s for r in D.substring_gram_index_rows(docs).collect()}
+    assert streamed == batch and streamed
+
+    # serving parity on the raw partials: a probe batch sharing a
+    # corpus passage gets identical spans from the streamed table
+    probe = docs.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    via_stream = {
+        tuple(r)
+        for r in D.incremental_span_rows(
+            probe, corpus_grams=spark.read.parquet(table)
+        ).collect()
+    }
+    via_batch = {
+        tuple(r) for r in D.incremental_span_rows(probe, docs).collect()
+    }
+    assert via_stream == via_batch
+
+
 def test_nightly_cms_two_nights_and_crash_replay(spark, sf_dir, tmp_path):
     """Two nights of partials sum to the one-pass sketch over both
     nights' docs; a crash between the partition write and the ledger
