@@ -4059,6 +4059,101 @@ def _nightly_substring_core(
     return spans
 
 
+def gram_index_integrity(
+    spark: SparkSession, index_dir: str, n: int = SPAN_N
+) -> DataFrame:
+    """DQ audit over a persisted substring gram index (the per-batch
+    partitions nightly_substring_update appends) — the stored-index
+    analog of :func:`embedding_index_integrity`, because at 100 TB
+    the vocabulary IS a production table that rots like any other:
+
+    one row of violation counters —
+    - ``n_rows``: total gram rows across all batch partitions;
+    - ``n_null_or_empty``: NULL or empty gram strings (a writer bug —
+      the builder derives grams from non-empty tokens only);
+    - ``n_wrong_arity``: grams whose whitespace token count != n (the
+      index stores FULL n-grams only; a short gram means a filter
+      regression upstream and silently over-matches short batch
+      docs);
+    - ``n_dup_within_batch``: repeated grams INSIDE one batch
+      partition (each partition is distinct-by-construction; serving
+      tolerates cross-batch repeats by semi join, but intra-batch
+      repeats mean the builder's distinct was lost and the partition
+      is bloated).
+
+    A clean index reads (n, 0, 0, 0). Grouped counts and one window
+    over (batch, s) — linear, no pairwise term."""
+    rows = spark.read.parquet(index_dir).select("batch", "s")
+    arity = F.size(F.split(F.col("s"), r"\s+"))
+    per = rows.select(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("s").isNull() | (F.col("s") == ""), 1).otherwise(0)
+        ).alias("n_null_or_empty"),
+        F.sum(
+            F.when(
+                F.col("s").isNotNull()
+                & (F.col("s") != "")
+                & (arity != n),
+                1,
+            ).otherwise(0)
+        ).alias("n_wrong_arity"),
+    )
+    dups = (
+        rows.groupBy("batch", "s")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias(
+                "n_dup_within_batch"
+            )
+        )
+    )
+    return per.crossJoin(dups)
+
+
+def bloom_filter_integrity(
+    spark: SparkSession,
+    index_dir: str,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """DQ audit over a persisted Bloom filter table (the per-batch
+    partitions nightly_bloom_update appends): one row of violation
+    counters —
+    - ``n_word_rows``: total packed-word rows;
+    - ``n_out_of_range``: word ids outside [0, m/32) — an index
+      written under a DIFFERENT m than the probe uses would silently
+      never match those words (the screen's left join treats absent
+      words as zero bits, so a geometry mismatch reads as inflated
+      novelty, not an error);
+    - ``n_sign_violations``: words whose packed bits have bit 63 set
+      or are negative — the 32-bit packing keeps every stored word in
+      [1, 2^32), so a violation means corruption or a foreign writer;
+    - ``n_zero_rows``: words with bits == 0 (harmless to serving but
+      pure bloat — the build never emits them).
+
+    A clean index reads (n, 0, 0, 0). One grouped pass, linear."""
+    rows = spark.read.parquet(index_dir).select("word", "bits")
+    n_words = m_bits // BLOOM_WORD_BITS
+    return rows.select(
+        F.count("*").alias("n_word_rows"),
+        F.sum(
+            F.when(
+                (F.col("word") < 0) | (F.col("word") >= n_words), 1
+            ).otherwise(0)
+        ).alias("n_out_of_range"),
+        F.sum(
+            F.when(
+                (F.col("bits") < 0)
+                | (F.col("bits") >= F.lit(1 << BLOOM_WORD_BITS)),
+                1,
+            ).otherwise(0)
+        ).alias("n_sign_violations"),
+        F.sum(F.when(F.col("bits") == 0, 1).otherwise(0)).alias(
+            "n_zero_rows"
+        ),
+    )
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of :func:`duplicated_span_rows` over documents."""
     return duplicated_span_rows(_docs(spark, sf_dir))

@@ -1732,6 +1732,95 @@ def test_nightly_substring_two_nights(spark, tmp_path):
     assert got4 == {40: (1, 9, 9)}
 
 
+def test_gram_index_integrity_clean_and_corrupted(spark, tmp_path):
+    """The gram-index DQ audit: a two-night nightly index reads
+    (n, 0, 0, 0); planting an empty gram, a short (wrong-arity) gram
+    and an intra-batch duplicate trips exactly those counters."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet", [(1, f"a-lead {shared} a-tail")]
+    )
+    D.nightly_substring_update(spark, src, ledger, index)
+    _drop_doc_file(
+        spark, tmp_path, src, "n2.parquet", [(2, f"b-lead {shared} b-tail")]
+    )
+    D.nightly_substring_update(spark, src, ledger, index)
+
+    clean = D.gram_index_integrity(spark, index).collect()[0]
+    n = clean.n_rows
+    assert n > 0
+    assert (clean.n_null_or_empty, clean.n_wrong_arity,
+            clean.n_dup_within_batch) == (0, 0, 0)
+
+    # corruption: an empty gram, a 3-token gram, and a duplicated
+    # legitimate 8-gram inside one planted partition
+    spark.createDataFrame(
+        [("",), ("just three tokens",),
+         ("g1 g2 g3 g4 g5 g6 g7 g8",), ("g1 g2 g3 g4 g5 g6 g7 g8",)],
+        "s string",
+    ).write.mode("overwrite").parquet(
+        os.path.join(index, "batch=bcorrupt")
+    )
+    bad = D.gram_index_integrity(spark, index).collect()[0]
+    assert (
+        bad.n_rows,
+        bad.n_null_or_empty,
+        bad.n_wrong_arity,
+        bad.n_dup_within_batch,
+    ) == (n + 4, 1, 1, 1)
+
+
+def test_bloom_filter_integrity_clean_and_corrupted(spark, tmp_path):
+    """The Bloom-table DQ audit: a two-night nightly filter reads
+    (n, 0, 0, 0); planting an out-of-range word, a sign-violating
+    word and a zero-bits row trips exactly those counters."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_doc_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(1, "alpha text one"), (2, "beta text two")],
+    )
+    D.nightly_bloom_update(spark, src, ledger, index)
+    _drop_doc_file(
+        spark, tmp_path, src, "n2.parquet", [(3, "gamma text three")]
+    )
+    D.nightly_bloom_update(spark, src, ledger, index)
+
+    clean = D.bloom_filter_integrity(spark, index).collect()[0]
+    n = clean.n_word_rows
+    assert n > 0
+    assert (clean.n_out_of_range, clean.n_sign_violations,
+            clean.n_zero_rows) == (0, 0, 0)
+
+    spark.createDataFrame(
+        [
+            (D.BLOOM_BITS // D.BLOOM_WORD_BITS + 7, 1),  # out of range
+            (5, -1),                                      # sign violation
+            (6, 0),                                       # zero bloat
+        ],
+        "word long, bits long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(index, "batch=bcorrupt")
+    )
+    bad = D.bloom_filter_integrity(spark, index).collect()[0]
+    assert (
+        bad.n_word_rows,
+        bad.n_out_of_range,
+        bad.n_sign_violations,
+        bad.n_zero_rows,
+    ) == (n + 3, 1, 1, 1)
+
+
 def test_nightly_substring_crash_replay_idempotent(spark, tmp_path):
     """Crash between the gram append and the ledger commit: the
     replay reproduces the SAME spans (tonight's own partition is
