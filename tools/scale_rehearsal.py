@@ -203,7 +203,11 @@ def planted_text_corpus(n: int = TXT_SEP_N):
         toks[a + 1] = toks[a]
         pos = rng.choice(TXT_SEP_TOKENS, size=t, replace=False)
         toks[a + 1, pos] = rng.randint(0, TXT_SEP_VOCAB, size=t)
-    texts = [" ".join(f"w{w:06d}" for w in row) for row in toks]
+    # vectorized token formatting (np.char.mod emits the identical
+    # "w%06d" strings f-string formatting did; the per-row join over
+    # pre-made strings makes 1M-doc generation minutes, not tens)
+    words = np.char.mod("w%06d", toks)
+    texts = [" ".join(row) for row in words.tolist()]
     return texts, len(texts[0]), n_pairs
 
 
