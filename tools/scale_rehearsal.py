@@ -162,7 +162,14 @@ def gen_emb(scratch: str, n: int = EMB_SEP_N) -> None:
             ),
         }
     )
-    pq.write_table(table, f"{scratch}/embeddings.parquet")
+    # bounded row groups: a single-row-group file is UNSPLITTABLE —
+    # Spark byte-range splits cannot cross a row-group boundary, so a
+    # 1M-row single-group file serializes every scan-fused stage
+    # (the Arrow-UDF kNN ran as ONE task until this; round-9 finding,
+    # SCALING.md). 32k rows/group ≈ 30+ splits at 1M.
+    pq.write_table(
+        table, f"{scratch}/embeddings.parquet", row_group_size=32_768
+    )
     print(f"embeddings: {len(ids)} rows, {len(pairs)} planted pairs -> {scratch}")
 
 
@@ -227,7 +234,10 @@ def gen_txt(scratch: str, n: int = TXT_SEP_N) -> None:
             "n_chars": pa.array([n_chars] * n, type=pa.int32()),
         }
     )
-    pq.write_table(table, f"{scratch}/documents.parquet")
+    # bounded row groups — same splittability rationale as gen_emb
+    pq.write_table(
+        table, f"{scratch}/documents.parquet", row_group_size=32_768
+    )
     print(f"documents: {n} rows, {n_pairs} planted pairs -> {scratch}")
 
 
