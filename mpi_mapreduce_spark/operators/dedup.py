@@ -3988,6 +3988,68 @@ def dedup_incremental_substring(
     )
 
 
+def strip_incremental_spans(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    n: int = SPAN_N,
+    corpus_grams: DataFrame | None = None,
+) -> DataFrame:
+    """The production tail of the incremental substring modality:
+    detect tonight's corpus-covered spans (:func:`incremental_span_
+    rows`) and STRIP them from the batch — per doc, ``n_tokens`` /
+    ``n_removed`` / ``clean_text`` with covered token positions
+    removed, exactly :func:`strip_duplicated_spans`'s contract
+    restricted to the batch-vs-corpus setting (what a nightly ingest
+    actually writes downstream: the batch with previously-seen
+    passages excised, Lee et al. 2021 as a pipeline stage rather than
+    a report). Same anti-join + per-doc rebuild plan as the full op —
+    all stages shuffle on the batch's doc_id, no pairwise term; the
+    corpus enters only through the gram vocabulary (pass
+    ``corpus_grams`` to serve from the stored artifact)."""
+    spans = incremental_span_rows(batch, corpus, n, corpus_grams)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("p"),
+    )
+    tokpos = token_rows(batch)
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    ntok = tokpos.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return ntok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def dedup_incremental_strip(
+    spark: SparkSession, sf_dir: str, corpus_grams: DataFrame | None = None
+) -> DataFrame:
+    """Registered incremental strip over the standing INCR_BATCH_MOD
+    split. Pass ``corpus_grams`` to serve from the STORED
+    substring_gram_index artifact (stored-vs-recomputed pytest-pinned
+    like the detect query)."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    if corpus_grams is not None:
+        return strip_incremental_spans(batch, corpus_grams=corpus_grams)
+    return strip_incremental_spans(
+        batch, docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    )
+
+
 def nightly_substring_update(
     spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
 ):
@@ -4262,6 +4324,45 @@ ORACLE_INCREMENTAL_SUBSTRING = f"""
 """
 
 
+ORACLE_INCREMENTAL_STRIP = ORACLE_INCREMENTAL_SUBSTRING.replace(
+    # reuse the incremental spans chain verbatim, swapping its final
+    # SELECT for the strip tail (the same rebuild the full-corpus
+    # ORACLE_SUBSTRING_STRIP runs, restricted to batch docs)
+    """
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+""",
+    f"""
+    , tokpos AS (
+      SELECT doc_id, unnest(range(len(tok))) AS p, unnest(tok) AS t
+      FROM toks WHERE len(tok) > 0 AND doc_id % {INCR_BATCH_MOD} = 0
+    ), covered AS (
+      SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p
+      FROM spans
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.t
+      FROM tokpos t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.doc_id IS NULL
+    ), clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), ntok AS (
+      SELECT doc_id, len(tok) AS n_tokens FROM toks
+      WHERE len(tok) > 0 AND doc_id % {INCR_BATCH_MOD} = 0
+    )
+    SELECT n.doc_id, n.n_tokens,
+           n.n_tokens - COALESCE(c.n_kept, 0) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM ntok n LEFT JOIN clean c USING (doc_id)
+""",
+)
+if ORACLE_INCREMENTAL_STRIP == ORACLE_INCREMENTAL_SUBSTRING:
+    raise AssertionError("incremental strip oracle: tail swap not applied")
+
+
 ORACLE_SUBSTRING_SPANS = _SUBSTRING_SPANS_CTE + """
     SELECT doc_id, span_start, span_end,
            span_end - span_start + 1 AS span_tokens
@@ -4335,6 +4436,7 @@ QUERIES = {
     "dedup_novelty_bloom": dedup_novelty_bloom,
     "dedup_incremental_screened": dedup_incremental_screened,
     "dedup_incremental_substring": dedup_incremental_substring,
+    "dedup_incremental_strip": dedup_incremental_strip,
     "substring_gram_index": substring_gram_index,
     "embedding_bucket_index": embedding_bucket_index,
     "dedup_connected_components": dedup_connected_components,
@@ -4388,6 +4490,7 @@ ORACLE = {
     # (Bloom no-false-negative theorem) — same oracle by design
     "dedup_incremental_screened": ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_substring": ORACLE_INCREMENTAL_SUBSTRING,
+    "dedup_incremental_strip": ORACLE_INCREMENTAL_STRIP,
     "substring_gram_index": ORACLE_SUBSTRING_GRAM_INDEX,
     "embedding_bucket_index": ORACLE_EMBEDDING_BUCKET_INDEX,
     "dedup_connected_components": ORACLE_CONNECTED_COMPONENTS,

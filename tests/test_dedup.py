@@ -1732,6 +1732,44 @@ def test_nightly_substring_two_nights(spark, tmp_path):
     assert got4 == {40: (1, 9, 9)}
 
 
+def test_incremental_strip_planted_semantics(spark):
+    """The incremental strip contract on the planted split: the
+    cross-split shared passage is excised from the batch doc (its
+    surrounding tokens survive), intra-batch-only and fully-novel
+    docs pass through untouched."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    intra = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    corpus = spark.createDataFrame(
+        [(1, f"c-lead {shared} c-tail")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"b-lead-a b-lead-b {shared} b-tail"),
+            (20, f"x-a x-b {intra} x-c"),
+            (40, "completely novel material with no repeats anywhere ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in D.strip_incremental_spans(batch, corpus).collect()
+    }
+    assert got[10].n_tokens == 13 and got[10].n_removed == 10
+    assert got[10].clean_text == "b-lead-a b-lead-b b-tail"
+    assert got[20].n_removed == 0 and got[20].clean_text.startswith("x-a")
+    assert got[40].n_removed == 0
+
+    # stored-artifact serving parity
+    grams = D.substring_gram_index_rows(corpus)
+    via_stored = {
+        tuple(r)
+        for r in D.strip_incremental_spans(
+            batch, corpus_grams=grams
+        ).collect()
+    }
+    assert via_stored == {tuple(r) for r in got.values()}
+
+
 def test_gram_index_integrity_clean_and_corrupted(spark, tmp_path):
     """The gram-index DQ audit: a two-night nightly index reads
     (n, 0, 0, 0); planting an empty gram, a short (wrong-arity) gram
