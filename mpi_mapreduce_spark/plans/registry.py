@@ -194,12 +194,13 @@ _ROUND_PRIORITY = [
 # will be round 6+ (r6:45 / r7:49 / r8:50 / r9:50 less overlaps —
 # recompute from CORRECTNESS_r01..r09 as always); the rows-only LSH
 # paths stay green-by-twin per their contract. Queries REGISTERED in
-# round 9 after this window froze (the substring_gram_index artifact
-# family, multimodal_png_decode, the nightly curation composite)
-# follow the established late-addition handling: builder-attested
-# this round (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1
-# via tools/rehearse.py + the oracle harness), FIRST IN LINE for the
-# round-10 window.
+# round 9 after this window froze (substring_gram_index,
+# dedup_incremental_strip, multimodal_png_decode; the nightly
+# curation composite and the streaming gram leg are API-only) follow
+# the established late-addition handling: builder-attested this round
+# (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
+# tools/rehearse.py + the oracle harness, plus the round-end full
+# sweeps), FIRST IN LINE for the round-10 window.
 
 
 def _promote(names: list[str]) -> None:
