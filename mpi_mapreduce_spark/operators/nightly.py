@@ -138,3 +138,137 @@ def nightly_curation_update(
 
     record_ingested(spark, ledger, files)
     return out, files
+
+
+def curation_state_audit(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """One-callable DQ audit over the composite's whole state
+    directory — the operational twin of :func:`nightly_curation_
+    update`: a scheduler runs the update nightly and THIS weekly (or
+    after any restore/surgery), because at 100 TB the stored indexes
+    are production tables that rot like any other.
+
+    Runs every per-family integrity audit that applies (gram index,
+    Bloom table, embedding bands+vectors) plus structural counters
+    for the remaining legs (MinHash signature rows, CMS cells, IVF
+    centroids/cells, ledger entries) and returns ONE long-format
+    frame ``(leg, counter, value)`` — greppable, diffable against
+    yesterday's run, and empty-state-safe (absent legs simply
+    contribute no rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators.dedup import (
+        MINHASH_HASHES,
+        bloom_filter_integrity,
+        embedding_index_integrity,
+        gram_index_integrity,
+    )
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    def _long(leg: str, row_df: DataFrame) -> DataFrame:
+        row = row_df.collect()[0]
+        return spark.createDataFrame(
+            [(leg, k, int(v)) for k, v in row.asDict().items()],
+            "leg string, counter string, value long",
+        )
+
+    parts: list[DataFrame] = []
+
+    grams = os.path.join(state_dir, STATE_SUBDIRS["grams"])
+    if has_committed_parquet(grams):
+        parts.append(_long("grams", gram_index_integrity(spark, grams)))
+    bloom = os.path.join(state_dir, STATE_SUBDIRS["bloom"])
+    if has_committed_parquet(bloom):
+        parts.append(_long("bloom", bloom_filter_integrity(spark, bloom)))
+    emb = os.path.join(state_dir, STATE_SUBDIRS["embedding"])
+    if has_committed_parquet(os.path.join(emb, "bands")) and (
+        has_committed_parquet(os.path.join(emb, "vectors"))
+    ):
+        parts.append(
+            _long("embedding", embedding_index_integrity(spark, emb))
+        )
+
+    mh = os.path.join(state_dir, STATE_SUBDIRS["minhash"])
+    if has_committed_parquet(mh):
+        sig = spark.read.parquet(mh)
+        parts.append(
+            _long(
+                "minhash",
+                sig.select(
+                    F.count("*").alias("n_signatures"),
+                    F.sum(
+                        F.when(
+                            sum(
+                                F.when(F.col(f"mh{i}").isNull(), 1).otherwise(0)
+                                for i in range(MINHASH_HASHES)
+                            )
+                            > 0,
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_incomplete_signatures"),
+                ),
+            )
+        )
+    cms = os.path.join(state_dir, STATE_SUBDIRS["cms"])
+    if has_committed_parquet(cms):
+        t = spark.read.parquet(cms)
+        parts.append(
+            _long(
+                "cms",
+                t.select(
+                    F.count("*").alias("n_cell_rows"),
+                    F.sum(
+                        F.when(F.col("cnt") <= 0, 1).otherwise(0)
+                    ).alias("n_nonpositive_cells"),
+                ),
+            )
+        )
+    ivf = os.path.join(state_dir, STATE_SUBDIRS["ivf"])
+    if has_committed_parquet(os.path.join(ivf, "centroids")):
+        cents = spark.read.parquet(os.path.join(ivf, "centroids"))
+        counters = [F.count("*").alias("n_centroids")]
+        if has_committed_parquet(os.path.join(ivf, "cells")):
+            cells = spark.read.parquet(os.path.join(ivf, "cells"))
+            orphan = cells.join(
+                cents.select("cell"), "cell", "left_anti"
+            ).count()
+            parts.append(
+                spark.createDataFrame(
+                    [
+                        ("ivf", "n_centroids", cents.count()),
+                        ("ivf", "n_cell_rows", cells.count()),
+                        ("ivf", "n_orphan_cell_rows", orphan),
+                    ],
+                    "leg string, counter string, value long",
+                )
+            )
+        else:
+            parts.append(_long("ivf", cents.select(*counters)))
+    ledger = os.path.join(state_dir, LEDGER_SUBDIR)
+    if os.path.isdir(ledger) and any(
+        f.endswith(".parquet") for f in os.listdir(ledger)
+    ):
+        led = spark.read.parquet(ledger)
+        parts.append(
+            _long(
+                "ledger",
+                led.select(
+                    F.count("*").alias("n_files"),
+                    (
+                        F.count("*") - F.countDistinct("file_path")
+                    ).alias("n_duplicate_entries"),
+                ),
+            )
+        )
+
+    if not parts:
+        return spark.createDataFrame(
+            [], "leg string, counter string, value long"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

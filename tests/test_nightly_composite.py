@@ -242,3 +242,65 @@ def test_nightly_composite_single_modality_nights(spark, tmp_path):
            vecs=[(1, axis_vec(0))])
     r2, _ = N.nightly_curation_update(spark, batch, state)
     assert set(r2) == {"embedding", "ivf"}
+
+
+def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
+    """The composite state audit: after a two-modality night every
+    present leg reports zero violations; planting one corruption per
+    auditable family trips exactly those counters. Empty state yields
+    an empty (schema-stable) frame."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    empty = N.curation_state_audit(spark, state)
+    assert empty.count() == 0
+    assert empty.columns == ["leg", "counter", "value"]
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(1))],
+    )
+    N.nightly_curation_update(spark, batch, state)
+
+    audit = {
+        (r.leg, r.counter): r.value
+        for r in N.curation_state_audit(spark, state).collect()
+    }
+    assert {leg for leg, _ in audit} == {
+        "grams", "bloom", "embedding", "minhash", "cms", "ivf", "ledger"
+    }
+    violation_keys = [
+        ("grams", "n_null_or_empty"),
+        ("grams", "n_wrong_arity"),
+        ("grams", "n_dup_within_batch"),
+        ("bloom", "n_out_of_range"),
+        ("bloom", "n_sign_violations"),
+        ("embedding", "n_orphan_band_rows"),
+        ("embedding", "n_incomplete_vectors"),
+        ("embedding", "n_stale_band_rows"),
+        ("minhash", "n_incomplete_signatures"),
+        ("cms", "n_nonpositive_cells"),
+        ("ivf", "n_orphan_cell_rows"),
+        ("ledger", "n_duplicate_entries"),
+    ]
+    for k in violation_keys:
+        assert audit[k] == 0, k
+
+    # plant one corruption in the grams leg and one orphan IVF cell
+    import os
+
+    spark.createDataFrame([("short gram",)], "s string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state, N.STATE_SUBDIRS["grams"], "batch=bx"))
+    spark.createDataFrame(
+        [(999, 10**6, 0.5)], "vec_id long, cell int, cosine double"
+    ).write.mode("overwrite").parquet(
+        os.path.join(state, N.STATE_SUBDIRS["ivf"], "cells", "batch=bx")
+    )
+    bad = {
+        (r.leg, r.counter): r.value
+        for r in N.curation_state_audit(spark, state).collect()
+    }
+    assert bad[("grams", "n_wrong_arity")] == 1
+    assert bad[("ivf", "n_orphan_cell_rows")] == 1

@@ -54,12 +54,13 @@ def _result_hash(df) -> tuple[int, str, str]:
     return len(pdf), schema, h.hexdigest()
 
 
-def _sweep(sf_dir: str, partitions: int) -> dict[str, tuple]:
+def _sweep(sf_dir: str, partitions: int, aqe: bool = True) -> dict[str, tuple]:
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", str(partitions))
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
@@ -79,12 +80,18 @@ def _sweep(sf_dir: str, partitions: int) -> dict[str, tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    pa = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    pb = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # --vary-aqe: additionally flip adaptive execution OFF in run A
+    # and ON in run B, so the static plan and every AQE re-plan
+    # (coalesced partitions, runtime join swaps, skew splits) must
+    # produce the identical result
+    vary_aqe = "--vary-aqe" in sys.argv
+    argv = [x for x in sys.argv if x != "--vary-aqe"]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+    pa = int(argv[2]) if len(argv) > 2 else 8
+    pb = int(argv[3]) if len(argv) > 3 else 32
     t0 = time.perf_counter()
-    a = _sweep(sf_dir, pa)
-    b = _sweep(sf_dir, pb)
+    a = _sweep(sf_dir, pa, aqe=not vary_aqe)
+    b = _sweep(sf_dir, pb, aqe=True)
     bad = []
     for name in a:
         if a[name] != b[name]:
@@ -95,9 +102,10 @@ def main() -> int:
     errs = [n for n in a if a[n][0] == "ERROR" and n not in bad]
     for n in errs:
         print(f"ERROR-BOTH {n}: {a[n][1]} {a[n][2]}")
+    mode = f"partitions {pa} (AQE {'off' if vary_aqe else 'on'}) vs {pb} (AQE on)"
     print(
         f"determinism: {len(a) - len(bad) - len(errs)}/{len(a)} "
-        f"hash-identical at partitions {pa} vs {pb} "
+        f"hash-identical at {mode} "
         f"({sf_dir}, {time.perf_counter() - t0:.0f}s)"
     )
     return 1 if (bad or errs) else 0
