@@ -2,7 +2,8 @@
 
 The per-modality nightly jobs (text MinHash signatures, Bloom filter,
 substring gram vocabulary, CMS frequency table, embedding bucket
-index, IVF inverted file) each carry their own ingest + ledger so a
+index, IVF inverted file, PQ code table) each carry their own
+ingest + ledger so a
 deployment can schedule any subset — but production runs them as ONE
 nightly unit against ONE batch. :func:`nightly_curation_update`
 composes every leg's ledger-free core over a single ingest with a
@@ -42,6 +43,7 @@ STATE_SUBDIRS = {
     "cms": "cms",
     "embedding": "embedding",
     "ivf": "ivf",
+    "pq": "pq",
 }
 
 
@@ -54,9 +56,10 @@ def nightly_curation_update(
     - ``batch_dir/docs/*.parquet`` (doc_id, text) feeds the four text
       legs: Bloom membership screen, MinHash signature index,
       substring gram vocabulary, CMS frequency table.
-    - ``batch_dir/vecs/*.parquet`` (vec_id, embedding) feeds the two
+    - ``batch_dir/vecs/*.parquet`` (vec_id, embedding) feeds the three
       vector legs: embedding bucket index (bands + vectors), IVF
-      inverted file (train-once quantizer + cell assignments).
+      inverted file (train-once quantizer + cell assignments), PQ
+      code table (train-once codebooks + per-batch encodes).
     - ``state_dir`` holds ONE ledger (shared across both modalities —
       ledger rows are absolute file paths, so the union is
       unambiguous) and one index directory per leg.
@@ -75,9 +78,10 @@ def nightly_curation_update(
     (doc_id, bloom_seen, seen_in_batch, novel), ``minhash`` (doc_id,
     is_near_dup, keep), ``substring`` (doc_id, span_start, span_end,
     span_tokens), ``cms`` (tonight's partial sketch), ``embedding``
-    (vec_id, is_near_dup, keep), ``ivf`` (vec_id, cell, cosine) —
-    only the legs whose modality had new files; or None when nothing
-    is new — and the list of ingested files)."""
+    (vec_id, is_near_dup, keep), ``ivf`` (vec_id, cell, cosine),
+    ``pq`` (vec_id, m, code) — only the legs whose modality had new
+    files; or None when nothing is new — and the list of ingested
+    files)."""
     from mpi_mapreduce_spark.operators.dedup import (
         _batch_key,
         _nightly_bloom_core,
@@ -85,7 +89,10 @@ def nightly_curation_update(
         _nightly_minhash_core,
         _nightly_substring_core,
     )
-    from mpi_mapreduce_spark.operators.similarity import _nightly_ivf_core
+    from mpi_mapreduce_spark.operators.similarity import (
+        _nightly_ivf_core,
+        _nightly_pq_core,
+    )
     from mpi_mapreduce_spark.operators.sketches import _nightly_cms_core
     from mpi_mapreduce_spark.sources.io import (
         list_new_files,
@@ -135,6 +142,7 @@ def nightly_curation_update(
             spark, vecs, bkey, _idx("embedding")
         )
         out["ivf"] = _nightly_ivf_core(spark, vecs, bkey, _idx("ivf"))
+        out["pq"] = _nightly_pq_core(spark, vecs, bkey, _idx("pq"))
 
     record_ingested(spark, ledger, files)
     return out, files
@@ -226,6 +234,40 @@ def curation_state_audit(
                 ),
             )
         )
+    pq = os.path.join(state_dir, STATE_SUBDIRS["pq"])
+    if has_committed_parquet(os.path.join(pq, "codebooks")):
+        from mpi_mapreduce_spark.operators.similarity import PQ_K, PQ_M
+
+        books = spark.read.parquet(os.path.join(pq, "codebooks"))
+        rows = [("pq", "n_codebook_rows", books.count())]
+        if has_committed_parquet(os.path.join(pq, "codes")):
+            codes = spark.read.parquet(os.path.join(pq, "codes"))
+            rows.append(("pq", "n_code_rows", codes.count()))
+            rows.append(
+                (
+                    "pq",
+                    "n_out_of_range_codes",
+                    codes.where(
+                        (F.col("code") < 0) | (F.col("code") >= PQ_K)
+                    ).count(),
+                )
+            )
+            rows.append(
+                (
+                    "pq",
+                    "n_incomplete_vectors",
+                    codes.groupBy("vec_id", "batch")
+                    .count()
+                    .where(F.col("count") != PQ_M)
+                    .count(),
+                )
+            )
+        parts.append(
+            spark.createDataFrame(
+                rows, "leg string, counter string, value long"
+            )
+        )
+
     ivf = os.path.join(state_dir, STATE_SUBDIRS["ivf"])
     if has_committed_parquet(os.path.join(ivf, "centroids")):
         cents = spark.read.parquet(os.path.join(ivf, "centroids"))

@@ -905,6 +905,107 @@ def _nightly_ivf_core(
     return assigned
 
 
+def nightly_pq_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
+):
+    """The PQ leg of the nightly maintenance family — closes the
+    capstone table's parenthetical ("codes appended per batch like
+    cells") into a real ledger-protocol job: the ingest LEDGER picks
+    up tonight's new ``(vec_id, embedding)`` files; the PQ_M×PQ_K
+    CODEBOOKS are trained ONCE (the first night's batch is the
+    initial corpus — same train-once discipline as the IVF quantizer;
+    parquet round-trips the float64 components exactly, so
+    loaded-vs-just-trained encoding is bit-identical, pytest-pinned)
+    and persisted under ``{index}/codebooks``; every later night
+    LOADS them and only encodes; tonight's 4-bytes-per-vector codes
+    are appended under ``{index}/codes/batch=<bkey>`` — batch-keyed
+    overwrite, crash-replay idempotent, ledger commits LAST.
+
+    Returns (codes DataFrame — vec_id, m, code — or None when nothing
+    is new, list of ingested files)."""
+    from mpi_mapreduce_spark.operators.dedup import _batch_key
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    codes = _nightly_pq_core(spark, batch, _batch_key(files), index_dir)
+    record_ingested(spark, ledger_dir, files)
+    return codes, files
+
+
+def _nightly_pq_core(
+    spark: SparkSession, batch: DataFrame, bkey: str, index_dir: str
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_pq_update` (see the
+    wrapper for the full contract) — train-once/load the codebooks,
+    encode ``batch``, append the code table under ``batch=<bkey>``,
+    return eager codes."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    raw = _raw_corpus(batch).localCheckpoint()
+    first = raw.first()
+    if first is None:
+        # a valid-but-empty file: nothing to train on or encode —
+        # consume it (ledger commit stays the caller's job), leave
+        # the codebooks and code table alone
+        return raw.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("m"),
+            F.lit(0).cast("long").alias("code"),
+        ).localCheckpoint()
+    if len(first.e) != PQ_M * PQ_SUBDIM:
+        # fail loudly, not with an IndexError deep in the encode UDF:
+        # the PQ geometry is a deployment constant and a mismatched
+        # batch means the WRONG TABLE is being fed to this leg
+        raise ValueError(
+            f"PQ leg expects {PQ_M * PQ_SUBDIM}-dim vectors "
+            f"(PQ_M={PQ_M} x PQ_SUBDIM={PQ_SUBDIM}); got {len(first.e)}"
+        )
+
+    book_dir = os.path.join(index_dir, "codebooks")
+    codes_dir = os.path.join(index_dir, "codes")
+    if has_committed_parquet(book_dir):
+        rows = spark.read.parquet(book_dir).orderBy("m", "k").collect()
+        cents = [
+            [None] * PQ_K for _ in range(PQ_M)
+        ]
+        for r in rows:
+            cents[r.m][r.k] = list(r.c)
+    else:
+        cents = pq_codebooks(raw)
+        spark.createDataFrame(
+            [
+                (mi, k, cents[mi][k])
+                for mi in range(PQ_M)
+                for k in range(PQ_K)
+            ],
+            "m int, k int, c array<double>",
+        ).write.mode("overwrite").parquet(book_dir)
+
+    codes = (
+        raw.select(
+            "vec_id",
+            F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code"),
+        )
+        .select(
+            "vec_id",
+            F.col("m").cast("long").alias("m"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .localCheckpoint()
+    )
+    codes.write.mode("overwrite").parquet(
+        os.path.join(codes_dir, f"batch={bkey}")
+    )
+    return codes
+
+
 def _ivf_train_ctes(where_sql: str = "TRUE") -> str:
     """DuckDB mirror of ivf_centroids over the `embeddings` view:
     normalized corpus → md5-ordered sample (+ optional split filter)
@@ -1672,10 +1773,17 @@ def pq_codebooks(raw: DataFrame) -> list[list[list[float]]]:
       combine, PQ_M·PQ_K·PQ_SUBDIM = 1024 result rows collected;
       empty cells keep their previous centroid."""
     first = raw.orderBy("vec_id").limit(PQ_K).collect()
+    # fewer training rows than PQ_K (a tiny first nightly batch):
+    # cycle the available rows deterministically — identical to the
+    # original init whenever the corpus has >= PQ_K vectors
     cents = [
         [
-            list(r.e[mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM])
-            for r in first
+            list(
+                first[k % len(first)].e[
+                    mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM
+                ]
+            )
+            for k in range(PQ_K)
         ]
         for mi in range(PQ_M)
     ]

@@ -20,10 +20,18 @@ import pytest
 
 from mpi_mapreduce_spark.operators import dedup as D
 from mpi_mapreduce_spark.operators import nightly as N
-from tests.conftest import axis_vec, drop_vec_file
+from mpi_mapreduce_spark.operators.similarity import PQ_M, PQ_SUBDIM
+from tests.conftest import axis_vec as _axis_vec
+from tests.conftest import drop_vec_file
 from tests.test_dedup import _drop_doc_file
 
 SHARED = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens ≥ SPAN_N=8
+
+
+def axis_vec(i, wiggle=0.0):
+    """Composite fixtures use the PQ-geometry dim (64): a production
+    deployment has ONE embedding dim and the PQ leg pins it."""
+    return _axis_vec(i, dim=PQ_M * PQ_SUBDIM, wiggle=wiggle)
 
 
 def _stage(spark, tmp_path, batch, name, docs=None, vecs=None):
@@ -54,8 +62,13 @@ def _state_rows(spark, state_dir):
                     out[f"{leg}/{part}"] = sorted(
                         map(tuple, spark.read.parquet(p).collect())
                     )
-        elif leg == "ivf":
-            for part in ("centroids", "cells"):
+        elif leg in ("ivf", "pq"):
+            subparts = (
+                ("centroids", "cells")
+                if leg == "ivf"
+                else ("codebooks", "codes")
+            )
+            for part in subparts:
                 p = os.path.join(d, part)
                 if has_committed_parquet(p):
                     out[f"{leg}/{part}"] = sorted(
@@ -84,7 +97,7 @@ def test_nightly_composite_two_nights(spark, tmp_path):
     r1, f1 = N.nightly_curation_update(spark, batch, state)
     assert len(f1) == 2  # one docs file + one vecs file, ONE commit
     assert set(r1) == {
-        "bloom", "minhash", "substring", "cms", "embedding", "ivf"
+        "bloom", "minhash", "substring", "cms", "embedding", "ivf", "pq"
     }
     # night 1: nothing stored yet — everything novel / kept / span-free
     assert {r.doc_id: r.novel for r in r1["bloom"].collect()} == {
@@ -241,7 +254,7 @@ def test_nightly_composite_single_modality_nights(spark, tmp_path):
     _stage(spark, tmp_path, batch, "n2.parquet",
            vecs=[(1, axis_vec(0))])
     r2, _ = N.nightly_curation_update(spark, batch, state)
-    assert set(r2) == {"embedding", "ivf"}
+    assert set(r2) == {"embedding", "ivf", "pq"}
 
 
 def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
@@ -268,7 +281,8 @@ def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
         for r in N.curation_state_audit(spark, state).collect()
     }
     assert {leg for leg, _ in audit} == {
-        "grams", "bloom", "embedding", "minhash", "cms", "ivf", "ledger"
+        "grams", "bloom", "embedding", "minhash", "cms", "ivf", "pq",
+        "ledger",
     }
     violation_keys = [
         ("grams", "n_null_or_empty"),
@@ -282,6 +296,8 @@ def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
         ("minhash", "n_incomplete_signatures"),
         ("cms", "n_nonpositive_cells"),
         ("ivf", "n_orphan_cell_rows"),
+        ("pq", "n_out_of_range_codes"),
+        ("pq", "n_incomplete_vectors"),
         ("ledger", "n_duplicate_entries"),
     ]
     for k in violation_keys:

@@ -817,3 +817,128 @@ def test_mmr_over_ann_shortlist(spark, sf_dir):
             (c, -v) for (q, v), c in short.items() if q == qid
         )
         assert rows[0].relevance == top_rel[0]
+
+
+def _vec64(i, wiggle=0.0):
+    """64-dim axis vector — PQ encodes PQ_M x PQ_SUBDIM = 64 dims."""
+    return _vec(i, dim=S.PQ_M * S.PQ_SUBDIM, wiggle=wiggle)
+
+
+def test_nightly_pq_two_nights_trains_once(spark, tmp_path):
+    """Night 1 trains and persists the PQ codebooks from the initial
+    batch; night 2 reads ONLY the new file and encodes it against the
+    STORED books — the codebook table is byte-stable across nights,
+    night-2 codes equal a fresh encode with the loaded books
+    (parquet float64 round-trip is exact), the code table accumulates
+    both batches, and a third run is a no-op."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec64(i)) for i in range(20)],
+    )
+    c1, f1 = S.nightly_pq_update(spark, src, ledger, index)
+    assert len(f1) == 1 and c1.count() == 20 * S.PQ_M
+    books1 = sorted(
+        (r.m, r.k, tuple(r.c))
+        for r in spark.read.parquet(
+            os.path.join(index, "codebooks")
+        ).collect()
+    )
+    assert len(books1) == S.PQ_M * S.PQ_K
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n2.parquet",
+        [(100 + i, _vec64(i, wiggle=0.05)) for i in range(4)],
+    )
+    c2, f2 = S.nightly_pq_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n2.parquet"]
+    assert {r.vec_id for r in c2.collect()} == {100, 101, 102, 103}
+    books2 = sorted(
+        (r.m, r.k, tuple(r.c))
+        for r in spark.read.parquet(
+            os.path.join(index, "codebooks")
+        ).collect()
+    )
+    assert books2 == books1, "night 2 must NOT retrain the codebooks"
+    # loaded-books encode equals a direct encode with the same books
+    cents = [[None] * S.PQ_K for _ in range(S.PQ_M)]
+    for m, k, c in books1:
+        cents[m][k] = list(c)
+    from pyspark.sql import functions as F
+
+    batch2 = spark.createDataFrame(
+        [(100 + i, _vec64(i, wiggle=0.05)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    direct = {
+        (r.vec_id, r.m, r.code)
+        for r in S._raw_corpus(batch2)
+        .select(
+            "vec_id",
+            F.posexplode(S._pq_codes(cents)(F.col("e"))).alias("m", "code"),
+        )
+        .collect()
+    }
+    assert {(r.vec_id, r.m, r.code) for r in c2.collect()} == direct
+
+    c3, f3 = S.nightly_pq_update(spark, src, ledger, index)
+    assert c3 is None and f3 == []
+    assert (
+        spark.read.parquet(os.path.join(index, "codes")).count()
+        == 24 * S.PQ_M
+    )
+
+
+def test_nightly_pq_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the codes write and the ledger commit: the
+    replay loads the already-persisted codebooks, reproduces the
+    identical code rows, and overwrites rather than duplicates the
+    batch partition."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec64(i)) for i in range(20)],
+    )
+    c1, _ = S.nightly_pq_update(spark, src, ledger, index)
+    first = {(r.vec_id, r.m, r.code) for r in c1.collect()}
+    n_rows = spark.read.parquet(os.path.join(index, "codes")).count()
+
+    shutil.rmtree(ledger)
+    c2, f2 = S.nightly_pq_update(spark, src, ledger, index)
+    assert [os.path.basename(f) for f in f2] == ["n1.parquet"]
+    assert {(r.vec_id, r.m, r.code) for r in c2.collect()} == first
+    assert spark.read.parquet(os.path.join(index, "codes")).count() == n_rows
+
+
+def test_nightly_pq_empty_file_is_consumed(spark, tmp_path):
+    """A zero-row file commits the ledger without training codebooks;
+    the first REAL night still trains."""
+    import os
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+    _drop_vec_file(spark, tmp_path, src, "n0.parquet", [])
+    c0, f0 = S.nightly_pq_update(spark, src, ledger, index)
+    assert c0.count() == 0 and len(f0) == 1
+    assert not os.path.isdir(os.path.join(index, "codebooks"))
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec64(i)) for i in range(20)],
+    )
+    c1, _ = S.nightly_pq_update(spark, src, ledger, index)
+    assert c1.count() == 20 * S.PQ_M
