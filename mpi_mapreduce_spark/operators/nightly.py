@@ -44,6 +44,7 @@ STATE_SUBDIRS = {
     "embedding": "embedding",
     "ivf": "ivf",
     "pq": "pq",
+    "ann_lsh": "ann_lsh",
 }
 
 
@@ -56,10 +57,11 @@ def nightly_curation_update(
     - ``batch_dir/docs/*.parquet`` (doc_id, text) feeds the four text
       legs: Bloom membership screen, MinHash signature index,
       substring gram vocabulary, CMS frequency table.
-    - ``batch_dir/vecs/*.parquet`` (vec_id, embedding) feeds the three
+    - ``batch_dir/vecs/*.parquet`` (vec_id, embedding) feeds the four
       vector legs: embedding bucket index (bands + vectors), IVF
       inverted file (train-once quantizer + cell assignments), PQ
-      code table (train-once codebooks + per-batch encodes).
+      code table (train-once codebooks + per-batch encodes), ANN-LSH
+      bucket table (seeded hyperplanes, the trainless leg).
     - ``state_dir`` holds ONE ledger (shared across both modalities —
       ledger rows are absolute file paths, so the union is
       unambiguous) and one index directory per leg.
@@ -79,8 +81,8 @@ def nightly_curation_update(
     is_near_dup, keep), ``substring`` (doc_id, span_start, span_end,
     span_tokens), ``cms`` (tonight's partial sketch), ``embedding``
     (vec_id, is_near_dup, keep), ``ivf`` (vec_id, cell, cosine),
-    ``pq`` (vec_id, m, code) — only the legs whose modality had new
-    files; or None when nothing is new — and the list of ingested
+    ``pq`` (vec_id, m, code), ``ann_lsh`` (vec_id, bucket) — only
+    the legs whose modality had new files; or None when nothing is new — and the list of ingested
     files)."""
     from mpi_mapreduce_spark.operators.dedup import (
         _batch_key,
@@ -90,6 +92,7 @@ def nightly_curation_update(
         _nightly_substring_core,
     )
     from mpi_mapreduce_spark.operators.similarity import (
+        _nightly_ann_lsh_core,
         _nightly_ivf_core,
         _nightly_pq_core,
     )
@@ -143,6 +146,9 @@ def nightly_curation_update(
         )
         out["ivf"] = _nightly_ivf_core(spark, vecs, bkey, _idx("ivf"))
         out["pq"] = _nightly_pq_core(spark, vecs, bkey, _idx("pq"))
+        out["ann_lsh"] = _nightly_ann_lsh_core(
+            spark, vecs, bkey, _idx("ann_lsh")
+        )
 
     record_ingested(spark, ledger, files)
     return out, files
@@ -234,6 +240,36 @@ def curation_state_audit(
                 ),
             )
         )
+    lsh = os.path.join(state_dir, STATE_SUBDIRS["ann_lsh"])
+    if has_committed_parquet(os.path.join(lsh, "buckets")):
+        from mpi_mapreduce_spark.operators.similarity import LSH_BITS
+
+        b = spark.read.parquet(os.path.join(lsh, "buckets"))
+        parts.append(
+            spark.createDataFrame(
+                [
+                    ("ann_lsh", "n_bucket_rows", b.count()),
+                    (
+                        "ann_lsh",
+                        "n_out_of_range_buckets",
+                        b.where(
+                            (F.col("bucket") < 0)
+                            | (F.col("bucket") >= (1 << LSH_BITS))
+                        ).count(),
+                    ),
+                    (
+                        "ann_lsh",
+                        "n_multi_bucket_vectors",
+                        b.groupBy("vec_id", "batch")
+                        .count()
+                        .where(F.col("count") != 1)
+                        .count(),
+                    ),
+                ],
+                "leg string, counter string, value long",
+            )
+        )
+
     pq = os.path.join(state_dir, STATE_SUBDIRS["pq"])
     if has_committed_parquet(os.path.join(pq, "codebooks")):
         from mpi_mapreduce_spark.operators.similarity import PQ_K, PQ_M

@@ -905,6 +905,65 @@ def _nightly_ivf_core(
     return assigned
 
 
+def nightly_ann_lsh_update(
+    spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
+):
+    """The ANN-LSH leg of the nightly maintenance family — closes the
+    capstone table's parenthetical ("bucketing is the index; nightly =
+    append bucketed batch") into a real ledger-protocol job: the
+    ingest LEDGER picks up tonight's new ``(vec_id, embedding)``
+    files; the batch is sign-hyperplane bucketed (the hyperplanes are
+    SEEDED constants, so no train-once step exists at all — the
+    simplest leg of the family) and appended under
+    ``{index}/buckets/batch=<bkey>``; ledger commits LAST. The union
+    of batch partitions IS the ann_lsh_bucket_table artifact
+    (pytest-pinned across nights), directly servable as ann_lsh's
+    ``corpus_buckets`` input.
+
+    Returns (buckets DataFrame — vec_id, bucket — or None when
+    nothing is new, list of ingested files)."""
+    from mpi_mapreduce_spark.operators.dedup import _batch_key
+    from mpi_mapreduce_spark.sources.io import (
+        ingest_incremental,
+        record_ingested,
+    )
+
+    batch, files = ingest_incremental(spark, src_dir, ledger_dir)
+    if batch is None:
+        return None, []
+    buckets = _nightly_ann_lsh_core(
+        spark, batch, _batch_key(files), index_dir
+    )
+    record_ingested(spark, ledger_dir, files)
+    return buckets, files
+
+
+def _nightly_ann_lsh_core(
+    spark: SparkSession, batch: DataFrame, bkey: str, index_dir: str
+) -> DataFrame:
+    """The ledger-free body of :func:`nightly_ann_lsh_update` —
+    bucket ``batch`` with the seeded hyperplanes, append under
+    ``batch=<bkey>``, return eager bucket rows."""
+    import os
+
+    vnew = normalized_corpus(batch).localCheckpoint()
+    first = vnew.first()
+    if first is None:
+        # a valid-but-empty file: nothing to bucket — consume it
+        # (ledger commit stays the caller's job), append nothing
+        return vnew.select(
+            "vec_id", F.lit(0).cast("int").alias("bucket")
+        ).localCheckpoint()
+    dim = len(first.v)
+    buckets = vnew.select(
+        "vec_id", bucket_expr(F.col("v"), dim).alias("bucket")
+    ).localCheckpoint()
+    buckets.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "buckets", f"batch={bkey}")
+    )
+    return buckets
+
+
 def nightly_pq_update(
     spark: SparkSession, src_dir: str, ledger_dir: str, index_dir: str
 ):

@@ -62,12 +62,12 @@ def _state_rows(spark, state_dir):
                     out[f"{leg}/{part}"] = sorted(
                         map(tuple, spark.read.parquet(p).collect())
                     )
-        elif leg in ("ivf", "pq"):
-            subparts = (
-                ("centroids", "cells")
-                if leg == "ivf"
-                else ("codebooks", "codes")
-            )
+        elif leg in ("ivf", "pq", "ann_lsh"):
+            subparts = {
+                "ivf": ("centroids", "cells"),
+                "pq": ("codebooks", "codes"),
+                "ann_lsh": ("buckets",),
+            }[leg]
             for part in subparts:
                 p = os.path.join(d, part)
                 if has_committed_parquet(p):
@@ -97,7 +97,8 @@ def test_nightly_composite_two_nights(spark, tmp_path):
     r1, f1 = N.nightly_curation_update(spark, batch, state)
     assert len(f1) == 2  # one docs file + one vecs file, ONE commit
     assert set(r1) == {
-        "bloom", "minhash", "substring", "cms", "embedding", "ivf", "pq"
+        "bloom", "minhash", "substring", "cms", "embedding", "ivf", "pq",
+        "ann_lsh",
     }
     # night 1: nothing stored yet — everything novel / kept / span-free
     assert {r.doc_id: r.novel for r in r1["bloom"].collect()} == {
@@ -254,7 +255,7 @@ def test_nightly_composite_single_modality_nights(spark, tmp_path):
     _stage(spark, tmp_path, batch, "n2.parquet",
            vecs=[(1, axis_vec(0))])
     r2, _ = N.nightly_curation_update(spark, batch, state)
-    assert set(r2) == {"embedding", "ivf", "pq"}
+    assert set(r2) == {"embedding", "ivf", "pq", "ann_lsh"}
 
 
 def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
@@ -282,7 +283,7 @@ def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
     }
     assert {leg for leg, _ in audit} == {
         "grams", "bloom", "embedding", "minhash", "cms", "ivf", "pq",
-        "ledger",
+        "ann_lsh", "ledger",
     }
     violation_keys = [
         ("grams", "n_null_or_empty"),
@@ -298,6 +299,8 @@ def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
         ("ivf", "n_orphan_cell_rows"),
         ("pq", "n_out_of_range_codes"),
         ("pq", "n_incomplete_vectors"),
+        ("ann_lsh", "n_out_of_range_buckets"),
+        ("ann_lsh", "n_multi_bucket_vectors"),
         ("ledger", "n_duplicate_entries"),
     ]
     for k in violation_keys:

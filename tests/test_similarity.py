@@ -942,3 +942,72 @@ def test_nightly_pq_empty_file_is_consumed(spark, tmp_path):
     )
     c1, _ = S.nightly_pq_update(spark, src, ledger, index)
     assert c1.count() == 20 * S.PQ_M
+
+
+def test_nightly_ann_lsh_two_nights_and_serving_parity(spark, tmp_path):
+    """Two nights of bucket appends union to exactly the one-pass
+    bucket table over both batches (the hyperplanes are seeded
+    constants — no train-once step), the stored union serves ann_lsh
+    identically to re-bucketing, and the ledger makes a third run a
+    no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ledger = str(tmp_path / "ledger")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    _drop_vec_file(
+        spark, tmp_path, src, "n1.parquet",
+        [(i, _vec(i)) for i in range(6)],
+    )
+    b1, f1 = S.nightly_ann_lsh_update(spark, src, ledger, index)
+    assert len(f1) == 1 and b1.count() == 6
+    _drop_vec_file(
+        spark, tmp_path, src, "n2.parquet",
+        [(10 + i, _vec(i, wiggle=0.05)) for i in range(6)],
+    )
+    b2, _ = S.nightly_ann_lsh_update(spark, src, ledger, index)
+    assert b2.count() == 6
+    b3, f3 = S.nightly_ann_lsh_update(spark, src, ledger, index)
+    assert b3 is None and f3 == []
+
+    all_vecs = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(6)]
+        + [(10 + i, _vec(i, wiggle=0.05)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = S.normalized_corpus(all_vecs)
+    dim = len(_vec(0))
+    stored = {
+        (r.vec_id, r.bucket)
+        for r in spark.read.parquet(os.path.join(index, "buckets"))
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    direct = {
+        (r.vec_id, r.bucket)
+        for r in corpus.select(
+            "vec_id", S.bucket_expr(F.col("v"), dim).alias("bucket")
+        ).collect()
+    }
+    assert stored == direct and stored
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    stored_buckets = spark.read.parquet(
+        os.path.join(index, "buckets")
+    ).select("vec_id", "bucket")
+    via_stored = {
+        tuple(r)
+        for r in S.ann_lsh(
+            corpus, queries, dim, corpus_buckets=stored_buckets
+        ).collect()
+    }
+    recomputed = {
+        tuple(r) for r in S.ann_lsh(corpus, queries, dim).collect()
+    }
+    assert via_stored == recomputed and recomputed
