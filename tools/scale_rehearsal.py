@@ -700,6 +700,104 @@ def time_novelty(scratch: str, m_bits_list: list[int]) -> None:
     spark.stop()
 
 
+def time_nightly(txt_scratch: str, emb_scratch: str) -> None:
+    """End-to-end cost of the WHOLE nightly curation composite
+    (operators/nightly.py — all eight legs, one ledger commit) at the
+    100k scale: night 1 seeds every index from the 90% split of both
+    modalities, night 2 ingests the 10% batch against the stored
+    state. The night-2 wall is the number that matters — the marginal
+    cost of one real night once the indexes exist — and the night-1 /
+    night-2 ratio is the composite's seed-vs-serve shape.
+
+    The VECTOR modality is bounded to 5k vectors (4.5k seed / 500
+    batch): the embedding-dedup leg's intra-batch band self-join runs
+    at the registered EMBED_LSH_BAND_BITS=2 geometry (4 buckets/band,
+    tuned for the 0.4-threshold fixture), so a RANDOM-vector seed
+    night at 90k piles ~22.5k vectors per bucket per band — ~12e9
+    candidate pairs, a measured non-starter (round 9: the first
+    attempt sat in that join 18+ min; an 18k seed still ~0.5e9). The
+    production rule this pins: SEED an index family by its offline
+    composed build (exact-collapse-first, capped banding — the
+    SCALING.md round-5 pipelines), and reserve the nightly path for
+    nightly-sized batches; banding geometry is a DENSITY knob, chosen
+    per corpus like every other knob here."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators.nightly import (
+        curation_state_audit,
+        nightly_curation_update,
+    )
+    from mpi_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="mpi_mapreduce_spark-scale")
+    docs = spark.read.parquet(f"{txt_scratch}/documents.parquet")
+    vecs = spark.read.parquet(f"{emb_scratch}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="nightly100k_")
+    batch_dir = os.path.join(root, "batch")
+    state_dir = os.path.join(root, "state")
+
+    def stage(night: str, ddf, vdf):
+        for sub, df in (("docs", ddf), ("vecs", vdf)):
+            stg = os.path.join(root, f"stage_{night}_{sub}")
+            df.coalesce(4).write.mode("overwrite").parquet(stg)
+            dst = os.path.join(batch_dir, sub)
+            os.makedirs(dst, exist_ok=True)
+            for i, f in enumerate(sorted(os.listdir(stg))):
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    shutil.move(
+                        os.path.join(stg, f),
+                        os.path.join(dst, f"{night}-{i}.parquet"),
+                    )
+
+    vecs = vecs.where(F.col("vec_id") < 5_000)
+    stage(
+        "n1",
+        docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+        vecs.where(F.col("vec_id") % 10 != 0),
+    )
+    t0 = time.perf_counter()
+    r1, f1 = nightly_curation_update(spark, batch_dir, state_dir)
+    seed = time.perf_counter() - t0
+    n1 = {leg: df.count() for leg, df in r1.items()}
+    print(f"night 1 (seed, {len(f1)} files): {seed:.1f} s  {n1}")
+
+    stage(
+        "n2",
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        vecs.where(F.col("vec_id") % 10 == 0),
+    )
+    t0 = time.perf_counter()
+    r2, f2 = nightly_curation_update(spark, batch_dir, state_dir)
+    marginal = time.perf_counter() - t0
+    n2 = {leg: df.count() for leg, df in r2.items()}
+    print(f"night 2 (marginal, {len(f2)} files): {marginal:.1f} s  {n2}")
+
+    t0 = time.perf_counter()
+    audit = curation_state_audit(spark, state_dir).collect()
+    audit_wall = time.perf_counter() - t0
+    viol = {
+        (r.leg, r.counter): r.value
+        for r in audit
+        if any(
+            k in r.counter
+            for k in (
+                "orphan", "incomplete", "stale", "out_of_range",
+                "duplicate", "dup_within", "null", "wrong",
+                "sign_violation", "nonpositive", "multi",
+            )
+        )
+    }
+    bad = {k: v for k, v in viol.items() if v != 0}
+    print(f"state audit: {audit_wall:.1f} s, violations {bad or 'NONE'}")
+    spark.stop()
+
+
 def time_cms(scratch: str, widths: list[int]) -> None:
     """CMS width sweep at the 100k planted text corpus (round 8): per
     width w, time the sketch build over the ~6M-token stream and
@@ -799,6 +897,10 @@ def main() -> None:
         ms = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
         time_bloom(scratch, ms)
+    elif mode == "time-nightly":
+        txt = sys.argv[2] if len(sys.argv) > 2 else "/tmp/txtsep100k"
+        embd = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
+        time_nightly(txt, embd)
     elif mode == "time-novelty":
         ms = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
