@@ -116,91 +116,95 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-9 window (the driver checks the first DRIVER_CAP registered
+#: Round-10 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build). Keeps the
-#: ≤3-round freshness invariant: after round 9 no query's newest
-#: green driver row predates round 6.
-#: - late additions from round 8, attest first as promised by the r8
-#:   window note (10): the Bloom/CMS/novelty/substring/screened
-#:   families, ann_lsh_bucket_table, ann_mmr_topk — all
-#:   builder-attested at 3 scales last round and independently
-#:   verified by the judge 10/10 at sf0.01, but never driver-sampled.
-#:   dedup_incremental_substring is ALSO changed code this round (it
-#:   now serves from the stored substring_gram_index artifact instead
-#:   of re-deriving the corpus gram vocabulary per run), so its slot
-#:   doubles as the re-attest.
-#: - rotation (40): the entire round-5 tier — the TPC-H q2–q19
-#:   block, the join family, cube/rollup/pivot/grouping-sets/unpivot,
-#:   percentiles/distinct/topk/setops, the containment + capped
-#:   Jaccard + CC dedup trio, window deltas — derived by newest-green
-#:   over CORRECTNESS_r01..r08 (exactly 40 queries; 10 + 40 fills the
-#:   window precisely, so there are no discretionary fillers this
-#:   round).
+#: ≤3-round freshness invariant: after round 10 no query's newest
+#: green driver row predates round 7.
+#: - late additions from round 9, attest first as promised by the r9
+#:   window note (3): substring_gram_index, dedup_incremental_strip,
+#:   multimodal_png_decode — builder-attested at 3 scales last round
+#:   and independently verified by the judge 3/3 at sf0.01, but never
+#:   driver-sampled.
+#: - changed-code re-attest (1): dedup_incremental_substring serves
+#:   from the stored gram index, whose write path gains xxhash64(s)
+#:   co-location bucketing this round, so its plan changes again.
+#: - rotation (42): the entire round-6 tier — dedup_exact/_stats,
+#:   graph_nation_pagerank, knn_bruteforce, ann_pq_rerank_topk, the
+#:   events_* analytics block, the text_* block, the training_*
+#:   block, multimodal features/frame_sample, cdc_orders_rollforward,
+#:   pipeline_curate_corpus, array_functions_showcase,
+#:   embedding_label_centroids — derived by newest-green over
+#:   CORRECTNESS_r01..r09 (exactly 42 queries).
+#: - fillers (4) from the 47-query r7 tier: the two VERDICT-named
+#:   rows (events_rolling_user_stats, customer_spend_deciles) plus
+#:   two LSH validate twins (dedup_minhash_lsh_validate,
+#:   dedup_simhash_validate) so the rows-only contract's attestation
+#:   stays fresh.
 _ROUND_PRIORITY = [
-    # -- r8 late additions: attest first (10) --
-    "ann_lsh_bucket_table",
-    "ann_mmr_topk",
-    "dedup_bloom_filter_table",
-    "dedup_incremental_bloom",
-    "dedup_incremental_screened",
+    # -- r9 late additions: attest first (3) --
+    "substring_gram_index",
+    "dedup_incremental_strip",
+    "multimodal_png_decode",
+    # -- changed-code re-attest: gram-index co-location (1) --
     "dedup_incremental_substring",
-    "dedup_novelty_bloom",
-    "dedup_novelty_score",
-    "text_cms_heavy_hitters",
-    "text_cms_sketch",
-    # -- rotation: newest green row is round 5 (40) --
-    "cube_order_stats",
-    "dedup_connected_components",
-    "dedup_containment",
-    "dedup_containment_capped",
-    "dedup_ngram_jaccard_capped",
-    "distinct_counts",
-    "events_json_stats",
-    "grouping_sets_pricing",
-    "join_anti_idle_customers",
-    "join_broadcast_part",
-    "join_range_price_band",
-    "join_semi_active_customers",
-    "orders_by_month",
-    "orders_metrics_unpivot",
-    "percentile_order_prices",
-    "pivot_linestatus",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_pricing",
-    "setops_customer_cohorts",
-    "sql_customer_max_order",
-    "sql_q4_order_priority",
-    "string_functions_showcase",
-    "topk_orders",
-    "window_event_deltas",
-    "window_running_customer_spend",
+    # -- rotation: newest green row is round 6 (42) --
+    "ann_pq_rerank_topk",
+    "array_functions_showcase",
+    "cdc_orders_rollforward",
+    "dedup_exact",
+    "dedup_exact_stats",
+    "embedding_label_centroids",
+    "events_asof_purchase_click",
+    "events_click_attribution",
+    "events_click_purchase_join",
+    "events_funnel_conversion",
+    "events_hll_user_rollup",
+    "events_incident_correlation",
+    "events_sessionize",
+    "events_user_value_corr",
+    "events_user_value_trend",
+    "graph_nation_pagerank",
+    "knn_bruteforce",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_curate_corpus",
+    "text_bigram_counts",
+    "text_bigram_lm_score",
+    "text_bpe_token_stats",
+    "text_distribution_drift",
+    "text_fingerprint",
+    "text_heavy_hitters",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "training_chunk_documents",
+    "training_contamination_check",
+    "training_mixture_resample",
+    "training_outlier_iqr",
+    "training_pack_sequences",
+    "training_sample_documents",
+    "training_sample_stratified",
+    "training_split_assign",
+    "training_take_k_per_lang",
+    "training_winsorize_values",
+    # -- fillers: oldest (r7) tier (4) --
+    "events_rolling_user_stats",
+    "customer_spend_deciles",
+    "dedup_minhash_lsh_validate",
+    "dedup_simhash_validate",
 ]
 # With this window every registered query's newest green driver row
-# will be round 6+ (r6:45 / r7:49 / r8:50 / r9:50 less overlaps —
-# recompute from CORRECTNESS_r01..r09 as always); the rows-only LSH
-# paths stay green-by-twin per their contract. Queries REGISTERED in
-# round 9 after this window froze (substring_gram_index,
-# dedup_incremental_strip, multimodal_png_decode; the nightly
-# curation composite and the streaming gram leg are API-only) follow
-# the established late-addition handling: builder-attested this round
-# (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
-# tools/rehearse.py + the oracle harness, plus the round-end full
-# sweeps), FIRST IN LINE for the round-10 window.
+# will be round 7+ (r7:43 / r8:49 / r9:46 less overlaps — recompute
+# from CORRECTNESS_r01..r10 as always); the rows-only LSH paths stay
+# green-by-twin per their contract. Any query REGISTERED in round 10
+# after this window froze follows the established late-addition
+# handling: builder-attested this round (hash-green vs their DuckDB
+# oracles at sf0.001/0.01/0.1 via tools/rehearse.py + the oracle
+# harness, plus the round-end full sweeps), FIRST IN LINE for the
+# round-11 window.
 
 
 def _promote(names: list[str]) -> None:
