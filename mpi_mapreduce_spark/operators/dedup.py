@@ -642,16 +642,17 @@ def nightly_dedup_update(
     exclusion this is belt-and-braces, not load-bearing."""
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    decisions = _nightly_minhash_core(
-        spark, batch, _batch_key(files), index_dir
-    )
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
+    decisions = _nightly_minhash_core(spark, batch, bkey, index_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return decisions, files
 
 
@@ -659,9 +660,11 @@ def _batch_key(files: list[str]) -> str:
     """Deterministic batch id over the ingested file list ("b" prefix
     keeps partition-value inference from ever parsing an all-digit
     hash as a number) — shared by every nightly leg and by the
-    composed nightly_curation_update (which hashes the UNION of both
-    modalities' files, so a composite replay rewrites the same
-    partitions)."""
+    composed nightly_curation_update (which keys each modality's legs
+    by that modality's OWN file list, so a replay rewrites the same
+    partitions and a new file in one modality can't change the other
+    modality's key; changed-file-set replays are handled by ledger
+    reconciliation, sources/io.py reconcile_batch_partitions)."""
     import hashlib
 
     return (
@@ -1296,14 +1299,17 @@ def nightly_bloom_update(
     when nothing is new, list of ingested files)."""
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    decisions = _nightly_bloom_core(spark, batch, _batch_key(files), index_dir)
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
+    decisions = _nightly_bloom_core(spark, batch, bkey, index_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return decisions, files
 
 
@@ -2654,17 +2660,20 @@ def nightly_embedding_dedup_update(
     None when nothing is new, list of ingested files)."""
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
     decisions = _nightly_embedding_core(
-        spark, batch, _batch_key(files), index_dir,
+        spark, batch, bkey, index_dir,
         threshold=threshold, band_bits=band_bits, n_bands=n_bands,
     )
-    record_ingested(spark, ledger_dir, files)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return decisions, files
 
 
@@ -4080,14 +4089,17 @@ def nightly_substring_update(
     or None when nothing is new, list of ingested files)."""
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    spans = _nightly_substring_core(spark, batch, _batch_key(files), index_dir)
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
+    spans = _nightly_substring_core(spark, batch, bkey, index_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return spans, files
 
 
@@ -4147,18 +4159,30 @@ def gram_index_integrity(
     over (batch, s) — linear, no pairwise term."""
     rows = spark.read.parquet(index_dir).select("batch", "s")
     arity = F.size(F.split(F.col("s"), r"\s+"))
+    # coalesce: F.sum over an EMPTY index is NULL, and empty partitions
+    # are reachable (a first night whose docs are all shorter than n
+    # writes zero gram rows) — an audit must report 0, not crash its
+    # caller's int() (ADVICE r9)
     per = rows.select(
         F.count("*").alias("n_rows"),
-        F.sum(
-            F.when(F.col("s").isNull() | (F.col("s") == ""), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("s").isNull() | (F.col("s") == ""), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_null_or_empty"),
-        F.sum(
-            F.when(
-                F.col("s").isNotNull()
-                & (F.col("s") != "")
-                & (arity != n),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("s").isNotNull()
+                    & (F.col("s") != "")
+                    & (arity != n),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_wrong_arity"),
     )
     dups = (
@@ -4170,7 +4194,9 @@ def gram_index_integrity(
             )
         )
     )
-    return per.crossJoin(dups)
+    # both sides are one-row global aggregates; hint it so the plan
+    # audit can tell intent from accident
+    return per.crossJoin(F.broadcast(dups))
 
 
 def bloom_filter_integrity(
@@ -4196,23 +4222,31 @@ def bloom_filter_integrity(
     A clean index reads (n, 0, 0, 0). One grouped pass, linear."""
     rows = spark.read.parquet(index_dir).select("word", "bits")
     n_words = m_bits // BLOOM_WORD_BITS
+    # coalesce: F.sum over an EMPTY table is NULL; a zero-row Bloom
+    # partition (empty docs file night) must audit as 0s (ADVICE r9)
     return rows.select(
         F.count("*").alias("n_word_rows"),
-        F.sum(
-            F.when(
-                (F.col("word") < 0) | (F.col("word") >= n_words), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("word") < 0) | (F.col("word") >= n_words), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_out_of_range"),
-        F.sum(
-            F.when(
-                (F.col("bits") < 0)
-                | (F.col("bits") >= F.lit(1 << BLOOM_WORD_BITS)),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("bits") < 0)
+                    | (F.col("bits") >= F.lit(1 << BLOOM_WORD_BITS)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_sign_violations"),
-        F.sum(F.when(F.col("bits") == 0, 1).otherwise(0)).alias(
-            "n_zero_rows"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("bits") == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_zero_rows"),
     )
 
 

@@ -67,14 +67,22 @@ def nightly_curation_update(
       unambiguous) and one index directory per leg.
 
     Atomicity: every leg's core writes its artifact under
-    ``batch=<bkey>`` where bkey hashes the UNION of tonight's doc and
-    vec files, and every core's serving read EXCLUDES that partition —
-    so a crash after ANY prefix of the legs replays the whole night
-    with keyed overwrites and reproduces byte-identical state and
-    decisions. The ledger commits once, LAST: either the entire night
-    is recorded or none of it is. Each leg's decisions are eagerly
-    materialized (localCheckpoint inside the cores) BEFORE its
-    artifact write, preserving the per-leg discipline.
+    ``batch=<bkey>`` where bkey hashes that MODALITY's file list (text
+    legs key on the doc files, vector legs on the vec files — ADVICE
+    r9: a union key let a new vec file landing after a crash change
+    the text legs' replay key), and every core's serving read EXCLUDES
+    that partition — so a crash after ANY prefix of the legs replays
+    the whole night with keyed overwrites and reproduces
+    byte-identical state and decisions. If the file set itself changed
+    between crash and replay, the old-key partials are provable
+    orphans (their key is in no ledger commit) and
+    :func:`~mpi_mapreduce_spark.sources.io.reconcile_batch_partitions`
+    drops them up front, so the replayed night equals a crash-free run
+    over the grown file set. The ledger commits LAST, keyed per
+    modality: either a modality's night is recorded or none of it is.
+    Each leg's decisions are eagerly materialized (localCheckpoint
+    inside the cores) BEFORE its artifact write, preserving the
+    per-leg discipline.
 
     Returns (dict of per-leg decision frames — keys ``bloom``
     (doc_id, bloom_seen, seen_in_batch, novel), ``minhash`` (doc_id,
@@ -99,6 +107,7 @@ def nightly_curation_update(
     from mpi_mapreduce_spark.operators.sketches import _nightly_cms_core
     from mpi_mapreduce_spark.sources.io import (
         list_new_files,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
@@ -118,12 +127,25 @@ def nightly_curation_update(
     files = doc_files + vec_files
     if not files:
         return None, []
-    # ONE batch id over the union: a composite replay recomputes the
-    # same key, so every leg overwrites its own partitions
-    bkey = _batch_key(files)
+    # one batch id PER MODALITY: a composite replay over an unchanged
+    # file set recomputes the same keys so every leg overwrites its
+    # own partitions, and a new file in one modality can't perturb the
+    # other modality's replay key (ADVICE r9)
+    dkey = _batch_key(doc_files) if doc_files else None
+    vkey = _batch_key(vec_files) if vec_files else None
 
     def _idx(leg: str) -> str:
         return os.path.join(state_dir, STATE_SUBDIRS[leg])
+
+    # drop crashed partials whose key no ledger commit (and no
+    # tonight's key) can account for — they'd otherwise escape the
+    # cores' batch != bkey serving exclusion and get served as corpus
+    reconcile_batch_partitions(
+        spark,
+        ledger,
+        [_idx(leg) for leg in STATE_SUBDIRS],
+        {k for k in (dkey, vkey) if k is not None},
+    )
 
     out: dict[str, DataFrame] = {}
     if doc_files:
@@ -131,26 +153,32 @@ def nightly_curation_update(
         # screen first (the cheap pre-pass), then the index legs — the
         # order is documentation; each leg is independent and replays
         # idempotently on its own
-        out["bloom"] = _nightly_bloom_core(spark, docs, bkey, _idx("bloom"))
+        out["bloom"] = _nightly_bloom_core(spark, docs, dkey, _idx("bloom"))
         out["minhash"] = _nightly_minhash_core(
-            spark, docs, bkey, _idx("minhash")
+            spark, docs, dkey, _idx("minhash")
         )
         out["substring"] = _nightly_substring_core(
-            spark, docs, bkey, _idx("grams")
+            spark, docs, dkey, _idx("grams")
         )
-        out["cms"] = _nightly_cms_core(spark, docs, bkey, _idx("cms"))
+        out["cms"] = _nightly_cms_core(spark, docs, dkey, _idx("cms"))
     if vec_files:
         vecs = spark.read.parquet(*vec_files)
         out["embedding"] = _nightly_embedding_core(
-            spark, vecs, bkey, _idx("embedding")
+            spark, vecs, vkey, _idx("embedding")
         )
-        out["ivf"] = _nightly_ivf_core(spark, vecs, bkey, _idx("ivf"))
-        out["pq"] = _nightly_pq_core(spark, vecs, bkey, _idx("pq"))
+        out["ivf"] = _nightly_ivf_core(spark, vecs, vkey, _idx("ivf"))
+        out["pq"] = _nightly_pq_core(spark, vecs, vkey, _idx("pq"))
         out["ann_lsh"] = _nightly_ann_lsh_core(
-            spark, vecs, bkey, _idx("ann_lsh")
+            spark, vecs, vkey, _idx("ann_lsh")
         )
 
-    record_ingested(spark, ledger, files)
+    # keyed commits, LAST; doc commit before vec commit — a crash
+    # between the two replays only the vec modality (same vkey, keyed
+    # overwrite), never double-runs the text legs
+    if doc_files:
+        record_ingested(spark, ledger, doc_files, batch_key=dkey)
+    if vec_files:
+        record_ingested(spark, ledger, vec_files, batch_key=vkey)
     return out, files
 
 
@@ -183,9 +211,15 @@ def curation_state_audit(
     from mpi_mapreduce_spark.sources.io import has_committed_parquet
 
     def _long(leg: str, row_df: DataFrame) -> DataFrame:
+        # v can be NULL when a counter is an unguarded F.sum over an
+        # empty-but-committed leg (zero-row docs file nights are
+        # reachable); report 0, don't TypeError (ADVICE r9)
         row = row_df.collect()[0]
         return spark.createDataFrame(
-            [(leg, k, int(v)) for k, v in row.asDict().items()],
+            [
+                (leg, k, int(v) if v is not None else 0)
+                for k, v in row.asDict().items()
+            ],
             "leg string, counter string, value long",
         )
 
@@ -213,15 +247,20 @@ def curation_state_audit(
                 "minhash",
                 sig.select(
                     F.count("*").alias("n_signatures"),
-                    F.sum(
-                        F.when(
-                            sum(
-                                F.when(F.col(f"mh{i}").isNull(), 1).otherwise(0)
-                                for i in range(MINHASH_HASHES)
-                            )
-                            > 0,
-                            1,
-                        ).otherwise(0)
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                sum(
+                                    F.when(
+                                        F.col(f"mh{i}").isNull(), 1
+                                    ).otherwise(0)
+                                    for i in range(MINHASH_HASHES)
+                                )
+                                > 0,
+                                1,
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
                     ).alias("n_incomplete_signatures"),
                 ),
             )
@@ -234,8 +273,9 @@ def curation_state_audit(
                 "cms",
                 t.select(
                     F.count("*").alias("n_cell_rows"),
-                    F.sum(
-                        F.when(F.col("cnt") <= 0, 1).otherwise(0)
+                    F.coalesce(
+                        F.sum(F.when(F.col("cnt") <= 0, 1).otherwise(0)),
+                        F.lit(0),
                     ).alias("n_nonpositive_cells"),
                 ),
             )

@@ -841,16 +841,19 @@ def nightly_ivf_update(
     from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
     assigned = _nightly_ivf_core(
-        spark, batch, _batch_key(files), index_dir, n_cells=n_cells
+        spark, batch, bkey, index_dir, n_cells=n_cells
     )
-    record_ingested(spark, ledger_dir, files)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return assigned, files
 
 
@@ -925,16 +928,17 @@ def nightly_ann_lsh_update(
     from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    buckets = _nightly_ann_lsh_core(
-        spark, batch, _batch_key(files), index_dir
-    )
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
+    buckets = _nightly_ann_lsh_core(spark, batch, bkey, index_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return buckets, files
 
 
@@ -985,14 +989,17 @@ def nightly_pq_update(
     from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    codes = _nightly_pq_core(spark, batch, _batch_key(files), index_dir)
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [index_dir], {bkey})
+    codes = _nightly_pq_core(spark, batch, bkey, index_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return codes, files
 
 
@@ -1030,12 +1037,41 @@ def _nightly_pq_core(
     book_dir = os.path.join(index_dir, "codebooks")
     codes_dir = os.path.join(index_dir, "codes")
     if has_committed_parquet(book_dir):
+        # validate on read, loudly (ADVICE r9): a geometry drift or a
+        # foreign row in the stored codebooks would otherwise die as
+        # an IndexError here or as a None-centroid crash deep inside
+        # the encode UDF — the same failure class the batch-dimension
+        # ValueError above already catches for the input side
         rows = spark.read.parquet(book_dir).orderBy("m", "k").collect()
+        if len(rows) != PQ_M * PQ_K:
+            raise ValueError(
+                f"PQ codebook table at {book_dir} has {len(rows)} rows; "
+                f"expected PQ_M*PQ_K = {PQ_M * PQ_K} — geometry drift "
+                "or a foreign writer"
+            )
         cents = [
             [None] * PQ_K for _ in range(PQ_M)
         ]
         for r in rows:
+            if not (0 <= r.m < PQ_M and 0 <= r.k < PQ_K):
+                raise ValueError(
+                    f"PQ codebook row (m={r.m}, k={r.k}) out of range "
+                    f"[0,{PQ_M})x[0,{PQ_K}) at {book_dir}"
+                )
+            if len(r.c) != PQ_SUBDIM:
+                raise ValueError(
+                    f"PQ codebook centroid (m={r.m}, k={r.k}) has "
+                    f"{len(r.c)} dims; expected PQ_SUBDIM={PQ_SUBDIM} "
+                    f"at {book_dir}"
+                )
             cents[r.m][r.k] = list(r.c)
+        if any(c is None for sub in cents for c in sub):
+            # row count + ranges can both pass with duplicate (m, k)
+            # pairs; a hole means exactly that
+            raise ValueError(
+                f"PQ codebook table at {book_dir} has duplicate (m, k) "
+                "rows leaving unfilled cells"
+            )
     else:
         cents = pq_codebooks(raw)
         spark.createDataFrame(

@@ -402,14 +402,17 @@ def nightly_cms_update(
     from mpi_mapreduce_spark.operators.dedup import _batch_key
     from mpi_mapreduce_spark.sources.io import (
         ingest_incremental,
+        reconcile_batch_partitions,
         record_ingested,
     )
 
     batch, files = ingest_incremental(spark, src_dir, ledger_dir)
     if batch is None:
         return None, []
-    partial = _nightly_cms_core(spark, batch, _batch_key(files), table_dir)
-    record_ingested(spark, ledger_dir, files)
+    bkey = _batch_key(files)
+    reconcile_batch_partitions(spark, ledger_dir, [table_dir], {bkey})
+    partial = _nightly_cms_core(spark, batch, bkey, table_dir)
+    record_ingested(spark, ledger_dir, files, batch_key=bkey)
     return partial, files
 
 

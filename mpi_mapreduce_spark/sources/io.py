@@ -347,7 +347,7 @@ def has_committed_parquet(d: str) -> bool:
     return False
 
 
-LEDGER_SCHEMA = "file_path string, file_size long"
+LEDGER_SCHEMA = "file_path string, file_size long, batch_key string"
 
 
 def list_new_files(
@@ -414,13 +414,85 @@ def ingest_incremental(
 
 
 def record_ingested(
-    spark: SparkSession, ledger_dir: str, files: list[str]
+    spark: SparkSession,
+    ledger_dir: str,
+    files: list[str],
+    batch_key: str | None = None,
 ) -> None:
     """Append the given files to the ledger (call AFTER the downstream
-    write succeeds)."""
+    write succeeds).
+
+    ``batch_key`` records WHICH ``batch=<k>`` index partitions this
+    commit produced, making crashed partials provable orphans:
+    :func:`reconcile_batch_partitions` drops any stored partition
+    whose key is neither committed here nor current. Ledgers written
+    before this column existed read back NULL (parquet missing-column
+    semantics) and disable reconciliation rather than risk dropping
+    committed state."""
     import os
 
-    rows = [(p, os.path.getsize(p)) for p in files]
+    rows = [(p, os.path.getsize(p), batch_key) for p in files]
     spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
         ledger_dir
     )
+
+
+def reconcile_batch_partitions(
+    spark: SparkSession,
+    ledger_dir: str,
+    state_roots: list[str],
+    current_keys: set[str],
+) -> list[str]:
+    """Drop orphaned ``batch=<k>`` index partitions left by a run that
+    crashed BEFORE its ledger commit and whose key the replay can no
+    longer reproduce (ADVICE r9: a new source file landing between the
+    crash and the replay changes the replayed batch key, so the
+    crashed partials escape the cores' ``batch != bkey`` serving
+    exclusion and get served — the batch is flagged against its own
+    prior partial writes and additive legs double-count).
+
+    A partition is an orphan iff its key is NOT in the ledger's
+    committed ``batch_key`` set and NOT in ``current_keys`` (tonight's
+    keys — those partials are about to be overwritten by this very
+    run's keyed writes, the already-pinned same-file-set replay path).
+
+    Safety gate: if the ledger predates the ``batch_key`` column (any
+    NULL key rows), committed partitions can't be distinguished from
+    orphans, so nothing is dropped. Driver-side metadata work, same
+    cost class as the ledger read itself; returns the dropped paths."""
+    import os
+    import shutil
+
+    committed: set[str] = set()
+    legacy = False
+    if os.path.isdir(ledger_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(ledger_dir)
+    ):
+        for r in (
+            spark.read.schema(LEDGER_SCHEMA)
+            .parquet(ledger_dir)
+            .select("batch_key")
+            .distinct()
+            .collect()
+        ):
+            if r.batch_key is None:
+                legacy = True
+            else:
+                committed.add(r.batch_key)
+    if legacy:
+        return []
+    keep = committed | current_keys
+    dropped: list[str] = []
+    for root in state_roots:
+        if not os.path.isdir(root):
+            continue
+        for d, dirs, _fs in os.walk(root):
+            for name in list(dirs):
+                if name.startswith("batch="):
+                    key = name[len("batch=") :]
+                    if key not in keep:
+                        p = os.path.join(d, name)
+                        shutil.rmtree(p)
+                        dropped.append(p)
+                    dirs.remove(name)  # never descend into batch dirs
+    return dropped

@@ -196,7 +196,10 @@ def events_resampled_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select("event_type").distinct()
     return (
-        grid.crossJoin(types)
+        # broadcast: the distinct-types side is a bounded aggregate
+        # (event-type cardinality, not data volume) — without the hint
+        # a high-cardinality estimate could plan a shuffled cartesian
+        grid.crossJoin(F.broadcast(types))
         .join(agg, ["bucket", "event_type"], "left")
         .select(
             _fmt("bucket").alias("bucket_start"),

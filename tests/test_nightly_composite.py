@@ -178,10 +178,9 @@ def test_nightly_composite_crash_between_legs_replays_identically(
     doc_files = list_new_files(
         spark, os.path.join(batch, N.DOCS_SUBDIR), ledger, ".parquet"
     )
-    vec_files = list_new_files(
-        spark, os.path.join(batch, N.VECS_SUBDIR), ledger, ".parquet"
-    )
-    bkey = D._batch_key(doc_files + vec_files)
+    # text legs key on the DOC file list (per-modality keys since
+    # ADVICE r9); the replay recomputes the same key and overwrites
+    bkey = D._batch_key(doc_files)
     docs = spark.read.parquet(*doc_files)
     D._nightly_bloom_core(
         spark, docs, bkey, os.path.join(state, N.STATE_SUBDIRS["bloom"])
@@ -201,6 +200,119 @@ def test_nightly_composite_crash_between_legs_replays_identically(
     # and the night is committed exactly once
     again, f_again = N.nightly_curation_update(spark, batch, state)
     assert again is None and f_again == []
+
+
+def test_nightly_composite_replay_after_new_file_lands(spark, tmp_path):
+    """The ADVICE-r9 hazard: a night crashes before its ledger commit,
+    then a NEW file (of the OTHER modality, and then of the same one)
+    lands before the replay. The crashed partials carry a key the
+    replay can't reproduce; reconciliation must drop them so the
+    replayed night equals a crash-free run over the grown file set —
+    no self-duplicate flagging, no CMS double-count."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(1))],
+    )
+    N.nightly_curation_update(spark, batch, state)
+
+    # night 2 part 1: one docs file; the night runs the text legs but
+    # crashes before the ledger commit — emulate with the cores under
+    # night-2-part-1's own doc key
+    _stage(
+        spark, tmp_path, batch, "n2.parquet",
+        docs=[(10, "beta text two words"), (11, f"b-pre {SHARED} b-post")],
+    )
+    from mpi_mapreduce_spark.sources.io import list_new_files
+
+    ledger = os.path.join(state, N.LEDGER_SUBDIR)
+    doc_files_1 = list_new_files(
+        spark, os.path.join(batch, N.DOCS_SUBDIR), ledger, ".parquet"
+    )
+    crashed_key = D._batch_key(doc_files_1)
+    docs1 = spark.read.parquet(*doc_files_1)
+    for leg, core in (
+        ("bloom", D._nightly_bloom_core),
+        ("minhash", D._nightly_minhash_core),
+        ("grams", D._nightly_substring_core),
+    ):
+        core(spark, docs1, crashed_key, os.path.join(
+            state, N.STATE_SUBDIRS[leg]
+        ))
+    from mpi_mapreduce_spark.operators.sketches import _nightly_cms_core
+
+    _nightly_cms_core(
+        spark, docs1, crashed_key, os.path.join(
+            state, N.STATE_SUBDIRS["cms"]
+        )
+    )
+    # CRASH — then a vecs file AND another docs file land in batch_dir
+    _stage(
+        spark, tmp_path, batch, "n2b.parquet",
+        docs=[(12, "completely novel stuff here ok")],
+        vecs=[(10, axis_vec(0, wiggle=0.04))],
+    )
+
+    # crash-free reference: same grown batch over the pre-crash state
+    # (clone taken AFTER night 1, i.e. without the crashed partials)
+    ref_state = str(tmp_path / "ref_state")
+    shutil.copytree(state, ref_state)
+    for leg in ("bloom", "minhash", "grams", "cms"):
+        d = os.path.join(ref_state, N.STATE_SUBDIRS[leg])
+        p = os.path.join(d, f"batch={crashed_key}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    ref, _ = N.nightly_curation_update(spark, batch, ref_state)
+    ref_dec = _decisions(ref)
+    ref_rows = _state_rows(spark, ref_state)
+
+    # the replay over the crashed state: reconciliation drops the
+    # orphaned crashed_key partitions up front
+    got, files = N.nightly_curation_update(spark, batch, state)
+    assert sorted(os.path.basename(f) for f in files) == [
+        "n2.parquet", "n2b.parquet", "n2b.parquet"
+    ]
+    for leg in ("bloom", "minhash", "grams", "cms"):
+        assert not os.path.isdir(os.path.join(
+            state, N.STATE_SUBDIRS[leg], f"batch={crashed_key}"
+        )), leg
+    # doc 10 is an exact night-1 copy (dup), docs 11 spans night-1
+    # text, doc 12 is novel — the crashed partials must NOT flag the
+    # batch against itself
+    bloom = {r.doc_id: r.bloom_seen for r in got["bloom"].collect()}
+    assert bloom[10] is True and bloom[12] is False
+    assert _decisions(got) == ref_dec
+    assert _state_rows(spark, state) == ref_rows
+
+    again, f_again = N.nightly_curation_update(spark, batch, state)
+    assert again is None and f_again == []
+
+
+def test_reconcile_batch_partitions_legacy_ledger_is_untouched(
+    spark, tmp_path
+):
+    """A ledger written before the batch_key column (NULL keys on
+    read) disables reconciliation entirely: committed partitions
+    can't be told from orphans, so nothing may be dropped."""
+    from mpi_mapreduce_spark.sources.io import (
+        reconcile_batch_partitions,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    idx = str(tmp_path / "idx")
+    # legacy two-column ledger file
+    spark.createDataFrame(
+        [("/some/file.parquet", 123)], "file_path string, file_size long"
+    ).write.parquet(ledger)
+    spark.createDataFrame([("g1 g2",)], "s string").write.parquet(
+        os.path.join(idx, "batch=bOLD")
+    )
+    dropped = reconcile_batch_partitions(spark, ledger, [idx], {"bNEW"})
+    assert dropped == []
+    assert os.path.isdir(os.path.join(idx, "batch=bOLD"))
 
 
 def test_nightly_composite_intra_batch_and_full_replay(spark, tmp_path):
