@@ -424,6 +424,10 @@ def make_bmp_codec():
 #: a copy-pasted oracle or a swapped codec cannot accidentally agree
 PNG_W = 19
 PNG_H = 11
+PNG_PALETTE_SIZE = 256
+#: tRNS shorter than the palette on purpose — exercises the spec's
+#: default-opaque (255) rule for indices past the table's end
+PNG_TRNS_LEN = 64
 
 
 def make_png_codec():
@@ -434,14 +438,20 @@ def make_png_codec():
     math, no external codec needed. JPEG/MP3/H.264 stay honestly
     stubbed (they genuinely need codec libraries).
 
-    ``build(doc_id)`` emits a genuine PNG: 8-byte signature, IHDR
-    (8-bit, color type 2 = truecolor, no interlace), one IDAT holding
-    the zlib-compressed filtered scanlines, IEND — every chunk with a
-    correct CRC32. Channel values are ``(doc_id*c + x*c' + y*c'') %
-    256`` per the formula in the oracle, with (x, y) in image
-    coordinates (PNG stores top-down — no BMP-style flip). Row y is
-    filtered with type ``y % 5``, so every decode exercises ALL FIVE
-    spec filters (None, Sub, Up, Average, Paeth) — a wrong
+    ``build(doc_id, ctype=2)`` emits a genuine PNG: 8-byte signature,
+    IHDR (8-bit, no interlace), for color type 3 a 256-entry PLTE and
+    a SHORT (64-entry) tRNS — shorter than the palette on purpose, so
+    the decode must honor the spec's default-opaque rule for the
+    tail — one IDAT holding the zlib-compressed filtered scanlines,
+    IEND — every chunk with a correct CRC32. All five 8-bit color
+    types are wired (0 gray, 2 truecolor, 3 palette, 4 gray+alpha,
+    6 RGBA); channel values are ``(doc_id*c + x*c' + y*c'') % 256``
+    per the formulas in the oracle, with (x, y) in image coordinates
+    (PNG stores top-down — no BMP-style flip), and palette entry i is
+    ``((i*29+1)%256, (i*31+2)%256, (i*37+3)%256)`` with tRNS alpha
+    ``(i*41+5)%256`` for i < 64. Row y is filtered with type
+    ``y % 5``, so every decode exercises ALL FIVE spec filters (None,
+    Sub, Up, Average, Paeth) at every bpp in {1, 2, 3, 4} — a wrong
     reconstruction in any one of them shifts pixels in ~1/5 of the
     rows and fails the value hash.
 
@@ -449,11 +459,15 @@ def make_png_codec():
     (length, type, data, CRC) VERIFYING each CRC32, reads geometry
     from IHDR, concatenates IDAT payloads, inflates, checks the exact
     decompressed size, un-filters row by row per the spec's
-    reconstruction functions, and returns H×W×3 RGB (color type 2) or
-    H×W×1 (color type 0 grayscale) arrays. NotImplementedError for
-    interlaced, non-8-bit, palette/alpha color types; ValueError for
-    malformed bytes (bad magic, CRC mismatch, bad zlib stream, size
-    mismatch, unknown filter type)."""
+    reconstruction functions (bpp = channel count at depth 8), looks
+    indices up in PLTE/tRNS for color type 3, and returns H×W×3 RGB
+    (color types 2/3/6) or H×W×1 (0/4) arrays plus an H×W ``alpha``
+    array (types 3-with-tRNS/4/6; None otherwise).
+    NotImplementedError for interlaced and non-8-bit depths (the
+    remaining honest boundaries); ValueError for malformed bytes (bad
+    magic, CRC mismatch, bad zlib stream, size mismatch, unknown
+    filter type, invalid color type, palette images with a missing /
+    ragged / overrun PLTE or an oversized tRNS)."""
     import struct
     import zlib
 
@@ -474,15 +488,26 @@ def make_png_codec():
             return a
         return b if pb <= pc else c
 
-    def build(doc_id: int) -> bytes:
+    def build(doc_id: int, ctype: int = 2) -> bytes:
         import numpy as np
 
         y, x = np.mgrid[0:h, 0:w]
         r = (doc_id * 11 + x * 5 + y * 17) % 256
         g = (doc_id * 13 + x * 3 + y * 7) % 256
         b = (doc_id * 17 + x * 19 + y * 11) % 256
-        raw = np.stack([r, g, b], axis=2).astype(np.uint8)  # H×W×3
-        bpp = 3
+        a = (doc_id * 7 + x * 13 + y * 3) % 256
+        # r doubles as the gray value (type 0/4) and the palette
+        # index (type 3) — ONE generating formula per channel slot,
+        # mirrored verbatim in the oracle SQL
+        channels = {
+            0: [r],
+            2: [r, g, b],
+            3: [r],
+            4: [r, a],
+            6: [r, g, b, a],
+        }[ctype]
+        raw = np.stack(channels, axis=2).astype(np.uint8)  # H×W×C
+        bpp = len(channels)
         rowlen = w * bpp
         prior = bytes(rowlen)
         out = bytearray()
@@ -525,10 +550,26 @@ def make_png_codec():
                 )
             out += filt
             prior = row
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        ancillary = b""
+        if ctype == 3:
+            plte = bytes(
+                v
+                for i in range(PNG_PALETTE_SIZE)
+                for v in (
+                    (i * 29 + 1) % 256,
+                    (i * 31 + 2) % 256,
+                    (i * 37 + 3) % 256,
+                )
+            )
+            trns = bytes(
+                (i * 41 + 5) % 256 for i in range(PNG_TRNS_LEN)
+            )
+            ancillary = _chunk(b"PLTE", plte) + _chunk(b"tRNS", trns)
         return (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
+            + ancillary
             + _chunk(b"IDAT", zlib.compress(bytes(out)))
             + _chunk(b"IEND", b"")
         )
@@ -540,6 +581,8 @@ def make_png_codec():
             raise ValueError("not a PNG file")
         pos = 8
         ihdr = None
+        plte = None
+        trns = None
         idat = bytearray()
         while pos < len(payload):
             if pos + 8 > len(payload):
@@ -556,6 +599,10 @@ def make_png_codec():
                 raise ValueError(f"PNG CRC mismatch in {ctype!r}")
             if ctype == b"IHDR":
                 ihdr = data
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"tRNS":
+                trns = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -572,14 +619,24 @@ def make_png_codec():
             raise NotImplementedError("Adam7 interlaced PNG not wired")
         if depth != 8:
             raise NotImplementedError(f"{depth}-bit PNG not wired")
-        if ctype_n == 2:
-            channels = 3
-        elif ctype_n == 0:
-            channels = 1
-        else:
-            raise NotImplementedError(
-                f"PNG color type {ctype_n} (palette/alpha) not wired"
-            )
+        try:
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_n]
+        except KeyError:
+            raise ValueError(
+                f"invalid PNG color type {ctype_n}"
+            ) from None
+        if ctype_n == 3:
+            if plte is None:
+                raise ValueError("palette PNG without a PLTE chunk")
+            if len(plte) == 0 or len(plte) % 3 != 0:
+                raise ValueError(
+                    f"ragged PLTE chunk ({len(plte)} bytes)"
+                )
+            if trns is not None and len(trns) > len(plte) // 3:
+                raise ValueError(
+                    f"tRNS has {len(trns)} entries for a "
+                    f"{len(plte) // 3}-entry palette"
+                )
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error as e:
@@ -634,11 +691,36 @@ def make_png_codec():
         px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
             height, width, channels
         )
+        alpha = None
+        if ctype_n == 3:
+            n_pal = len(plte) // 3
+            idx = px[:, :, 0].astype(np.int64)
+            if int(idx.max()) >= n_pal:
+                raise ValueError(
+                    f"palette index {int(idx.max())} >= palette size "
+                    f"{n_pal}"
+                )
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(n_pal, 3)
+            rgb = pal[idx].astype(np.int64)
+            if trns is not None:
+                # spec: entries past the end of tRNS default to 255
+                lut = np.full(n_pal, 255, dtype=np.int64)
+                lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+                alpha = lut[idx]
+        elif ctype_n == 4:
+            rgb = px[:, :, :1].astype(np.int64)
+            alpha = px[:, :, 1].astype(np.int64)
+        elif ctype_n == 6:
+            rgb = px[:, :, :3].astype(np.int64)
+            alpha = px[:, :, 3].astype(np.int64)
+        else:
+            rgb = px.astype(np.int64)
         return {
             "width": width,
             "height": height,
             "color_type": ctype_n,
-            "rgb": px.astype(np.int64),
+            "rgb": rgb,
+            "alpha": alpha,
         }
 
     return build, parse
@@ -1004,6 +1086,79 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_palette_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL palette/alpha PNG decode: per document, build one PNG of
+    each remaining 8-bit color type — 3 (palette via PLTE, with a
+    SHORT tRNS so the default-opaque tail is exercised), 4
+    (gray+alpha), 6 (RGBA) — and decode through the same
+    chunk-walking, CRC-verifying, five-filter reader as the truecolor
+    query. Emits one stats row per (media, color_type): channel means
+    INCLUDING alpha and a top-row checksum over r+g+b+a (gray
+    replicated ×3 for type 4). The oracle re-derives everything from
+    the generating formulas — palette lookups included — so only a
+    byte-exact decode with correct PLTE/tRNS semantics agrees.
+
+    At 100 TB: identical plan shape to multimodal_png_decode — one
+    linear Arrow pipeline, three payloads per doc built and parsed
+    executor-side, one output row each."""
+    build, parse = make_png_codec()
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "color_type": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "mean_a": [],
+                "top_row_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                for ct in (3, 4, 6):
+                    img = parse(build(int(did), ctype=ct))
+                    rgb, alpha = img["rgb"], img["alpha"]
+                    npx = img["width"] * img["height"]
+                    if rgb.shape[2] == 1:  # type 4: gray → r=g=b
+                        rgb = np.repeat(rgb, 3, axis=2)
+                    rows["media_id"].append(int(did))
+                    rows["color_type"].append(ct)
+                    rows["mean_r"].append(float(np.sum(rgb[:, :, 0])) / npx)
+                    rows["mean_g"].append(float(np.sum(rgb[:, :, 1])) / npx)
+                    rows["mean_b"].append(float(np.sum(rgb[:, :, 2])) / npx)
+                    rows["mean_a"].append(float(np.sum(alpha)) / npx)
+                    rows["top_row_sum"].append(
+                        int(np.sum(rgb[0])) + int(np.sum(alpha[0]))
+                    )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = d.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, color_type long, mean_r double, "
+            "mean_g double, mean_b double, mean_a double, "
+            "top_row_sum long"
+        ),
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return out.select(
+        "media_id",
+        "color_type",
+        ex.quantize(F.col("mean_r"), 6).alias("mean_r"),
+        ex.quantize(F.col("mean_g"), 6).alias("mean_g"),
+        ex.quantize(F.col("mean_b"), 6).alias("mean_b"),
+        ex.quantize(F.col("mean_a"), 6).alias("mean_a"),
+        "top_row_sum",
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
@@ -1012,6 +1167,7 @@ QUERIES = {
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_png_palette_alpha": multimodal_png_palette_alpha,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -1180,6 +1336,47 @@ ORACLE = {
                CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
                     AS BIGINT) AS top_row_sum
         FROM px GROUP BY media_id
+    """,
+    # same recipe, palette/alpha color types: the oracle performs the
+    # PLTE lookup and the short-tRNS default-255 rule in closed form
+    # over the generating index formula — a decode that mis-indexed
+    # the palette or defaulted the alpha tail wrong fails the hash
+    "multimodal_png_palette_alpha": f"""
+        WITH px AS (
+          SELECT doc_id AS media_id, x, y,
+                 (doc_id * 11 + x * 5 + y * 17) % 256 AS idx,
+                 (doc_id * 13 + x * 3 + y * 7) % 256 AS g2,
+                 (doc_id * 17 + x * 19 + y * 11) % 256 AS b2,
+                 (doc_id * 7 + x * 13 + y * 3) % 256 AS av
+          FROM documents,
+               LATERAL (SELECT unnest(range({PNG_W})) AS x),
+               LATERAL (SELECT unnest(range({PNG_H})) AS y)
+        ), v AS (
+          SELECT media_id, x, y, 3 AS color_type,
+                 (idx * 29 + 1) % 256 AS r,
+                 (idx * 31 + 2) % 256 AS g,
+                 (idx * 37 + 3) % 256 AS b,
+                 CASE WHEN idx < {PNG_TRNS_LEN}
+                      THEN (idx * 41 + 5) % 256 ELSE 255 END AS a
+          FROM px
+          UNION ALL
+          SELECT media_id, x, y, 4, idx, idx, idx, av FROM px
+          UNION ALL
+          SELECT media_id, x, y, 6, idx, g2, b2, av FROM px
+        )
+        SELECT media_id,
+               CAST(color_type AS BIGINT) AS color_type,
+               ROUND(CAST(SUM(r) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_r,
+               ROUND(CAST(SUM(g) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_g,
+               ROUND(CAST(SUM(b) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_b,
+               ROUND(CAST(SUM(a) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_a,
+               CAST(SUM(CASE WHEN y = 0 THEN r + g + b + a ELSE 0 END)
+                    AS BIGINT) AS top_row_sum
+        FROM v GROUP BY media_id, color_type
     """,
     # integer-exact histogram: bins re-derived from the same pixel
     # formula, no decoder needed oracle-side

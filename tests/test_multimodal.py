@@ -304,8 +304,9 @@ def test_png_parser_decodes_hand_assembled_images():
 
 def test_png_parser_rejects_malformed_and_gates_unwired():
     """Error taxonomy: ValueError for broken bytes (magic, CRC, zlib,
-    size, unknown filter), NotImplementedError for honestly-unwired
-    format corners (interlace, 16-bit, palette)."""
+    size, unknown filter, invalid color type, palette-table
+    violations), NotImplementedError for honestly-unwired format
+    corners (interlace, 16-bit)."""
     import struct
     import zlib
 
@@ -342,8 +343,33 @@ def test_png_parser_rejects_malformed_and_gates_unwired():
         parse(mk(interlace=1))
     with pytest.raises(NotImplementedError, match="16-bit"):
         parse(mk(depth=16))
-    with pytest.raises(NotImplementedError, match="color type 3"):
+    with pytest.raises(ValueError, match="invalid PNG color type"):
+        parse(mk(ctype=5))
+    # palette-table taxonomy (color type 3 is wired since r10)
+    with pytest.raises(ValueError, match="without a PLTE"):
         parse(mk(ctype=3))
+
+    def mk_pal(plte, trns=None, scan=b"\x00\x00"):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        out = sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+        return out + chunk(
+            b"IDAT", zlib.compress(scan)
+        ) + chunk(b"IEND", b"")
+
+    with pytest.raises(ValueError, match="ragged PLTE"):
+        parse(mk_pal(b"\x01\x02"))  # 2 bytes: not a multiple of 3
+    with pytest.raises(ValueError, match="tRNS has"):
+        parse(mk_pal(b"\x01\x02\x03", trns=b"\x10\x20"))
+    with pytest.raises(ValueError, match="palette index"):
+        # one-entry palette, pixel index 4
+        parse(mk_pal(b"\x01\x02\x03", scan=b"\x00\x04"))
+    # and a healthy one-pixel palette image decodes via the lookup
+    ok = parse(mk_pal(b"\x09\x08\x07" + b"\x01\x02\x03", trns=b"\x40",
+                      scan=b"\x00\x01"))
+    assert ok["rgb"][0, 0].tolist() == [1, 2, 3]
+    assert ok["alpha"][0, 0] == 255  # index 1 past the 1-entry tRNS
     with pytest.raises(ValueError, match="size mismatch"):
         parse(mk(scan=b"\x00\x01\x02\x03\x04"))  # wrong length for 1x1 RGB
     with pytest.raises(ValueError, match="unknown PNG filter"):
@@ -380,3 +406,47 @@ def test_png_decode_query_matches_formula(spark, sf_dir):
         assert abs(r.mean_g - round(gg.sum() / npx * 1e6) / 1e6) < 1e-9
         assert abs(r.mean_b - round(bb.sum() / npx * 1e6) / 1e6) < 1e-9
         assert r.top_row_sum == int(rr[0].sum() + gg[0].sum() + bb[0].sum())
+
+
+def test_png_palette_alpha_query_matches_formula(spark, sf_dir):
+    """The palette/alpha query's stats equal the generating formulas
+    (palette lookup and short-tRNS default included) recomputed in
+    numpy — the engine-side version of the DuckDB oracle."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        PNG_H,
+        PNG_TRNS_LEN,
+        PNG_W,
+        multimodal_png_palette_alpha,
+    )
+
+    out = {
+        (r.media_id, r.color_type): r
+        for r in multimodal_png_palette_alpha(spark, sf_dir).collect()
+    }
+    assert out
+    mids = sorted({m for m, _ in out})[:3]
+    npx = PNG_W * PNG_H
+    y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+    for mid in mids:
+        idx = (mid * 11 + x * 5 + y * 17) % 256
+        g2 = (mid * 13 + x * 3 + y * 7) % 256
+        b2 = (mid * 17 + x * 19 + y * 11) % 256
+        av = (mid * 7 + x * 13 + y * 3) % 256
+        pal_a = np.where(idx < PNG_TRNS_LEN, (idx * 41 + 5) % 256, 255)
+        cases = {
+            3: ((idx * 29 + 1) % 256, (idx * 31 + 2) % 256,
+                (idx * 37 + 3) % 256, pal_a),
+            4: (idx, idx, idx, av),
+            6: (idx, g2, b2, av),
+        }
+        for ct, (rr, gg, bb, aa) in cases.items():
+            r = out[(mid, ct)]
+            assert abs(r.mean_r - round(rr.sum() / npx * 1e6) / 1e6) < 1e-9
+            assert abs(r.mean_g - round(gg.sum() / npx * 1e6) / 1e6) < 1e-9
+            assert abs(r.mean_b - round(bb.sum() / npx * 1e6) / 1e6) < 1e-9
+            assert abs(r.mean_a - round(aa.sum() / npx * 1e6) / 1e6) < 1e-9
+            assert r.top_row_sum == int(
+                rr[0].sum() + gg[0].sum() + bb[0].sum() + aa[0].sum()
+            )
