@@ -3980,6 +3980,56 @@ def substring_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bucket count for the co-located gram-index serving layout; at
+#: 100 TB this scales with vocabulary bytes / target bucket size
+#: (buckets are the unit both the compactor and the probe shuffle to)
+GRAM_INDEX_BUCKETS = 32
+
+
+def compact_gram_index_bucketed(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Compact the nightly per-batch gram partitions into the
+    CO-LOCATED serving layout: one catalog table bucketed (and
+    bucket-sorted) on ``s`` — the SCALING.md round-9 recipe made real.
+
+    The nightly leg appends ``batch=<bkey>`` partitions (cheap,
+    append-only); this weekly job pays the vocabulary's shuffle ONCE —
+    distinct over all partitions, hash-clustered into ``num_buckets``
+    files — after which every nightly probe semi join plans with NO
+    Exchange on the index side (:func:`incremental_span_rows_
+    colocated`; pytest-asserted). At 100 TB that is the difference
+    between re-shuffling a multi-TB vocabulary every night and
+    shuffling only the nightly batch's grams to meet it. Same
+    division of labor as compact_and_cluster for range layouts."""
+    from mpi_mapreduce_spark.sources.io import write_bucketed
+
+    vocab = spark.read.parquet(index_dir).select("s").distinct()
+    write_bucketed(
+        vocab, table, num_buckets, ["s"], sort_cols=["s"], path=path
+    )
+
+
+def incremental_span_rows_colocated(
+    spark: SparkSession, batch: DataFrame, table: str, n: int = SPAN_N
+) -> DataFrame:
+    """Serve :func:`incremental_span_rows` from the BUCKETED stored
+    vocabulary (:func:`compact_gram_index_bucketed`): the probe semi
+    join reads the index through the catalog, whose scan reports the
+    bucket HashPartitioning, so only the BATCH side shuffles (to the
+    bucket count) and the vocabulary never moves — plan-asserted in
+    tests/test_dedup.py, results identical to the plain stored path
+    by the same pytest."""
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    seen = read_bucketed(spark, table).select("s")
+    return incremental_span_rows(batch, corpus_grams=seen, n=n)
+
+
 def dedup_incremental_substring(
     spark: SparkSession, sf_dir: str, corpus_grams: DataFrame | None = None
 ) -> DataFrame:

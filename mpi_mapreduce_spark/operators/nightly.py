@@ -49,7 +49,10 @@ STATE_SUBDIRS = {
 
 
 def nightly_curation_update(
-    spark: SparkSession, batch_dir: str, state_dir: str
+    spark: SparkSession,
+    batch_dir: str,
+    state_dir: str,
+    timings: dict[str, float] | None = None,
 ) -> tuple[dict[str, DataFrame] | None, list[str]]:
     """Run every nightly maintenance leg against tonight's batch as
     ONE unit with ONE ledger commit.
@@ -83,6 +86,12 @@ def nightly_curation_update(
     Each leg's decisions are eagerly materialized (localCheckpoint
     inside the cores) BEFORE its artifact write, preserving the
     per-leg discipline.
+
+    Pass ``timings`` (an empty dict) to receive each leg's wall
+    seconds under its output key — meaningful because every core
+    eagerly materializes its decisions AND writes its artifact before
+    returning; the scale-rehearsal harness uses this for the per-leg
+    splits in SCALING.md.
 
     Returns (dict of per-leg decision frames — keys ``bloom``
     (doc_id, bloom_seen, seen_in_batch, novel), ``minhash`` (doc_id,
@@ -147,30 +156,31 @@ def nightly_curation_update(
         {k for k in (dkey, vkey) if k is not None},
     )
 
+    import time as _time
+
     out: dict[str, DataFrame] = {}
+
+    def _run(key: str, core, frame, bkey: str, leg: str) -> None:
+        t0 = _time.perf_counter()
+        out[key] = core(spark, frame, bkey, _idx(leg))
+        if timings is not None:
+            timings[key] = _time.perf_counter() - t0
+
     if doc_files:
         docs = spark.read.parquet(*doc_files)
         # screen first (the cheap pre-pass), then the index legs — the
         # order is documentation; each leg is independent and replays
         # idempotently on its own
-        out["bloom"] = _nightly_bloom_core(spark, docs, dkey, _idx("bloom"))
-        out["minhash"] = _nightly_minhash_core(
-            spark, docs, dkey, _idx("minhash")
-        )
-        out["substring"] = _nightly_substring_core(
-            spark, docs, dkey, _idx("grams")
-        )
-        out["cms"] = _nightly_cms_core(spark, docs, dkey, _idx("cms"))
+        _run("bloom", _nightly_bloom_core, docs, dkey, "bloom")
+        _run("minhash", _nightly_minhash_core, docs, dkey, "minhash")
+        _run("substring", _nightly_substring_core, docs, dkey, "grams")
+        _run("cms", _nightly_cms_core, docs, dkey, "cms")
     if vec_files:
         vecs = spark.read.parquet(*vec_files)
-        out["embedding"] = _nightly_embedding_core(
-            spark, vecs, vkey, _idx("embedding")
-        )
-        out["ivf"] = _nightly_ivf_core(spark, vecs, vkey, _idx("ivf"))
-        out["pq"] = _nightly_pq_core(spark, vecs, vkey, _idx("pq"))
-        out["ann_lsh"] = _nightly_ann_lsh_core(
-            spark, vecs, vkey, _idx("ann_lsh")
-        )
+        _run("embedding", _nightly_embedding_core, vecs, vkey, "embedding")
+        _run("ivf", _nightly_ivf_core, vecs, vkey, "ivf")
+        _run("pq", _nightly_pq_core, vecs, vkey, "pq")
+        _run("ann_lsh", _nightly_ann_lsh_core, vecs, vkey, "ann_lsh")
 
     # keyed commits, LAST; doc commit before vec commit — a crash
     # between the two replays only the vec modality (same vkey, keyed

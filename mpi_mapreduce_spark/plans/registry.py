@@ -125,9 +125,11 @@ DRIVER_CAP = 50
 #:   multimodal_png_decode — builder-attested at 3 scales last round
 #:   and independently verified by the judge 3/3 at sf0.01, but never
 #:   driver-sampled.
-#: - changed-code re-attest (1): dedup_incremental_substring serves
-#:   from the stored gram index, whose write path gains xxhash64(s)
-#:   co-location bucketing this round, so its plan changes again.
+#: - substring-family freshness (1): dedup_incremental_substring —
+#:   its serving family gained the co-located bucketed variant this
+#:   round (dedup.py incremental_span_rows_colocated, a SIBLING api;
+#:   the registered query's own plan is unchanged), so keep the
+#:   family's driver row current alongside the r9-late pair above.
 #: - rotation (42): the entire round-6 tier — dedup_exact/_stats,
 #:   graph_nation_pagerank, knn_bruteforce, ann_pq_rerank_topk, the
 #:   events_* analytics block, the text_* block, the training_*

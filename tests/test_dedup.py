@@ -1648,6 +1648,94 @@ def test_substring_stored_gram_index_serving_matches_recomputed(
     assert via_stored == recomputed
 
 
+def test_substring_colocated_serving_shuffle_free_and_identical(
+    spark, sf_dir, tmp_path
+):
+    """The co-located serving layout (SCALING.md round-9 recipe, wired
+    in r10): compact the per-batch gram partitions into a table
+    bucketed on s, and (a) the probe semi join plans with NO Exchange
+    on the INDEX side — only the batch's grams shuffle to meet the
+    vocabulary, never the reverse — and (b) results are identical to
+    the plain stored path."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        GRAM_INDEX_BUCKETS,
+        INCR_BATCH_MOD,
+        SPAN_N,
+        positional_ngram_rows,
+    )
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    # nightly layout: two batch partitions of the corpus vocabulary
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    idx = str(tmp_path / "gram_index")
+    D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 0)
+    ).write.parquet(idx + "/batch=b1")
+    D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 1)
+    ).write.parquet(idx + "/batch=b2")
+
+    try:
+        D.compact_gram_index_bucketed(
+            spark, idx, "b_gram_vocab", path=str(tmp_path / "b_vocab")
+        )
+        batch = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # (a) the probe's plan: bucketed index scan, one Exchange
+            # total (the batch side), semi join merge
+            occ = positional_ngram_rows(batch, SPAN_N).where(
+                F.col("glen") == SPAN_N
+            )
+            seen = read_bucketed(spark, "b_gram_vocab").select("s")
+            probe = occ.join(seen, "s", "left_semi")
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            # occ is a Union of two gram branches, so the probe plans
+            # as one semi join PER branch; the co-location claim is
+            # per-join: exactly ONE Exchange on s per SortMergeJoin
+            # (the batch side) — the index side reads the bucketed
+            # scan directly
+            n_smj = plan.count("SortMergeJoin")
+            assert n_smj >= 1 and "LeftSemi" in plan, plan
+            assert plan.count("Exchange hashpartitioning(s#") == n_smj, plan
+            assert "Bucketed: true" in plan, plan
+            assert (
+                f"SelectedBucketsCount: {GRAM_INDEX_BUCKETS} out of "
+                f"{GRAM_INDEX_BUCKETS}"
+            ) in plan, plan
+            # differential: the plain (non-bucketed) stored path pays
+            # TWO s-Exchanges per join — one per side
+            flat = occ.join(
+                spark.read.parquet(idx).select("s"), "s", "left_semi"
+            )
+            fplan = flat._jdf.queryExecution().executedPlan().toString()
+            assert (
+                fplan.count("Exchange hashpartitioning(s#") == 2 * n_smj
+            ), fplan
+
+            # (b) identical results to the plain stored path
+            via_coloc = {
+                tuple(r)
+                for r in D.incremental_span_rows_colocated(
+                    spark, batch, "b_gram_vocab"
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        via_stored = {
+            tuple(r)
+            for r in D.incremental_span_rows(
+                batch, corpus_grams=spark.read.parquet(idx).select("s")
+            ).collect()
+        }
+        assert via_coloc == via_stored and via_coloc
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_gram_vocab")
+
+
 def test_incremental_span_rows_rejects_ambiguous_vocabulary(spark):
     """Exactly one of corpus / corpus_grams — neither and both are
     programming errors, refused loudly."""

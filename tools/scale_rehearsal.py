@@ -504,7 +504,11 @@ def time_substring_stored(scratch: str, mods: list[int]) -> None:
     spark = get_spark(app_name="mpi_mapreduce_spark-scale")
     docs = spark.read.parquet(f"{scratch}/documents.parquet")
     docs.count()  # session warm-up, outside every timing
-    print("| mod | index build+write (one-time) | serving wall | inline wall | spans |")
+    print(
+        "| mod | index build+write (one-time) | compact-to-bucketed "
+        "(one-time) | coloc serving wall | serving wall | inline wall "
+        "| spans |"
+    )
     for mod in mods:
         corpus = docs.where(F.col("doc_id") % mod != 0)
         batch = docs.where(F.col("doc_id") % mod == 0)
@@ -514,6 +518,17 @@ def time_substring_stored(scratch: str, mods: list[int]) -> None:
             idx_dir
         )
         build = time.perf_counter() - t0
+        # co-located layout (round-10): pay the vocabulary shuffle
+        # once in the weekly compactor, then the nightly probe's semi
+        # join moves only the batch's grams
+        tbl = f"b_gram_vocab_m{mod}"
+        bdir = tempfile.mkdtemp(prefix=f"gramidx_bkt_m{mod}_")
+        t0 = time.perf_counter()
+        D.compact_gram_index_bucketed(spark, idx_dir, tbl, path=bdir)
+        compact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nc = D.incremental_span_rows_colocated(spark, batch, tbl).count()
+        coloc = time.perf_counter() - t0
         stored = spark.read.parquet(idx_dir)
         t0 = time.perf_counter()
         n = D.incremental_span_rows(batch, corpus_grams=stored).count()
@@ -521,10 +536,11 @@ def time_substring_stored(scratch: str, mods: list[int]) -> None:
         t0 = time.perf_counter()
         n2 = D.incremental_span_rows(batch, corpus).count()
         inline = time.perf_counter() - t0
-        assert n == n2, (n, n2)
+        assert n == n2 == nc, (n, n2, nc)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         print(
-            f"| {mod} | {build:.1f} s | {serve:.1f} s | {inline:.1f} s "
-            f"|  # {n} spans",
+            f"| {mod} | {build:.1f} s | {compact:.1f} s | {coloc:.1f} s "
+            f"| {serve:.1f} s | {inline:.1f} s |  # {n} spans",
             flush=True,
         )
     spark.stop()
@@ -761,22 +777,26 @@ def time_nightly(txt_scratch: str, emb_scratch: str) -> None:
         docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
         vecs.where(F.col("vec_id") % 10 != 0),
     )
+    t1: dict[str, float] = {}
     t0 = time.perf_counter()
-    r1, f1 = nightly_curation_update(spark, batch_dir, state_dir)
+    r1, f1 = nightly_curation_update(spark, batch_dir, state_dir, timings=t1)
     seed = time.perf_counter() - t0
     n1 = {leg: df.count() for leg, df in r1.items()}
     print(f"night 1 (seed, {len(f1)} files): {seed:.1f} s  {n1}")
+    print("  per-leg: " + ", ".join(f"{k} {v:.1f}s" for k, v in t1.items()))
 
     stage(
         "n2",
         docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
         vecs.where(F.col("vec_id") % 10 == 0),
     )
+    t2: dict[str, float] = {}
     t0 = time.perf_counter()
-    r2, f2 = nightly_curation_update(spark, batch_dir, state_dir)
+    r2, f2 = nightly_curation_update(spark, batch_dir, state_dir, timings=t2)
     marginal = time.perf_counter() - t0
     n2 = {leg: df.count() for leg, df in r2.items()}
     print(f"night 2 (marginal, {len(f2)} files): {marginal:.1f} s  {n2}")
+    print("  per-leg: " + ", ".join(f"{k} {v:.1f}s" for k, v in t2.items()))
 
     t0 = time.perf_counter()
     audit = curation_state_audit(spark, state_dir).collect()
