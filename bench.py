@@ -85,6 +85,11 @@ HEADLINE = [
     # watch)
     "substring_gram_index",
     "multimodal_png_decode",
+    # round 10: the incremental-substring production tail (detect +
+    # strip — what a nightly ingest actually writes downstream) and
+    # the palette/alpha PNG decode (the PLTE/tRNS lookup path)
+    "dedup_incremental_strip",
+    "multimodal_png_palette_alpha",
 ]
 
 
