@@ -4030,6 +4030,118 @@ def incremental_span_rows_colocated(
     return incremental_span_rows(batch, corpus_grams=seen, n=n)
 
 
+def compact_minhash_band_index_bucketed(
+    spark: SparkSession,
+    sig_index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """MinHash sibling of :func:`compact_gram_index_bucketed`: derive
+    the band-key table ``(doc_id, band_id, band_hash)`` from the
+    nightly per-batch SIGNATURE partitions once, and write it as a
+    catalog table bucketed (and bucket-sorted) on the join key
+    ``(band_id, band_hash)``. The nightly candidate probe
+    (:func:`minhash_incremental_candidates_colocated`) then equi-joins
+    tonight's batch band keys against it with NO Exchange on the index
+    side — at 100 TB the corpus band table (n_bands rows/doc) never
+    moves; the weekly compactor pays its shuffle once and also
+    amortizes the per-night band derivation the signature-shaped
+    index forces on every probe."""
+    from mpi_mapreduce_spark.sources.io import write_bucketed
+
+    sig = spark.read.parquet(sig_index_dir).select(
+        "doc_id", *[f"mh{i}" for i in range(MINHASH_HASHES)]
+    )
+    write_bucketed(
+        minhash_band_keys(sig),
+        table,
+        num_buckets,
+        ["band_id", "band_hash"],
+        sort_cols=["band_id", "band_hash"],
+        path=path,
+    )
+
+
+def minhash_incremental_candidates_colocated(
+    spark: SparkSession, batch: DataFrame, table: str
+) -> DataFrame:
+    """Batch-vs-corpus candidate pairs ``(doc_b = batch id, doc_c =
+    corpus id)`` served from the CO-LOCATED band table
+    (:func:`compact_minhash_band_index_bucketed`): only the batch's
+    band keys shuffle to the bucket layout — plan-asserted in
+    tests/test_dedup.py, result-identical to the flat band join."""
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    bands_b = minhash_band_keys(
+        minhash_signature_table(shingle_rows(batch))
+    ).select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    bands_c = read_bucketed(spark, table).select(
+        F.col("doc_id").alias("doc_c"), "band_id", "band_hash"
+    )
+    return (
+        bands_b.join(bands_c, ["band_id", "band_hash"])
+        .select("doc_b", "doc_c")
+        .distinct()
+    )
+
+
+def compact_embedding_band_index_bucketed(
+    spark: SparkSession,
+    band_index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Embedding sibling of :func:`compact_gram_index_bucketed`: the
+    nightly ``bands`` partitions (``vec_id, band, bucket`` — the
+    embedding_bucket_index artifact) compacted into a catalog table
+    bucketed (and bucket-sorted) on the join key ``(band, bucket)``,
+    so :func:`embedding_incremental_candidates` served through
+    :func:`embedding_incremental_candidates_colocated` moves only
+    tonight's batch band rows."""
+    from mpi_mapreduce_spark.sources.io import write_bucketed
+
+    bands = spark.read.parquet(band_index_dir).select(
+        "vec_id", "band", "bucket"
+    )
+    write_bucketed(
+        bands,
+        table,
+        num_buckets,
+        ["band", "bucket"],
+        sort_cols=["band", "bucket"],
+        path=path,
+    )
+
+
+def embedding_incremental_candidates_colocated(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    dim: int,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """:func:`embedding_incremental_candidates` with ``corpus_bands``
+    read through the catalog so the bucketed scan's HashPartitioning
+    reaches the (band, bucket) equi-join — no Exchange on the index
+    side (plan-asserted in tests/test_dedup.py, result-identical to
+    the flat stored path)."""
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    return embedding_incremental_candidates(
+        batch,
+        corpus=None,
+        dim=dim,
+        band_bits=band_bits,
+        n_bands=n_bands,
+        corpus_bands=read_bucketed(spark, table).select(
+            "vec_id", "band", "bucket"
+        ),
+    )
+
+
 def dedup_incremental_substring(
     spark: SparkSession, sf_dir: str, corpus_grams: DataFrame | None = None
 ) -> DataFrame:

@@ -1736,6 +1736,114 @@ def test_substring_colocated_serving_shuffle_free_and_identical(
         spark.sql("DROP TABLE IF EXISTS b_gram_vocab")
 
 
+def test_minhash_colocated_candidates_shuffle_free_and_identical(
+    spark, sf_dir, tmp_path
+):
+    """MinHash sibling of the gram co-location pin: compact the
+    per-batch signature partitions into a band table bucketed on
+    (band_id, band_hash); the candidate equi-join then plans with the
+    batch side's Exchange only, and candidates equal the flat band
+    join's."""
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    idx = str(tmp_path / "sig_index")
+    for k, half in (("b1", 0), ("b2", 1)):
+        D.minhash_signature_table(
+            D.shingle_rows(corpus.where(F.col("doc_id") % 2 == half))
+        ).write.parquet(f"{idx}/batch={k}")
+
+    try:
+        D.compact_minhash_band_index_bucketed(
+            spark, idx, "b_mh_bands", path=str(tmp_path / "b_mh")
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cands = D.minhash_incremental_candidates_colocated(
+                spark, batch, "b_mh_bands"
+            )
+            plan = cands._jdf.queryExecution().executedPlan().toString()
+            n_smj = plan.count("SortMergeJoin")
+            assert n_smj >= 1, plan
+            assert (
+                plan.count("Exchange hashpartitioning(band_id#") == n_smj
+            ), plan
+            assert "Bucketed: true" in plan, plan
+            got = {tuple(r) for r in cands.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        bands_b = D.minhash_band_keys(
+            D.minhash_signature_table(D.shingle_rows(batch))
+        ).select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        bands_c = D.minhash_band_keys(
+            spark.read.parquet(idx).select(
+                "doc_id", *[f"mh{i}" for i in range(D.MINHASH_HASHES)]
+            )
+        ).select(F.col("doc_id").alias("doc_c"), "band_id", "band_hash")
+        flat = {
+            tuple(r)
+            for r in bands_b.join(bands_c, ["band_id", "band_hash"])
+            .select("doc_b", "doc_c")
+            .distinct()
+            .collect()
+        }
+        assert got == flat and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_mh_bands")
+
+
+def test_embedding_colocated_candidates_shuffle_free_and_identical(
+    spark, sf_dir, tmp_path
+):
+    """Embedding sibling: the bands artifact compacted into a table
+    bucketed on (band, bucket); candidate probe shuffle-free on the
+    index side and result-identical to the flat stored path."""
+    emb = D._normalized_embeddings(spark, sf_dir)
+    batch = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD != 0)
+    idx = str(tmp_path / "band_index")
+    for k, half in (("b1", 0), ("b2", 1)):
+        D.embedding_band_rows(
+            corpus.where(F.col("vec_id") % 2 == half), dim=64
+        ).write.parquet(f"{idx}/batch={k}")
+
+    try:
+        D.compact_embedding_band_index_bucketed(
+            spark, idx, "b_emb_bands", path=str(tmp_path / "b_emb")
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cands = D.embedding_incremental_candidates_colocated(
+                spark, batch, "b_emb_bands", dim=64
+            )
+            plan = cands._jdf.queryExecution().executedPlan().toString()
+            n_smj = plan.count("SortMergeJoin")
+            assert n_smj >= 1, plan
+            assert (
+                plan.count("Exchange hashpartitioning(band#") == n_smj
+            ), plan
+            assert "Bucketed: true" in plan, plan
+            got = {tuple(r) for r in cands.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        flat = {
+            tuple(r)
+            for r in D.embedding_incremental_candidates(
+                batch,
+                corpus=None,
+                dim=64,
+                corpus_bands=spark.read.parquet(idx).select(
+                    "vec_id", "band", "bucket"
+                ),
+            ).collect()
+        }
+        assert got == flat and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_emb_bands")
+
+
 def test_incremental_span_rows_rejects_ambiguous_vocabulary(spark):
     """Exactly one of corpus / corpus_grams — neither and both are
     programming errors, refused loudly."""
