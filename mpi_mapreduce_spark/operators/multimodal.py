@@ -462,12 +462,20 @@ def make_png_codec():
     reconstruction functions (bpp = channel count at depth 8), looks
     indices up in PLTE/tRNS for color type 3, and returns H×W×3 RGB
     (color types 2/3/6) or H×W×1 (0/4) arrays plus an H×W ``alpha``
-    array (types 3-with-tRNS/4/6; None otherwise).
-    NotImplementedError for interlaced and non-8-bit depths (the
-    remaining honest boundaries); ValueError for malformed bytes (bad
-    magic, CRC mismatch, bad zlib stream, size mismatch, unknown
-    filter type, invalid color type, palette images with a missing /
-    ragged / overrun PLTE or an oversized tRNS)."""
+    array (types 3-with-tRNS/4/6; None otherwise). Since r10 the
+    decoder also handles **Adam7 interlace** (seven
+    independently-filtered passes, each unfiltered with its own
+    zero prior row and scattered back onto the full grid — a pure
+    transport permutation, so the decoded image is identical to the
+    progressive layout's) and **16-bit depth** (big-endian sample
+    pairs; the five filters operate on BYTES with bpp = channels × 2
+    per the spec, so the reconstruction math is unchanged).
+    NotImplementedError only for sub-byte depths (1/2/4-bit sample
+    packing — the remaining honest boundary); ValueError for
+    malformed bytes (bad magic, CRC mismatch, bad zlib stream, size
+    mismatch, unknown filter type, invalid color type or interlace
+    method, 16-bit palette, palette images with a missing / ragged /
+    overrun PLTE or an oversized tRNS)."""
     import struct
     import zlib
 
@@ -488,30 +496,17 @@ def make_png_codec():
             return a
         return b if pb <= pc else c
 
-    def build(doc_id: int, ctype: int = 2) -> bytes:
-        import numpy as np
-
-        y, x = np.mgrid[0:h, 0:w]
-        r = (doc_id * 11 + x * 5 + y * 17) % 256
-        g = (doc_id * 13 + x * 3 + y * 7) % 256
-        b = (doc_id * 17 + x * 19 + y * 11) % 256
-        a = (doc_id * 7 + x * 13 + y * 3) % 256
-        # r doubles as the gray value (type 0/4) and the palette
-        # index (type 3) — ONE generating formula per channel slot,
-        # mirrored verbatim in the oracle SQL
-        channels = {
-            0: [r],
-            2: [r, g, b],
-            3: [r],
-            4: [r, a],
-            6: [r, g, b, a],
-        }[ctype]
-        raw = np.stack(channels, axis=2).astype(np.uint8)  # H×W×C
-        bpp = len(channels)
-        rowlen = w * bpp
+    def _filter_image(raw, bpp: int) -> bytearray:
+        """Per-row filtered scanlines of one (sub-)image: row i gets
+        filter type i % 5 so every image (and every Adam7 pass tall
+        enough) exercises all five spec filters. Filters operate on
+        BYTES with bpp = channels × bytes-per-sample, per the spec —
+        the same math at every depth."""
+        hh = raw.shape[0]
+        rowlen = raw.shape[1] * bpp
         prior = bytes(rowlen)
         out = bytearray()
-        for yy in range(h):
+        for yy in range(hh):
             row = raw[yy].tobytes()
             ft = yy % 5
             out.append(ft)
@@ -550,7 +545,52 @@ def make_png_codec():
                 )
             out += filt
             prior = row
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return out
+
+    #: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+    ADAM7 = (
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    )
+
+    def build(
+        doc_id: int, ctype: int = 2, interlace: int = 0, depth: int = 8
+    ) -> bytes:
+        import numpy as np
+
+        mod = 1 << depth
+        y, x = np.mgrid[0:h, 0:w]
+        r = (doc_id * 11 + x * 5 + y * 17) % mod
+        g = (doc_id * 13 + x * 3 + y * 7) % mod
+        b = (doc_id * 17 + x * 19 + y * 11) % mod
+        a = (doc_id * 7 + x * 13 + y * 3) % mod
+        # r doubles as the gray value (type 0/4) and the palette
+        # index (type 3) — ONE generating formula per channel slot,
+        # mirrored verbatim in the oracle SQL
+        channels = {
+            0: [r],
+            2: [r, g, b],
+            3: [r],
+            4: [r, a],
+            6: [r, g, b, a],
+        }[ctype]
+        dt = np.uint8 if depth == 8 else np.dtype(">u2")
+        raw = np.stack(channels, axis=2).astype(dt)  # H×W×C samples
+        bpp = len(channels) * (depth // 8)
+        if interlace == 0:
+            out = _filter_image(raw, bpp)
+        else:
+            out = bytearray()
+            for x0, y0, dx, dy in ADAM7:
+                sub = raw[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    out += _filter_image(sub, bpp)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
         ancillary = b""
         if ctype == 3:
             plte = bytes(
@@ -615,10 +655,16 @@ def make_png_codec():
         )
         if comp != 0 or filt != 0:
             raise ValueError("unknown PNG compression/filter method")
-        if interlace != 0:
-            raise NotImplementedError("Adam7 interlaced PNG not wired")
-        if depth != 8:
-            raise NotImplementedError(f"{depth}-bit PNG not wired")
+        if interlace not in (0, 1):
+            raise ValueError(f"invalid PNG interlace method {interlace}")
+        if depth not in (8, 16):
+            # 1/2/4-bit sample packing is the remaining honest
+            # boundary (sub-byte bit shuffling, a different codepath)
+            raise NotImplementedError(
+                f"{depth}-bit PNG not wired (sub-byte sample packing)"
+            )
+        if depth == 16 and ctype_n == 3:
+            raise ValueError("palette PNG with 16-bit depth is invalid")
         try:
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_n]
         except KeyError:
@@ -641,56 +687,93 @@ def make_png_codec():
             raw = zlib.decompress(bytes(idat))
         except zlib.error as e:
             raise ValueError(f"bad PNG zlib stream: {e}") from e
-        bpp = channels
-        rowlen = width * bpp
-        if len(raw) != height * (1 + rowlen):
-            raise ValueError(
-                f"PNG data size mismatch: {len(raw)} != "
-                f"{height * (1 + rowlen)}"
-            )
-        prior = bytes(rowlen)
-        rows = []
-        for yy in range(height):
-            off = yy * (1 + rowlen)
-            ft = raw[off]
-            line = raw[off + 1 : off + 1 + rowlen]
-            if ft == 0:
-                rec = bytearray(line)
-            elif ft == 1:  # Sub
-                rec = bytearray(rowlen)
-                for i in range(rowlen):
-                    rec[i] = (
-                        line[i] + (rec[i - bpp] if i >= bpp else 0)
-                    ) % 256
-            elif ft == 2:  # Up
-                rec = bytearray(
-                    (line[i] + prior[i]) % 256 for i in range(rowlen)
+        bpp = channels * (depth // 8)
+        dt = np.uint8 if depth == 8 else np.dtype(">u2")
+
+        def _unfilter(off: int, w_: int, h_: int) -> tuple[bytes, int]:
+            """Reconstruct one (sub-)image's scanlines starting at
+            ``off`` in the inflated stream; returns (pixel bytes, new
+            offset)."""
+            rowlen = w_ * bpp
+            need = h_ * (1 + rowlen)
+            if off + need > len(raw):
+                raise ValueError(
+                    f"PNG data size mismatch: need {off + need}, "
+                    f"have {len(raw)}"
                 )
-            elif ft == 3:  # Average
-                rec = bytearray(rowlen)
-                for i in range(rowlen):
-                    rec[i] = (
-                        line[i]
-                        + ((rec[i - bpp] if i >= bpp else 0) + prior[i]) // 2
-                    ) % 256
-            elif ft == 4:  # Paeth
-                rec = bytearray(rowlen)
-                for i in range(rowlen):
-                    rec[i] = (
-                        line[i]
-                        + _paeth(
-                            rec[i - bpp] if i >= bpp else 0,
-                            prior[i],
-                            prior[i - bpp] if i >= bpp else 0,
-                        )
-                    ) % 256
-            else:
-                raise ValueError(f"unknown PNG filter type {ft}")
-            prior = bytes(rec)
-            rows.append(rec)
-        px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
-            height, width, channels
-        )
+            prior = bytes(rowlen)
+            rows = []
+            for yy in range(h_):
+                o = off + yy * (1 + rowlen)
+                ft = raw[o]
+                line = raw[o + 1 : o + 1 + rowlen]
+                if ft == 0:
+                    rec = bytearray(line)
+                elif ft == 1:  # Sub
+                    rec = bytearray(rowlen)
+                    for i in range(rowlen):
+                        rec[i] = (
+                            line[i] + (rec[i - bpp] if i >= bpp else 0)
+                        ) % 256
+                elif ft == 2:  # Up
+                    rec = bytearray(
+                        (line[i] + prior[i]) % 256 for i in range(rowlen)
+                    )
+                elif ft == 3:  # Average
+                    rec = bytearray(rowlen)
+                    for i in range(rowlen):
+                        rec[i] = (
+                            line[i]
+                            + (
+                                (rec[i - bpp] if i >= bpp else 0)
+                                + prior[i]
+                            )
+                            // 2
+                        ) % 256
+                elif ft == 4:  # Paeth
+                    rec = bytearray(rowlen)
+                    for i in range(rowlen):
+                        rec[i] = (
+                            line[i]
+                            + _paeth(
+                                rec[i - bpp] if i >= bpp else 0,
+                                prior[i],
+                                prior[i - bpp] if i >= bpp else 0,
+                            )
+                        ) % 256
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                prior = bytes(rec)
+                rows.append(rec)
+            return b"".join(rows), off + need
+
+        if interlace == 0:
+            data, end = _unfilter(0, width, height)
+            if end != len(raw):
+                raise ValueError(
+                    f"PNG data size mismatch: {len(raw)} != {end}"
+                )
+            px = np.frombuffer(data, dtype=dt).reshape(
+                height, width, channels
+            )
+        else:
+            # Adam7: seven independently-filtered passes scattered
+            # back onto the full grid (empty passes carry no bytes)
+            px = np.zeros((height, width, channels), dtype=np.int64)
+            end = 0
+            for x0, y0, dx, dy in ADAM7:
+                pw = max(0, (width - x0 + dx - 1) // dx)
+                ph = max(0, (height - y0 + dy - 1) // dy)
+                if pw == 0 or ph == 0:
+                    continue
+                data, end = _unfilter(end, pw, ph)
+                px[y0::dy, x0::dx] = np.frombuffer(data, dtype=dt).reshape(
+                    ph, pw, channels
+                )
+            if end != len(raw):
+                raise ValueError(
+                    f"PNG data size mismatch: {len(raw)} != {end}"
+                )
         alpha = None
         if ctype_n == 3:
             n_pal = len(plte) // 3
@@ -719,6 +802,8 @@ def make_png_codec():
             "width": width,
             "height": height,
             "color_type": ctype_n,
+            "depth": depth,
+            "interlaced": interlace == 1,
             "rgb": rgb,
             "alpha": alpha,
         }
@@ -1159,6 +1244,87 @@ def multimodal_png_palette_alpha(
     )
 
 
+def multimodal_png_interlaced_16bit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Adam7 + 16-bit PNG decode: per document, build (a) an
+    Adam7-interlaced 8-bit truecolor PNG, (b) a progressive 16-bit
+    grayscale PNG, (c) an Adam7-interlaced 16-bit RGBA PNG — the
+    everything-at-once case — and decode through the same
+    chunk-walking, CRC-verifying reader. Interlacing is a transport
+    permutation, so variant (a) must reproduce exactly the truecolor
+    stats `multimodal_png_decode` attests on the progressive layout —
+    a wrong pass offset/stride or a filter prior leaking across
+    passes scrambles pixels and fails the hash; the 16-bit variants
+    pin the big-endian sample pairing (mod-65536 formulas). Variants
+    without an alpha channel report mean_a = 0.
+
+    At 100 TB: same linear Arrow pipeline as the sibling PNG
+    queries."""
+    build, parse = make_png_codec()
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        variants = (
+            ("adam7", dict(ctype=2, interlace=1)),
+            ("gray16", dict(ctype=0, depth=16)),
+            ("rgba16i", dict(ctype=6, depth=16, interlace=1)),
+        )
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "variant": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "mean_a": [],
+                "top_row_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                for vname, kw in variants:
+                    img = parse(build(int(did), **kw))
+                    rgb, alpha = img["rgb"], img["alpha"]
+                    npx = img["width"] * img["height"]
+                    if rgb.shape[2] == 1:  # grayscale → r=g=b
+                        rgb = np.repeat(rgb, 3, axis=2)
+                    rows["media_id"].append(int(did))
+                    rows["variant"].append(vname)
+                    rows["mean_r"].append(float(np.sum(rgb[:, :, 0])) / npx)
+                    rows["mean_g"].append(float(np.sum(rgb[:, :, 1])) / npx)
+                    rows["mean_b"].append(float(np.sum(rgb[:, :, 2])) / npx)
+                    rows["mean_a"].append(
+                        0.0 if alpha is None else float(np.sum(alpha)) / npx
+                    )
+                    rows["top_row_sum"].append(
+                        int(np.sum(rgb[0]))
+                        + (0 if alpha is None else int(np.sum(alpha[0])))
+                    )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = d.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, variant string, mean_r double, "
+            "mean_g double, mean_b double, mean_a double, "
+            "top_row_sum long"
+        ),
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return out.select(
+        "media_id",
+        "variant",
+        ex.quantize(F.col("mean_r"), 6).alias("mean_r"),
+        ex.quantize(F.col("mean_g"), 6).alias("mean_g"),
+        ex.quantize(F.col("mean_b"), 6).alias("mean_b"),
+        ex.quantize(F.col("mean_a"), 6).alias("mean_a"),
+        "top_row_sum",
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
@@ -1168,6 +1334,7 @@ QUERIES = {
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_png_palette_alpha": multimodal_png_palette_alpha,
+    "multimodal_png_interlaced_16bit": multimodal_png_interlaced_16bit,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -1377,6 +1544,45 @@ ORACLE = {
                CAST(SUM(CASE WHEN y = 0 THEN r + g + b + a ELSE 0 END)
                     AS BIGINT) AS top_row_sum
         FROM v GROUP BY media_id, color_type
+    """,
+    # same recipe, transport variants: Adam7 is a pure permutation so
+    # variant 'adam7' mirrors the truecolor formulas verbatim; the
+    # 16-bit variants re-derive mod-65536 — a wrong pass geometry,
+    # cross-pass filter prior, or byte-swapped sample pairing fails
+    # the hash
+    "multimodal_png_interlaced_16bit": f"""
+        WITH px AS (
+          SELECT doc_id AS media_id, x, y,
+                 (doc_id * 11 + x * 5 + y * 17) % 256 AS r8,
+                 (doc_id * 13 + x * 3 + y * 7) % 256 AS g8,
+                 (doc_id * 17 + x * 19 + y * 11) % 256 AS b8,
+                 (doc_id * 11 + x * 5 + y * 17) % 65536 AS v16,
+                 (doc_id * 13 + x * 3 + y * 7) % 65536 AS g16,
+                 (doc_id * 17 + x * 19 + y * 11) % 65536 AS b16,
+                 (doc_id * 7 + x * 13 + y * 3) % 65536 AS a16
+          FROM documents,
+               LATERAL (SELECT unnest(range({PNG_W})) AS x),
+               LATERAL (SELECT unnest(range({PNG_H})) AS y)
+        ), v AS (
+          SELECT media_id, x, y, 'adam7' AS variant,
+                 r8 AS r, g8 AS g, b8 AS b, 0 AS a FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'gray16', v16, v16, v16, 0 FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'rgba16i', v16, g16, b16, a16 FROM px
+        )
+        SELECT media_id, variant,
+               ROUND(CAST(SUM(r) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_r,
+               ROUND(CAST(SUM(g) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_g,
+               ROUND(CAST(SUM(b) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_b,
+               ROUND(CAST(SUM(a) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_a,
+               CAST(SUM(CASE WHEN y = 0 THEN r + g + b + a ELSE 0 END)
+                    AS BIGINT) AS top_row_sum
+        FROM v GROUP BY media_id, variant
     """,
     # integer-exact histogram: bins re-derived from the same pixel
     # formula, no decoder needed oracle-side

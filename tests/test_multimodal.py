@@ -339,12 +339,18 @@ def test_png_parser_rejects_malformed_and_gates_unwired():
         body = zlib.compress(scan if scan is not None else b"\x00" + b"\x00" * (w * (3 if ctype == 2 else 1)))
         return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        parse(mk(interlace=1))
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        parse(mk(depth=16))
+    # interlace + 16-bit are WIRED since r10; the remaining honest
+    # boundary is sub-byte sample packing
+    with pytest.raises(ValueError, match="invalid PNG interlace"):
+        parse(mk(interlace=2))
+    with pytest.raises(NotImplementedError, match="sub-byte"):
+        parse(mk(depth=4))
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse(mk(depth=16))  # 1x1 RGB16 needs 7 bytes, scan has 4
     with pytest.raises(ValueError, match="invalid PNG color type"):
         parse(mk(ctype=5))
+    with pytest.raises(ValueError, match="16-bit"):
+        parse(build(3, ctype=3, depth=16))
     # palette-table taxonomy (color type 3 is wired since r10)
     with pytest.raises(ValueError, match="without a PLTE"):
         parse(mk(ctype=3))
@@ -406,6 +412,76 @@ def test_png_decode_query_matches_formula(spark, sf_dir):
         assert abs(r.mean_g - round(gg.sum() / npx * 1e6) / 1e6) < 1e-9
         assert abs(r.mean_b - round(bb.sum() / npx * 1e6) / 1e6) < 1e-9
         assert r.top_row_sum == int(rr[0].sum() + gg[0].sum() + bb[0].sum())
+
+
+def test_png_adam7_and_16bit_round_trip():
+    """Adam7 decodes to the IDENTICAL image as the progressive layout
+    (interlacing is a transport permutation) for every color type;
+    16-bit decodes to the mod-65536 formulas with big-endian pairing;
+    the combined 16-bit+Adam7 case agrees with both."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        make_png_codec,
+    )
+
+    build, parse = make_png_codec()
+    did = 9
+    for ct in (0, 2, 3, 4, 6):
+        prog = parse(build(did, ctype=ct))
+        il = parse(build(did, ctype=ct, interlace=1))
+        assert np.array_equal(prog["rgb"], il["rgb"]), ct
+        if prog["alpha"] is not None:
+            assert np.array_equal(prog["alpha"], il["alpha"]), ct
+        assert il["interlaced"] is True
+    y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+    v16 = (did * 11 + x * 5 + y * 17) % 65536
+    for ct in (0, 2, 4, 6):
+        i16 = parse(build(did, ctype=ct, depth=16))
+        assert i16["depth"] == 16
+        assert np.array_equal(i16["rgb"][:, :, 0], v16), ct
+        both = parse(build(did, ctype=ct, depth=16, interlace=1))
+        assert np.array_equal(both["rgb"], i16["rgb"]), ct
+
+
+def test_png_interlaced_16bit_query_matches_truecolor_stats(spark, sf_dir):
+    """The adam7 variant's stats must equal multimodal_png_decode's
+    (same pixels, different transport); the 16-bit variants match the
+    mod-65536 formulas recomputed in numpy."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        multimodal_png_decode,
+        multimodal_png_interlaced_16bit,
+    )
+
+    out = {
+        (r.media_id, r.variant): r
+        for r in multimodal_png_interlaced_16bit(spark, sf_dir).collect()
+    }
+    assert out
+    base = {
+        r.media_id: r for r in multimodal_png_decode(spark, sf_dir).collect()
+    }
+    mids = sorted({m for m, _ in out})[:3]
+    npx = PNG_W * PNG_H
+    y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+    for mid in mids:
+        a7 = out[(mid, "adam7")]
+        b = base[mid]
+        assert (a7.mean_r, a7.mean_g, a7.mean_b) == (
+            b.mean_r, b.mean_g, b.mean_b
+        )
+        assert a7.top_row_sum == b.top_row_sum and a7.mean_a == 0.0
+        v16 = (mid * 11 + x * 5 + y * 17) % 65536
+        g16 = out[(mid, "gray16")]
+        assert abs(g16.mean_r - round(v16.sum() / npx * 1e6) / 1e6) < 1e-9
+        assert g16.mean_r == g16.mean_g == g16.mean_b
+        assert g16.top_row_sum == 3 * int(v16[0].sum())
 
 
 def test_png_palette_alpha_query_matches_formula(spark, sf_dir):
