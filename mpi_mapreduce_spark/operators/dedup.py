@@ -3940,6 +3940,13 @@ def incremental_span_rows(
     # duplicate-tolerant, so a serving-side UNION of per-batch index
     # partitions probes correctly without paying a distinct first
     starts = occ.join(seen, "s", "left_semi").select("doc_id", "q")
+    return _spans_from_starts(starts, n)
+
+
+def _spans_from_starts(starts: DataFrame, n: int) -> DataFrame:
+    """Shared islands/merge tail of the incremental substring family:
+    covered start positions → break flags → island ids → maximal
+    spans. Both window passes reuse one (doc_id) partitioning."""
     w = W.partitionBy("doc_id").orderBy("q")
     flagged = starts.select(
         "doc_id",
@@ -4028,6 +4035,56 @@ def incremental_span_rows_colocated(
 
     seen = read_bucketed(spark, table).select("s")
     return incremental_span_rows(batch, corpus_grams=seen, n=n)
+
+
+def incremental_span_rows_tiered(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    deltas: DataFrame | None = None,
+    n: int = SPAN_N,
+) -> DataFrame:
+    """TWO-TIER gram serving — the shape the 1M composite measurement
+    (SCALING.md round-10) motivated: between weekly compactions the
+    vocabulary lives as the bucketed BASE table plus a few small
+    post-compaction per-batch DELTA partitions, and the nightly probe
+    must touch both without re-shuffling the base. Two semi joins —
+    base probed co-located (index side shuffle-free, as in
+    :func:`incremental_span_rows_colocated`), deltas probed via an
+    explicit broadcast (they are nightly-batch-sized by construction)
+    — and a union+distinct of the covered starts, which is exactly
+    "gram ∈ base ∪ deltas" (a start can hit both tiers). Result
+    equality with the flat union-vocabulary path is pytest-pinned.
+
+    At 100 TB this removes the corpus-shaped term from EVERY night:
+    the multi-TB base never moves (bucket-co-located), the deltas ride
+    a broadcast, and the weekly compactor is the only job that ever
+    shuffles the vocabulary.
+
+    EAGER (registry-contract sense) when deltas are present: the
+    batch's positional grams feed BOTH tier joins, so they are
+    localCheckpoint-materialized once instead of re-deriving the
+    posexplode/window chain per tier — measured at 1M this is the
+    difference between 31.6 s and ~the co-located wall."""
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    occ = positional_ngram_rows(batch, n).where(F.col("glen") == n)
+    base = read_bucketed(spark, table).select("s")
+    if deltas is None:
+        starts = occ.join(base, "s", "left_semi").select("doc_id", "q")
+        return _spans_from_starts(starts, n)
+    occ = occ.localCheckpoint()
+    starts = (
+        occ.join(base, "s", "left_semi")
+        .select("doc_id", "q")
+        .unionByName(
+            occ.join(
+                F.broadcast(deltas.select("s")), "s", "left_semi"
+            ).select("doc_id", "q")
+        )
+        .distinct()
+    )
+    return _spans_from_starts(starts, n)
 
 
 def compact_minhash_band_index_bucketed(

@@ -1736,6 +1736,69 @@ def test_substring_colocated_serving_shuffle_free_and_identical(
         spark.sql("DROP TABLE IF EXISTS b_gram_vocab")
 
 
+def test_substring_tiered_serving_matches_flat_union(
+    spark, sf_dir, tmp_path
+):
+    """Two-tier gram serving (bucketed weekly base + broadcast
+    post-compaction deltas) equals the flat probe over the union
+    vocabulary, and the plan keeps the base side bucket-co-located
+    while the delta side rides a broadcast."""
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    # base = even corpus docs (compacted); delta = odd corpus docs
+    # (landed since the last compaction)
+    base_grams = D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 0)
+    )
+    delta_grams = D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 1)
+    )
+    try:
+        from mpi_mapreduce_spark.sources.io import write_bucketed
+
+        write_bucketed(
+            base_grams, "b_gram_base", D.GRAM_INDEX_BUCKETS, ["s"],
+            sort_cols=["s"], path=str(tmp_path / "b_base"),
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            tiered = D.incremental_span_rows_tiered(
+                spark, batch, "b_gram_base", deltas=delta_grams
+            )
+            plan = tiered._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, plan
+            assert "BroadcastHashJoin" in plan, plan  # the delta tier
+            got = {tuple(r) for r in tiered.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        flat = {
+            tuple(r)
+            for r in D.incremental_span_rows(
+                batch,
+                corpus_grams=base_grams.unionByName(delta_grams),
+            ).collect()
+        }
+        assert got == flat and got
+        # base-only (no deltas) degenerates to the co-located path
+        base_only = {
+            tuple(r)
+            for r in D.incremental_span_rows_tiered(
+                spark, batch, "b_gram_base"
+            ).collect()
+        }
+        coloc = {
+            tuple(r)
+            for r in D.incremental_span_rows_colocated(
+                spark, batch, "b_gram_base"
+            ).collect()
+        }
+        assert base_only == coloc
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_gram_base")
+
+
 def test_minhash_colocated_candidates_shuffle_free_and_identical(
     spark, sf_dir, tmp_path
 ):
