@@ -4087,6 +4087,106 @@ def incremental_span_rows_tiered(
     return _spans_from_starts(starts, n)
 
 
+def weekly_gram_compaction(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> int:
+    """The scheduled form of :func:`compact_gram_index_bucketed` —
+    fold EVERY per-batch gram partition currently in ``index_dir``
+    into the bucketed base ``table`` and record WHICH batch keys were
+    folded in a catalog companion ``<table>_folded``, so
+    :func:`incremental_span_rows_production` can derive the delta set
+    (partitions that landed since) without any out-of-band state.
+
+    Crash-safe in three steps, exploiting the probe's duplicate
+    tolerance (a gram present in base AND a partition is harmless —
+    left-semi semantics):
+
+    1. INVALIDATE the fold ledger (overwrite ``<table>_folded``
+       empty) — a crash after this point makes serving fall back to
+       probing every partition flat: slower, never wrong;
+    2. overwrite the bucketed base from the partitions (the
+       partitions are never deleted, so the base is always
+       re-derivable and the overwrite is idempotent);
+    3. write the fold ledger LAST — only a fully-written base ever
+       has a non-empty ledger.
+
+    Returns the number of folded partitions."""
+    import os
+
+    keys = sorted(
+        d[len("batch="):]
+        for d in os.listdir(index_dir)
+        if d.startswith("batch=")
+        and os.path.isdir(os.path.join(index_dir, d))
+    )
+    ledger_tbl = f"{table}_folded"
+    spark.createDataFrame([], "batch_key string").write.mode(
+        "overwrite"
+    ).saveAsTable(ledger_tbl)
+    compact_gram_index_bucketed(
+        spark, index_dir, table, num_buckets=num_buckets, path=path
+    )
+    spark.createDataFrame(
+        [(k,) for k in keys], "batch_key string"
+    ).write.mode("overwrite").saveAsTable(ledger_tbl)
+    return len(keys)
+
+
+def incremental_span_rows_production(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    table: str,
+    n: int = SPAN_N,
+) -> DataFrame:
+    """The serving entry point a nightly deployment actually calls:
+    given the per-batch gram partitions (``index_dir``, maintained by
+    nightly_substring_update / the composite) and the weekly base
+    ``table`` (:func:`weekly_gram_compaction`), derive the delta set
+    from the fold ledger and probe two-tier
+    (:func:`incremental_span_rows_tiered`). Degrades, never breaks:
+
+    - no base table yet (or a compaction died before step 2) → flat
+      probe over all partitions — correct, just corpus-shaped;
+    - empty fold ledger (compaction died between steps 1 and 3) →
+      base ignored, flat probe over all partitions — correct, the
+      torn base is never read;
+    - partitions newer than the last compaction → probed as
+      broadcast deltas alongside the co-located base."""
+    import os
+
+    ledger_tbl = f"{table}_folded"
+    folded: set[str] = set()
+    if spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        ledger_tbl
+    ):
+        folded = {
+            r.batch_key for r in spark.table(ledger_tbl).collect()
+        }
+    all_parts = {
+        d[len("batch="):]: os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("batch=")
+        and os.path.isdir(os.path.join(index_dir, d))
+    }
+    if not folded:
+        # no (valid) compaction yet: flat probe over everything
+        return incremental_span_rows(
+            batch,
+            corpus_grams=spark.read.parquet(index_dir).select("s"),
+            n=n,
+        )
+    delta_dirs = [p for k, p in sorted(all_parts.items()) if k not in folded]
+    deltas = (
+        spark.read.parquet(*delta_dirs).select("s") if delta_dirs else None
+    )
+    return incremental_span_rows_tiered(spark, batch, table, deltas, n)
+
+
 def compact_minhash_band_index_bucketed(
     spark: SparkSession,
     sig_index_dir: str,

@@ -1799,6 +1799,110 @@ def test_substring_tiered_serving_matches_flat_union(
         spark.sql("DROP TABLE IF EXISTS b_gram_base")
 
 
+def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
+    """The scheduled compaction + production serving loop: fold the
+    current partitions into the base + fold ledger; serving derives
+    the delta set automatically; a post-compaction partition rides the
+    broadcast tier; a compaction crash (empty fold ledger) degrades to
+    the flat probe — identical results at every stage."""
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    idx = str(tmp_path / "gram_index")
+    D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 3 == 0)
+    ).write.parquet(idx + "/batch=b1")
+    D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 3 == 1)
+    ).write.parquet(idx + "/batch=b2")
+
+    def spans(df):
+        return {tuple(r) for r in df.collect()}
+
+    try:
+        # before any compaction: flat over everything
+        flat_2 = spans(
+            D.incremental_span_rows(
+                batch, corpus_grams=spark.read.parquet(idx).select("s")
+            )
+        )
+        assert (
+            spans(
+                D.incremental_span_rows_production(
+                    spark, batch, idx, "b_prod_vocab"
+                )
+            )
+            == flat_2
+        )
+
+        n = D.weekly_gram_compaction(
+            spark, idx, "b_prod_vocab", path=str(tmp_path / "b_prod")
+        )
+        assert n == 2
+        folded = {
+            r.batch_key for r in spark.table("b_prod_vocab_folded").collect()
+        }
+        assert folded == {"b1", "b2"}
+        # all partitions folded → colocated-only serving
+        assert (
+            spans(
+                D.incremental_span_rows_production(
+                    spark, batch, idx, "b_prod_vocab"
+                )
+            )
+            == flat_2
+        )
+
+        # a new nightly partition lands after the compaction
+        D.substring_gram_index_rows(
+            corpus.where(F.col("doc_id") % 3 == 2)
+        ).write.parquet(idx + "/batch=b3")
+        flat_3 = spans(
+            D.incremental_span_rows(
+                batch, corpus_grams=spark.read.parquet(idx).select("s")
+            )
+        )
+        prod = D.incremental_span_rows_production(
+            spark, batch, idx, "b_prod_vocab"
+        )
+        plan = prod._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan  # b3 as delta
+        assert spans(prod) == flat_3
+
+        # compaction crash between ledger-invalidate and base write:
+        # empty fold ledger → flat fallback over ALL partitions
+        spark.createDataFrame([], "batch_key string").write.mode(
+            "overwrite"
+        ).saveAsTable("b_prod_vocab_folded")
+        crashed = D.incremental_span_rows_production(
+            spark, batch, idx, "b_prod_vocab"
+        )
+        assert spans(crashed) == flat_3
+        assert "Bucketed: true" not in (
+            crashed._jdf.queryExecution().executedPlan().toString()
+        )
+
+        # re-run the compaction: idempotent, folds all three
+        assert (
+            D.weekly_gram_compaction(
+                spark, idx, "b_prod_vocab", path=str(tmp_path / "b_prod2")
+            )
+            == 3
+        )
+        assert (
+            spans(
+                D.incremental_span_rows_production(
+                    spark, batch, idx, "b_prod_vocab"
+                )
+            )
+            == flat_3
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_prod_vocab")
+        spark.sql("DROP TABLE IF EXISTS b_prod_vocab_folded")
+
+
 def test_minhash_colocated_candidates_shuffle_free_and_identical(
     spark, sf_dir, tmp_path
 ):
