@@ -4087,6 +4087,54 @@ def incremental_span_rows_tiered(
     return _spans_from_starts(starts, n)
 
 
+def _batch_partition_dirs(index_dir: str) -> dict[str, str]:
+    """{batch key: partition path} for every ``batch=<k>`` directory
+    under a nightly index dir."""
+    import os
+
+    return {
+        d[len("batch="):]: os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith("batch=")
+        and os.path.isdir(os.path.join(index_dir, d))
+    }
+
+
+def _fold_3step(spark: SparkSession, table: str, keys, write_base) -> int:
+    """The shared crash-safe fold protocol of every weekly compaction
+    (gram / MinHash band / embedding band): (1) INVALIDATE the fold
+    ledger ``<table>_folded``, (2) overwrite the bucketed base via
+    ``write_base()``, (3) record the folded batch keys LAST. Every
+    intermediate state degrades serving to the flat probe — correct,
+    merely corpus-shaped — because the probes are duplicate-tolerant
+    and the per-batch partitions are never deleted."""
+    keys = sorted(keys)
+    ledger_tbl = f"{table}_folded"
+    spark.createDataFrame([], "batch_key string").write.mode(
+        "overwrite"
+    ).saveAsTable(ledger_tbl)
+    write_base()
+    spark.createDataFrame(
+        [(k,) for k in keys], "batch_key string"
+    ).write.mode("overwrite").saveAsTable(ledger_tbl)
+    return len(keys)
+
+
+def _fold_state(
+    spark: SparkSession, index_dir: str, table: str
+) -> tuple[set[str], dict[str, str]]:
+    """(folded batch keys — empty when no VALID compaction exists,
+    {key: path} of all current partitions) for a production serving
+    entry point."""
+    folded: set[str] = set()
+    ledger_tbl = f"{table}_folded"
+    if spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        ledger_tbl
+    ):
+        folded = {r.batch_key for r in spark.table(ledger_tbl).collect()}
+    return folded, _batch_partition_dirs(index_dir)
+
+
 def weekly_gram_compaction(
     spark: SparkSession,
     index_dir: str,
@@ -4115,25 +4163,14 @@ def weekly_gram_compaction(
        has a non-empty ledger.
 
     Returns the number of folded partitions."""
-    import os
-
-    keys = sorted(
-        d[len("batch="):]
-        for d in os.listdir(index_dir)
-        if d.startswith("batch=")
-        and os.path.isdir(os.path.join(index_dir, d))
+    return _fold_3step(
+        spark,
+        table,
+        _batch_partition_dirs(index_dir),
+        lambda: compact_gram_index_bucketed(
+            spark, index_dir, table, num_buckets=num_buckets, path=path
+        ),
     )
-    ledger_tbl = f"{table}_folded"
-    spark.createDataFrame([], "batch_key string").write.mode(
-        "overwrite"
-    ).saveAsTable(ledger_tbl)
-    compact_gram_index_bucketed(
-        spark, index_dir, table, num_buckets=num_buckets, path=path
-    )
-    spark.createDataFrame(
-        [(k,) for k in keys], "batch_key string"
-    ).write.mode("overwrite").saveAsTable(ledger_tbl)
-    return len(keys)
 
 
 def incremental_span_rows_production(
@@ -4157,22 +4194,7 @@ def incremental_span_rows_production(
       torn base is never read;
     - partitions newer than the last compaction → probed as
       broadcast deltas alongside the co-located base."""
-    import os
-
-    ledger_tbl = f"{table}_folded"
-    folded: set[str] = set()
-    if spark.catalog.tableExists(table) and spark.catalog.tableExists(
-        ledger_tbl
-    ):
-        folded = {
-            r.batch_key for r in spark.table(ledger_tbl).collect()
-        }
-    all_parts = {
-        d[len("batch="):]: os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("batch=")
-        and os.path.isdir(os.path.join(index_dir, d))
-    }
+    folded, all_parts = _fold_state(spark, index_dir, table)
     if not folded:
         # no (valid) compaction yet: flat probe over everything
         return incremental_span_rows(
@@ -4243,6 +4265,82 @@ def minhash_incremental_candidates_colocated(
     )
 
 
+def weekly_minhash_compaction(
+    spark: SparkSession,
+    sig_index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> int:
+    """MinHash sibling of :func:`weekly_gram_compaction`: fold every
+    per-batch SIGNATURE partition into the co-located band table +
+    fold ledger (same three-step crash protocol via
+    :func:`_fold_3step`). Returns the folded partition count."""
+    return _fold_3step(
+        spark,
+        table,
+        _batch_partition_dirs(sig_index_dir),
+        lambda: compact_minhash_band_index_bucketed(
+            spark, sig_index_dir, table, num_buckets=num_buckets, path=path
+        ),
+    )
+
+
+def minhash_incremental_candidates_production(
+    spark: SparkSession, batch: DataFrame, sig_index_dir: str, table: str
+) -> DataFrame:
+    """Production candidate serving for the MinHash modality:
+    batch-vs-corpus candidate pairs ``(doc_b, doc_c)`` with the corpus
+    entered through the co-located band table for FOLDED signature
+    partitions and a broadcast band derivation for the post-compaction
+    deltas; degrades to the flat whole-index band join when no valid
+    compaction exists (same ladder as the gram loop). Tier results
+    union + distinct — a pair co-banding in both tiers dedups."""
+    sig_cols = ["doc_id"] + [f"mh{i}" for i in range(MINHASH_HASHES)]
+    bands_b = minhash_band_keys(
+        minhash_signature_table(shingle_rows(batch))
+    ).select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+
+    folded, all_parts = _fold_state(spark, sig_index_dir, table)
+    if not folded:
+        bands_c = minhash_band_keys(
+            spark.read.parquet(sig_index_dir).select(*sig_cols)
+        ).select(F.col("doc_id").alias("doc_c"), "band_id", "band_hash")
+        return (
+            bands_b.join(bands_c, ["band_id", "band_hash"])
+            .select("doc_b", "doc_c")
+            .distinct()
+        )
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    base = read_bucketed(spark, table).select(
+        F.col("doc_id").alias("doc_c"), "band_id", "band_hash"
+    )
+    delta_dirs = [p for k, p in sorted(all_parts.items()) if k not in folded]
+    if not delta_dirs:
+        return (
+            bands_b.join(base, ["band_id", "band_hash"])
+            .select("doc_b", "doc_c")
+            .distinct()
+        )
+    delta_bands = minhash_band_keys(
+        spark.read.parquet(*delta_dirs).select(*sig_cols)
+    ).select(F.col("doc_id").alias("doc_c"), "band_id", "band_hash")
+    # batch band keys feed both tier joins: materialize once (the
+    # round-10 tiered-probe lesson, SCALING.md)
+    bands_b = bands_b.localCheckpoint()
+    return (
+        bands_b.join(base, ["band_id", "band_hash"])
+        .select("doc_b", "doc_c")
+        .unionByName(
+            bands_b.join(
+                F.broadcast(delta_bands), ["band_id", "band_hash"]
+            ).select("doc_b", "doc_c")
+        )
+        .distinct()
+    )
+
+
 def compact_embedding_band_index_bucketed(
     spark: SparkSession,
     band_index_dir: str,
@@ -4297,6 +4395,82 @@ def embedding_incremental_candidates_colocated(
             "vec_id", "band", "bucket"
         ),
     )
+
+
+def weekly_embedding_compaction(
+    spark: SparkSession,
+    band_index_dir: str,
+    table: str,
+    num_buckets: int = GRAM_INDEX_BUCKETS,
+    path: str | None = None,
+) -> int:
+    """Embedding sibling of :func:`weekly_gram_compaction`: fold every
+    per-batch BANDS partition (the embedding_bucket_index artifact's
+    nightly appends) into the co-located (band, bucket) table + fold
+    ledger, same three-step crash protocol."""
+    return _fold_3step(
+        spark,
+        table,
+        _batch_partition_dirs(band_index_dir),
+        lambda: compact_embedding_band_index_bucketed(
+            spark, band_index_dir, table, num_buckets=num_buckets, path=path
+        ),
+    )
+
+
+def embedding_incremental_candidates_production(
+    spark: SparkSession,
+    batch: DataFrame,
+    band_index_dir: str,
+    table: str,
+    dim: int,
+    band_bits: int = EMBED_LSH_BAND_BITS,
+    n_bands: int = EMBED_LSH_BANDS,
+) -> DataFrame:
+    """Production candidate serving for the embedding modality — same
+    ladder as the gram and MinHash loops: co-located base for folded
+    bands partitions, broadcast for post-compaction deltas, flat
+    whole-index join when no valid compaction exists."""
+    bb = embedding_band_rows(batch, dim, band_bits, n_bands).select(
+        F.col("vec_id").alias("vec_a"), "band", "bucket"
+    )
+
+    def _cands(corpus_bands: DataFrame) -> DataFrame:
+        bc = corpus_bands.select(
+            F.col("vec_id").alias("vec_b"), "band", "bucket"
+        )
+        return (
+            bb.join(bc, ["band", "bucket"]).select("vec_a", "vec_b")
+        )
+
+    folded, all_parts = _fold_state(spark, band_index_dir, table)
+    if not folded:
+        return _cands(
+            spark.read.parquet(band_index_dir).select(
+                "vec_id", "band", "bucket"
+            )
+        ).distinct()
+    from mpi_mapreduce_spark.sources.io import read_bucketed
+
+    base = read_bucketed(spark, table).select("vec_id", "band", "bucket")
+    delta_dirs = [p for k, p in sorted(all_parts.items()) if k not in folded]
+    if not delta_dirs:
+        return _cands(base).distinct()
+    deltas = spark.read.parquet(*delta_dirs).select(
+        "vec_id", "band", "bucket"
+    )
+    bb = bb.localCheckpoint()  # feeds both tier joins
+    base_side = bb.join(
+        base.select(F.col("vec_id").alias("vec_b"), "band", "bucket"),
+        ["band", "bucket"],
+    ).select("vec_a", "vec_b")
+    delta_side = bb.join(
+        F.broadcast(
+            deltas.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        ),
+        ["band", "bucket"],
+    ).select("vec_a", "vec_b")
+    return base_side.unionByName(delta_side).distinct()
 
 
 def dedup_incremental_substring(

@@ -1903,6 +1903,128 @@ def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_prod_vocab_folded")
 
 
+def test_weekly_minhash_compaction_production_serving(
+    spark, sf_dir, tmp_path
+):
+    """The MinHash production loop: compact signature partitions into
+    the band table + fold ledger; serving matches the flat band join
+    at every rung (pre-compaction, post-compaction, post-delta,
+    crashed ledger)."""
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    idx = str(tmp_path / "sig_index")
+    for k, m in (("b1", 0), ("b2", 1)):
+        D.minhash_signature_table(
+            D.shingle_rows(corpus.where(F.col("doc_id") % 3 == m))
+        ).write.parquet(f"{idx}/batch={k}")
+
+    sig_cols = ["doc_id"] + [f"mh{i}" for i in range(D.MINHASH_HASHES)]
+
+    def flat():
+        bands_b = D.minhash_band_keys(
+            D.minhash_signature_table(D.shingle_rows(batch))
+        ).select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        bands_c = D.minhash_band_keys(
+            spark.read.parquet(idx).select(*sig_cols)
+        ).select(F.col("doc_id").alias("doc_c"), "band_id", "band_hash")
+        return {
+            tuple(r)
+            for r in bands_b.join(bands_c, ["band_id", "band_hash"])
+            .select("doc_b", "doc_c")
+            .distinct()
+            .collect()
+        }
+
+    def prod():
+        return {
+            tuple(r)
+            for r in D.minhash_incremental_candidates_production(
+                spark, batch, idx, "b_mh_prod"
+            ).collect()
+        }
+
+    try:
+        flat_2 = flat()
+        assert prod() == flat_2  # pre-compaction fallback
+        assert (
+            D.weekly_minhash_compaction(
+                spark, idx, "b_mh_prod", path=str(tmp_path / "b_mh_prod")
+            )
+            == 2
+        )
+        assert prod() == flat_2  # all folded → colocated only
+        D.minhash_signature_table(
+            D.shingle_rows(corpus.where(F.col("doc_id") % 3 == 2))
+        ).write.parquet(f"{idx}/batch=b3")
+        assert prod() == flat()  # b3 rides the delta tier
+        spark.createDataFrame([], "batch_key string").write.mode(
+            "overwrite"
+        ).saveAsTable("b_mh_prod_folded")
+        assert prod() == flat()  # crashed ledger → flat fallback
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_mh_prod")
+        spark.sql("DROP TABLE IF EXISTS b_mh_prod_folded")
+
+
+def test_weekly_embedding_compaction_production_serving(
+    spark, sf_dir, tmp_path
+):
+    """The embedding production loop, same ladder as the MinHash and
+    gram loops."""
+    emb = D._normalized_embeddings(spark, sf_dir)
+    batch = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD != 0)
+    idx = str(tmp_path / "band_index")
+    for k, m in (("b1", 0), ("b2", 1)):
+        D.embedding_band_rows(
+            corpus.where(F.col("vec_id") % 3 == m), dim=64
+        ).write.parquet(f"{idx}/batch={k}")
+
+    def flat():
+        return {
+            tuple(r)
+            for r in D.embedding_incremental_candidates(
+                batch,
+                corpus=None,
+                dim=64,
+                corpus_bands=spark.read.parquet(idx).select(
+                    "vec_id", "band", "bucket"
+                ),
+            ).collect()
+        }
+
+    def prod():
+        return {
+            tuple(r)
+            for r in D.embedding_incremental_candidates_production(
+                spark, batch, idx, "b_emb_prod", dim=64
+            ).collect()
+        }
+
+    try:
+        flat_2 = flat()
+        assert prod() == flat_2
+        assert (
+            D.weekly_embedding_compaction(
+                spark, idx, "b_emb_prod", path=str(tmp_path / "b_emb_prod")
+            )
+            == 2
+        )
+        assert prod() == flat_2
+        D.embedding_band_rows(
+            corpus.where(F.col("vec_id") % 3 == 2), dim=64
+        ).write.parquet(f"{idx}/batch=b3")
+        assert prod() == flat()
+        spark.createDataFrame([], "batch_key string").write.mode(
+            "overwrite"
+        ).saveAsTable("b_emb_prod_folded")
+        assert prod() == flat()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_emb_prod")
+        spark.sql("DROP TABLE IF EXISTS b_emb_prod_folded")
+
+
 def test_minhash_colocated_candidates_shuffle_free_and_identical(
     spark, sf_dir, tmp_path
 ):
