@@ -5,20 +5,25 @@ with decode / feature-extract / frame-sample stages as Arrow-batched
 The container has no image/audio codec *libraries*, so the decode
 boundary splits honestly in two:
 
-- **Real decoders for codec-free formats** — WAV-PCM (RIFF chunk
-  walking, fmt validation, 16-bit sample extraction), 24-bit BMP
-  (header parse, BGR order, 4-byte row padding, bottom-up rows) and
-  8-bit non-interlaced PNG (chunk walk with CRC32 verification,
-  stdlib-zlib inflate, all five per-row filter reconstructions) are
-  pure byte math and are implemented for real: the engine builds
-  genuine files executor-side and parses them back, with DuckDB
-  oracles recomputing the expected stats from the generating formula
-  and pytest cross-checking against the stdlib ``wave`` reader,
-  hand-assembled fixture images and a numpy recount.
-- **Stub for codec-requiring formats** (JPEG/MP3/H.264, palette or
-  interlaced PNG) — deterministic byte-level features, or
-  NotImplementedError on the real-codec path. Swapping the stub for
-  Pillow/torchaudio changes one function body, not the plan.
+- **Real decoders for formats that are pure math** — WAV-PCM (RIFF
+  chunk walking, fmt validation, 16-bit sample extraction), 24-bit
+  BMP (header parse, BGR order, 4-byte row padding, bottom-up rows),
+  PNG at every valid depth × color-type × interlace combination
+  (chunk walk with CRC32 verification, stdlib-zlib inflate, all five
+  per-row filter reconstructions, Adam7, sub-byte unpacking, palette
+  + tRNS) and baseline JPEG (marker walk, canonical Huffman decode
+  rebuilt from DHT, dequantize + de-zigzag + IDCT, restart markers,
+  4:2:0 upsampling, JFIF YCbCr→RGB) are implemented for real: the
+  engine builds genuine files executor-side and parses them back,
+  with DuckDB oracles recomputing the expected stats from the
+  generating formula and pytest cross-checking against the stdlib
+  ``wave`` reader, hand-assembled fixture images, an independent
+  reference IDCT and a numpy recount.
+- **Stub for formats needing a codec library** (MP3/H.264,
+  progressive/arithmetic/12-bit JPEG) — deterministic byte-level
+  features, or NotImplementedError on the real-codec path. Swapping
+  the stub for Pillow/torchaudio changes one function body, not the
+  plan.
 
 At 100 TB: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128-256 MB so a partition is
@@ -463,18 +468,20 @@ def make_png_codec():
     indices up in PLTE/tRNS for color type 3, and returns H×W×3 RGB
     (color types 2/3/6) or H×W×1 (0/4) arrays plus an H×W ``alpha``
     array (types 3-with-tRNS/4/6; None otherwise). Since r10 the
-    decoder also handles **Adam7 interlace** (seven
-    independently-filtered passes, each unfiltered with its own
-    zero prior row and scattered back onto the full grid — a pure
-    transport permutation, so the decoded image is identical to the
-    progressive layout's) and **16-bit depth** (big-endian sample
-    pairs; the five filters operate on BYTES with bpp = channels × 2
-    per the spec, so the reconstruction math is unchanged).
-    NotImplementedError only for sub-byte depths (1/2/4-bit sample
-    packing — the remaining honest boundary); ValueError for
-    malformed bytes (bad magic, CRC mismatch, bad zlib stream, size
-    mismatch, unknown filter type, invalid color type or interlace
-    method, 16-bit palette, palette images with a missing / ragged /
+    decoder is SPEC-COMPLETE across transport axes: **Adam7
+    interlace** (seven independently-filtered passes, each unfiltered
+    with its own zero prior row and scattered back onto the full
+    grid — a pure transport permutation, so the decoded image is
+    identical to the progressive layout's), **16-bit depth**
+    (big-endian sample pairs; the five filters operate on BYTES with
+    bpp = channels × 2 per the spec, so the reconstruction math is
+    unchanged), and **sub-byte depths 1/2/4** (MSB-first bit
+    unpacking with per-row zero padding; filter bpp floors at 1).
+    Every valid depth × color-type × interlace combination decodes;
+    everything else is a loud ValueError (bad magic, CRC mismatch,
+    bad zlib stream, size mismatch, unknown filter type, invalid
+    color type / interlace / depth or depth-type combination,
+    palette images with a missing / ragged / oversized-for-depth /
     overrun PLTE or an oversized tRNS)."""
     import struct
     import zlib
@@ -496,18 +503,19 @@ def make_png_codec():
             return a
         return b if pb <= pc else c
 
-    def _filter_image(raw, bpp: int) -> bytearray:
-        """Per-row filtered scanlines of one (sub-)image: row i gets
-        filter type i % 5 so every image (and every Adam7 pass tall
-        enough) exercises all five spec filters. Filters operate on
-        BYTES with bpp = channels × bytes-per-sample, per the spec —
-        the same math at every depth."""
-        hh = raw.shape[0]
-        rowlen = raw.shape[1] * bpp
+    def _filter_image(byte_rows, bpp: int) -> bytearray:
+        """Per-row filtered scanlines of one (sub-)image (a list of
+        equal-length byte rows): row i gets filter type i % 5 so
+        every image (and every Adam7 pass tall enough) exercises all
+        five spec filters. Filters operate on BYTES with bpp =
+        max(1, channels × depth // 8), per the spec — the same math
+        at every depth, including sub-byte packing."""
+        if not byte_rows:
+            return bytearray()
+        rowlen = len(byte_rows[0])
         prior = bytes(rowlen)
         out = bytearray()
-        for yy in range(hh):
-            row = raw[yy].tobytes()
+        for yy, row in enumerate(byte_rows):
             ft = yy % 5
             out.append(ft)
             if ft == 0:  # None
@@ -579,23 +587,41 @@ def make_png_codec():
             4: [r, a],
             6: [r, g, b, a],
         }[ctype]
-        dt = np.uint8 if depth == 8 else np.dtype(">u2")
-        raw = np.stack(channels, axis=2).astype(dt)  # H×W×C samples
-        bpp = len(channels) * (depth // 8)
+        raw = np.stack(channels, axis=2)  # H×W×C sample values
+        bpp = max(1, len(channels) * depth // 8)
+
+        def _byte_rows(img) -> list:
+            if depth == 16:
+                return [r.tobytes() for r in img.astype(">u2")]
+            if depth == 8:
+                return [r.tobytes() for r in img.astype(np.uint8)]
+            # sub-byte: MSB-first bit packing, zero-padded to byte
+            # boundary per row (np.packbits pads exactly per spec)
+            vals = img[:, :, 0]
+            bits = (
+                (vals[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            packed = np.packbits(bits.reshape(img.shape[0], -1), axis=1)
+            return [r.tobytes() for r in packed]
+
         if interlace == 0:
-            out = _filter_image(raw, bpp)
+            out = _filter_image(_byte_rows(raw), bpp)
         else:
             out = bytearray()
             for x0, y0, dx, dy in ADAM7:
                 sub = raw[y0::dy, x0::dx]
                 if sub.shape[0] and sub.shape[1]:
-                    out += _filter_image(sub, bpp)
+                    out += _filter_image(_byte_rows(sub), bpp)
         ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
         ancillary = b""
         if ctype == 3:
+            # spec: the palette must not exceed 2^depth entries; the
+            # tRNS stays shorter than the palette so the
+            # default-opaque tail is exercised at every depth
+            n_pal = min(PNG_PALETTE_SIZE, 1 << depth)
             plte = bytes(
                 v
-                for i in range(PNG_PALETTE_SIZE)
+                for i in range(n_pal)
                 for v in (
                     (i * 29 + 1) % 256,
                     (i * 31 + 2) % 256,
@@ -603,7 +629,8 @@ def make_png_codec():
                 )
             )
             trns = bytes(
-                (i * 41 + 5) % 256 for i in range(PNG_TRNS_LEN)
+                (i * 41 + 5) % 256
+                for i in range(min(PNG_TRNS_LEN, n_pal // 2))
             )
             ancillary = _chunk(b"PLTE", plte) + _chunk(b"tRNS", trns)
         return (
@@ -657,11 +684,11 @@ def make_png_codec():
             raise ValueError("unknown PNG compression/filter method")
         if interlace not in (0, 1):
             raise ValueError(f"invalid PNG interlace method {interlace}")
-        if depth not in (8, 16):
-            # 1/2/4-bit sample packing is the remaining honest
-            # boundary (sub-byte bit shuffling, a different codepath)
-            raise NotImplementedError(
-                f"{depth}-bit PNG not wired (sub-byte sample packing)"
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"invalid PNG bit depth {depth}")
+        if depth < 8 and ctype_n not in (0, 3):
+            raise ValueError(
+                f"{depth}-bit depth is invalid for color type {ctype_n}"
             )
         if depth == 16 and ctype_n == 3:
             raise ValueError("palette PNG with 16-bit depth is invalid")
@@ -678,6 +705,11 @@ def make_png_codec():
                 raise ValueError(
                     f"ragged PLTE chunk ({len(plte)} bytes)"
                 )
+            if len(plte) // 3 > (1 << depth):
+                raise ValueError(
+                    f"PLTE has {len(plte) // 3} entries; {depth}-bit "
+                    f"indices allow at most {1 << depth}"
+                )
             if trns is not None and len(trns) > len(plte) // 3:
                 raise ValueError(
                     f"tRNS has {len(trns)} entries for a "
@@ -687,14 +719,35 @@ def make_png_codec():
             raw = zlib.decompress(bytes(idat))
         except zlib.error as e:
             raise ValueError(f"bad PNG zlib stream: {e}") from e
-        bpp = channels * (depth // 8)
-        dt = np.uint8 if depth == 8 else np.dtype(">u2")
+        bpp = max(1, channels * depth // 8)
+        dt = np.dtype(">u2") if depth == 16 else np.uint8
+
+        def _row_bytes(w_: int) -> int:
+            return (w_ * channels * depth + 7) // 8
+
+        def _to_px(data: bytes, w_: int, h_: int):
+            """Decode reconstructed scanline bytes to an h×w×C sample
+            array (MSB-first unpack for sub-byte depths, big-endian
+            pairs for 16-bit)."""
+            if depth >= 8:
+                return np.frombuffer(data, dtype=dt).reshape(
+                    h_, w_, channels
+                )
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(
+                h_, _row_bytes(w_)
+            )
+            bits = np.unpackbits(arr, axis=1)
+            vals = (
+                bits.reshape(h_, -1, depth)
+                * (1 << np.arange(depth - 1, -1, -1))
+            ).sum(axis=2)
+            return vals[:, :w_].reshape(h_, w_, 1)
 
         def _unfilter(off: int, w_: int, h_: int) -> tuple[bytes, int]:
             """Reconstruct one (sub-)image's scanlines starting at
             ``off`` in the inflated stream; returns (pixel bytes, new
             offset)."""
-            rowlen = w_ * bpp
+            rowlen = _row_bytes(w_)
             need = h_ * (1 + rowlen)
             if off + need > len(raw):
                 raise ValueError(
@@ -753,9 +806,7 @@ def make_png_codec():
                 raise ValueError(
                     f"PNG data size mismatch: {len(raw)} != {end}"
                 )
-            px = np.frombuffer(data, dtype=dt).reshape(
-                height, width, channels
-            )
+            px = _to_px(data, width, height)
         else:
             # Adam7: seven independently-filtered passes scattered
             # back onto the full grid (empty passes carry no bytes)
@@ -767,9 +818,7 @@ def make_png_codec():
                 if pw == 0 or ph == 0:
                     continue
                 data, end = _unfilter(end, pw, ph)
-                px[y0::dy, x0::dx] = np.frombuffer(data, dtype=dt).reshape(
-                    ph, pw, channels
-                )
+                px[y0::dy, x0::dx] = _to_px(data, pw, ph)
             if end != len(raw):
                 raise ValueError(
                     f"PNG data size mismatch: {len(raw)} != {end}"
@@ -1325,6 +1374,690 @@ def multimodal_png_interlaced_16bit(
     )
 
 
+def multimodal_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sub-byte PNG decode — the LAST spec boundary closed: per
+    document, build a 1-bit grayscale, a 2-bit grayscale under Adam7
+    (sub-byte packing × interlacing composed), a 4-bit grayscale, and
+    a 4-bit palette PNG (16-entry PLTE, 8-entry tRNS so the
+    default-opaque tail is exercised inside a nibble), and decode
+    through the same reader. MSB-first bit unpacking with per-row
+    zero padding is the new math under test; a bit-order or padding
+    mistake shifts every sample and fails the hash. With this the
+    decoder covers EVERY valid PNG depth/color-type/interlace
+    combination.
+
+    At 100 TB: same linear Arrow pipeline as the sibling PNG
+    queries."""
+    build, parse = make_png_codec()
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        variants = (
+            ("gray1", dict(ctype=0, depth=1)),
+            ("gray2i", dict(ctype=0, depth=2, interlace=1)),
+            ("gray4", dict(ctype=0, depth=4)),
+            ("pal4", dict(ctype=3, depth=4)),
+        )
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "variant": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "mean_a": [],
+                "top_row_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                for vname, kw in variants:
+                    img = parse(build(int(did), **kw))
+                    rgb, alpha = img["rgb"], img["alpha"]
+                    npx = img["width"] * img["height"]
+                    if rgb.shape[2] == 1:
+                        rgb = np.repeat(rgb, 3, axis=2)
+                    rows["media_id"].append(int(did))
+                    rows["variant"].append(vname)
+                    rows["mean_r"].append(float(np.sum(rgb[:, :, 0])) / npx)
+                    rows["mean_g"].append(float(np.sum(rgb[:, :, 1])) / npx)
+                    rows["mean_b"].append(float(np.sum(rgb[:, :, 2])) / npx)
+                    rows["mean_a"].append(
+                        0.0 if alpha is None else float(np.sum(alpha)) / npx
+                    )
+                    rows["top_row_sum"].append(
+                        int(np.sum(rgb[0]))
+                        + (0 if alpha is None else int(np.sum(alpha[0])))
+                    )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = d.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, variant string, mean_r double, "
+            "mean_g double, mean_b double, mean_a double, "
+            "top_row_sum long"
+        ),
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return out.select(
+        "media_id",
+        "variant",
+        ex.quantize(F.col("mean_r"), 6).alias("mean_r"),
+        ex.quantize(F.col("mean_g"), 6).alias("mean_g"),
+        ex.quantize(F.col("mean_b"), 6).alias("mean_b"),
+        ex.quantize(F.col("mean_a"), 6).alias("mean_a"),
+        "top_row_sum",
+    )
+
+
+#: baseline-JPEG fixture geometry: 4×2 luma blocks, 2×1 MCUs at 4:2:0
+JPEG_W = 32
+JPEG_H = 16
+
+
+def make_jpeg_codec():
+    """Build (build, parse, encode) for REAL baseline JPEG (the public
+    ITU-T T.81 spec) — stdlib + numpy only, no codec library.
+
+    ``encode(planes, sampling, restart_interval=0, qtab=None)`` writes
+    a genuine baseline JFIF stream: level shift, 8×8 float FDCT,
+    quantization (all-ones table by default — lossless for the
+    blockwise-constant fixtures, arbitrary tables for pytest), T.81
+    zigzag, canonical-Huffman entropy coding with DC prediction,
+    run/size AC symbols (ZRL + EOB), 0xFF00 byte stuffing, 1-bit
+    flush padding, and optional DRI/RSTn restart intervals. The
+    Huffman tables are GENERATED degenerate-but-valid canonical
+    tables (all 12 DC categories at 4 bits, all 162 AC run/size
+    symbols at 8 bits) — suboptimal compression, zero table-constant
+    baggage, and the decoder still exercises the full canonical-code
+    machinery because it rebuilds codes from the DHT segment like any
+    other file's.
+
+    ``parse(payload)`` is the general decoder: marker walk (APPn/COM
+    skipped, DQT/DHT accumulate multi-table segments, SOF0/1, DRI,
+    SOS), canonical-Huffman decode rebuilt from DHT bits/values, DC
+    prediction + T.81 EXTEND sign recovery, dequantize + de-zigzag,
+    float-matrix IDCT, +128 level shift, clamp/round, restart-marker
+    realignment with predictor reset, chroma upsampling by
+    replication, and JFIF YCbCr→RGB (floor(x+0.5) rounding, mirrored
+    verbatim in the oracle SQL). Grayscale, 4:4:4 and 4:2:0 all
+    decode; progressive (SOF2), other non-baseline processes,
+    arithmetic coding and 12-bit precision raise NotImplementedError
+    (they are different coding processes, not byte math); everything
+    malformed — bad SOI, truncated segments or entropy stream, a
+    marker inside the entropy segment, missing quant/Huffman tables,
+    invalid Huffman codes, DC category overflow, AC index overrun,
+    wrong RSTn, missing EOI — raises a descriptive ValueError.
+
+    ``build(doc_id, mode)`` assembles the oracle fixtures: planes are
+    CONSTANT per 8×8 block (per MCU for 4:2:0 chroma), so every DCT
+    is DC-only and the decode is bit-exact against the generating
+    formulas — while pytest drives ``encode`` with arbitrary images
+    to exercise the AC path against an independent reference IDCT."""
+    import math
+    import struct
+
+    w, h = JPEG_W, JPEG_H
+
+    #: 8×8 DCT-II basis rows A[u][x] = c(u)/2 · cos((2x+1)uπ/16)
+    _a_rows = [
+        [
+            0.5
+            * ((1 / math.sqrt(2)) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    #: T.81 zigzag: diagonals by sum, odd diagonals walk row-ascending
+    _zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+    )
+
+    def _canonical_codes(bits, vals):
+        """(BITS[1..16], HUFFVAL) → {symbol: (code, len)} per T.81 C.2."""
+        codes = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    # generated degenerate-but-valid tables (see factory docstring)
+    _dc_bits = [0, 0, 0, 12] + [0] * 12
+    _dc_vals = list(range(12))
+    _ac_bits = [0] * 7 + [162] + [0] * 8
+    _ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    _dc_codes = _canonical_codes(_dc_bits, _dc_vals)
+    _ac_codes = _canonical_codes(_ac_bits, _ac_vals)
+
+    def _segment(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code: int, length: int) -> None:
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                b = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self) -> None:
+            if self.n:
+                pad = 8 - self.n
+                self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def _category(v: int) -> int:
+        m = abs(v)
+        n = 0
+        while m:
+            n += 1
+            m >>= 1
+        return n
+
+    def encode(planes, sampling, restart_interval: int = 0, qtab=None) -> bytes:
+        """planes: HxW uint8 arrays (1 = gray, 3 = Y/Cb/Cr at their own
+        resolutions); sampling: (h, v) factor per plane."""
+        import numpy as np
+
+        A = np.asarray(_a_rows)
+        if qtab is None:
+            qtab = np.ones((8, 8), dtype=np.int64)
+        qtab = np.asarray(qtab, dtype=np.int64)
+        ncomp = len(planes)
+        hmax = max(hh for hh, vv in sampling)
+        vmax = max(vv for hh, vv in sampling)
+        H, W = planes[0].shape
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _segment(
+            0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
+        )
+        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xC0, sof)
+        dht = bytes([0x00]) + bytes(_dc_bits) + bytes(_dc_vals)
+        dht += bytes([0x10]) + bytes(_ac_bits) + bytes(_ac_vals)
+        out += _segment(0xC4, dht)
+        if restart_interval:
+            out += _segment(0xDD, struct.pack(">H", restart_interval))
+        sos = bytes([ncomp])
+        for i in range(ncomp):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += _segment(0xDA, sos)
+
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        padded_planes = []
+        for (hh, vv), plane in zip(sampling, planes):
+            bw, bh = mcux * hh, mcuy * vv
+            padded = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            ph, pw = plane.shape
+            padded[:ph, :pw] = plane
+            if pw < bw * 8:  # edge-replicate so pad DCTs stay DC-ish
+                padded[:ph, pw:] = np.asarray(plane)[:, -1:]
+            if ph < bh * 8:
+                padded[ph:, :] = padded[ph - 1 : ph, :]
+            padded_planes.append(padded)
+
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                for ci, (hh, vv) in enumerate(sampling):
+                    for by in range(vv):
+                        for bx in range(hh):
+                            y0 = (my * vv + by) * 8
+                            x0 = (mx * hh + bx) * 8
+                            blk = padded_planes[ci][
+                                y0 : y0 + 8, x0 : x0 + 8
+                            ]
+                            S = A @ (blk.astype(np.float64) - 128.0) @ A.T
+                            q = np.floor(S / qtab + 0.5).astype(np.int64)
+                            diff = int(q[0, 0]) - pred[ci]
+                            pred[ci] = int(q[0, 0])
+                            n = _category(diff)
+                            c, ln = _dc_codes[n]
+                            wtr.put(c, ln)
+                            if n:  # T.81 F.1.2.1: n LSBs, negatives offset
+                                wtr.put(
+                                    diff if diff >= 0 else diff + (1 << n) - 1,
+                                    n,
+                                )
+                            zzvals = [int(q[r, c2]) for (r, c2) in _zz[1:]]
+                            last_nz = -1
+                            for i, v2 in enumerate(zzvals):
+                                if v2:
+                                    last_nz = i
+                            run = 0
+                            for i in range(last_nz + 1):
+                                v2 = zzvals[i]
+                                if v2 == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    c, ln = _ac_codes[0xF0]  # ZRL
+                                    wtr.put(c, ln)
+                                    run -= 16
+                                n = _category(v2)
+                                c, ln = _ac_codes[(run << 4) | n]
+                                wtr.put(c, ln)
+                                wtr.put(
+                                    v2 if v2 >= 0 else v2 + (1 << n) - 1, n
+                                )
+                                run = 0
+                            if last_nz < 62:
+                                c, ln = _ac_codes[0x00]  # EOB
+                                wtr.put(c, ln)
+                mcu_count += 1
+        wtr.flush()
+        out += wtr.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    def build(doc_id: int, mode: str = "gray") -> bytes:
+        """Oracle fixture: per-8×8-block constant planes (per-MCU
+        constant chroma at 4:2:0), one generating formula per plane,
+        mirrored verbatim in the oracle SQL."""
+        import numpy as np
+
+        bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
+        yplane = np.repeat(
+            np.repeat((doc_id * 7 + bx * 13 + by * 29) % 256, 8, 0), 8, 1
+        )
+        if mode == "gray":
+            return encode([yplane], [(1, 1)])
+        if mode == "c444":
+            cb = np.repeat(
+                np.repeat((doc_id * 11 + bx * 17 + by * 5) % 256, 8, 0), 8, 1
+            )
+            cr = np.repeat(
+                np.repeat((doc_id * 3 + bx * 23 + by * 19) % 256, 8, 0), 8, 1
+            )
+            return encode([yplane, cb, cr], [(1, 1), (1, 1), (1, 1)])
+        if mode == "c420":
+            mx, my = np.meshgrid(np.arange(w // 16), np.arange(h // 16))
+            cb = np.repeat(
+                np.repeat((doc_id * 19 + mx * 7 + my * 13) % 256, 8, 0), 8, 1
+            )
+            cr = np.repeat(
+                np.repeat((doc_id * 23 + mx * 29 + my * 3) % 256, 8, 0), 8, 1
+            )
+            return encode([yplane, cb, cr], [(2, 2), (1, 1), (1, 1)])
+        raise ValueError(f"unknown JPEG fixture mode {mode!r}")
+
+    class _BitReader:
+        def __init__(self, data: bytes, pos: int):
+            self.data = data
+            self.pos = pos
+            self.acc = 0
+            self.n = 0
+
+        def bit(self) -> int:
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                b = self.data[self.pos]
+                if b == 0xFF:
+                    nxt = (
+                        self.data[self.pos + 1]
+                        if self.pos + 1 < len(self.data)
+                        else None
+                    )
+                    if nxt != 0x00:
+                        raise ValueError(
+                            "marker inside JPEG entropy segment"
+                        )
+                    self.pos += 2  # stuffed 0xFF00 → literal 0xFF
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.bit()
+            return v
+
+        def restart_marker(self) -> int:
+            """Byte-align (drop pad bits) and consume one RSTn."""
+            self.acc = 0
+            self.n = 0
+            if (
+                self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+            ):
+                raise ValueError("missing JPEG restart marker")
+            m = self.data[self.pos + 1]
+            self.pos += 2
+            return m
+
+    def _huff_decode(reader, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def parse(payload: bytes) -> dict:
+        import numpy as np
+
+        A = np.asarray(_a_rows)
+        if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG file")
+        pos = 2
+        qtabs: dict = {}
+        htabs: dict = {}
+        sof = None
+        restart_interval = 0
+        seg = b""
+        while True:
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG marker stream")
+            if payload[pos] != 0xFF:
+                raise ValueError(f"bad JPEG marker byte at offset {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                raise ValueError("EOI before SOS")
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            nxt = pos + 2 + seglen
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        raise NotImplementedError(
+                            "16-bit JPEG quant tables"
+                        )
+                    if i + 65 > len(seg):
+                        raise ValueError("truncated DQT table")
+                    tab = np.zeros((8, 8), dtype=np.int64)
+                    for k in range(64):
+                        r, c = _zz[k]
+                        tab[r, c] = seg[i + 1 + k]
+                    qtabs[tq] = tab
+                    i += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + nv])
+                    if len(vals) != nv:
+                        raise ValueError("truncated DHT table")
+                    htabs[(tc, th)] = {
+                        (code, ln): sym
+                        for sym, (code, ln) in _canonical_codes(
+                            bits, vals
+                        ).items()
+                    }
+                    i += 17 + nv
+            elif marker in (0xC0, 0xC1):  # baseline / ext-sequential DCT
+                prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit JPEG precision")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                sof = (H, W, comps)
+            elif marker == 0xC2:
+                raise NotImplementedError("progressive JPEG")
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
+                raise NotImplementedError("non-baseline JPEG DCT process")
+            elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
+                raise NotImplementedError("arithmetic-coded JPEG")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                break
+            # APPn / COM / other tables: skip
+            pos = nxt
+        if sof is None:
+            raise ValueError("JPEG SOS before SOF")
+        H, W, comps = sof
+        scan_tables = {}
+        for i in range(seg[0]):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            scan_tables[cs] = (tt >> 4, tt & 0xF)
+        reader = _BitReader(payload, nxt)
+
+        hmax = max(hh for _, hh, vv, _ in comps)
+        vmax = max(vv for _, hh, vv, _ in comps)
+        for cid, hh, vv, _ in comps:
+            if hmax % hh or vmax % vv:
+                raise ValueError(
+                    f"unsupported sampling {hh}x{vv} for component {cid}"
+                )
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        planes = [
+            np.zeros((mcuy * vv * 8, mcux * hh * 8))
+            for _, hh, vv, _ in comps
+        ]
+        pred = [0] * len(comps)
+        mcu_count = 0
+        rst_expect = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    m = reader.restart_marker()
+                    if m != 0xD0 + rst_expect:
+                        raise ValueError(
+                            f"expected RST{rst_expect}, got marker {m:02x}"
+                        )
+                    rst_expect = (rst_expect + 1) % 8
+                    pred = [0] * len(comps)
+                for ci, (cid, hh, vv, tq) in enumerate(comps):
+                    if cid not in scan_tables:
+                        raise ValueError(f"component {cid} missing from SOS")
+                    td, ta = scan_tables[cid]
+                    dct = htabs.get((0, td))
+                    act = htabs.get((1, ta))
+                    if dct is None or act is None:
+                        raise ValueError("missing JPEG Huffman table")
+                    q = qtabs.get(tq)
+                    if q is None:
+                        raise ValueError("missing JPEG quant table")
+                    for by in range(vv):
+                        for bx in range(hh):
+                            n = _huff_decode(reader, dct)
+                            if n > 11:
+                                raise ValueError("invalid JPEG DC category")
+                            diff = 0
+                            if n:
+                                raw = reader.bits(n)
+                                diff = (  # T.81 EXTEND
+                                    raw
+                                    if raw >= (1 << (n - 1))
+                                    else raw - (1 << n) + 1
+                                )
+                            pred[ci] += diff
+                            S = np.zeros((8, 8))
+                            S[0, 0] = pred[ci] * q[0, 0]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(reader, act)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, size = sym >> 4, sym & 0xF
+                                k += run
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overrun")
+                                raw = reader.bits(size)
+                                val = (
+                                    raw
+                                    if raw >= (1 << (size - 1))
+                                    else raw - (1 << size) + 1
+                                )
+                                r, c = _zz[k]
+                                S[r, c] = val * q[r, c]
+                                k += 1
+                            blk = A.T @ S @ A + 128.0
+                            y0 = (my * vv + by) * 8
+                            x0 = (mx * hh + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                mcu_count += 1
+        p = reader.pos  # pad bits, then EOI must follow
+        if p + 1 >= len(payload) or payload[p] != 0xFF or payload[p + 1] != 0xD9:
+            raise ValueError("missing JPEG EOI")
+        outs = []
+        for ci, (cid, hh, vv, tq) in enumerate(comps):
+            pl = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
+            pl = np.repeat(
+                np.repeat(pl, vmax // vv, axis=0), hmax // hh, axis=1
+            )
+            outs.append(pl[:H, :W])
+        if len(comps) == 1:
+            return {
+                "width": W,
+                "height": H,
+                "gray": outs[0].astype(np.int64),
+                "rgb": None,
+            }
+        if len(comps) != 3:
+            raise ValueError(f"{len(comps)}-component JPEG not supported")
+        yy, cb, cr = outs
+        r = np.clip(np.floor(yy + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(
+                yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            ),
+            0,
+            255,
+        )
+        b = np.clip(np.floor(yy + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        return {
+            "width": W,
+            "height": H,
+            "gray": None,
+            "rgb": np.stack([r, g, b], axis=2).astype(np.int64),
+        }
+
+    return build, parse, encode
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode — the flagship codec boundary closed
+    with pure math: per document, build a grayscale, a 4:4:4 color and
+    a 4:2:0 subsampled genuine JFIF stream (FDCT + quantization +
+    canonical Huffman + byte stuffing, executor-side) and decode them
+    back through the general marker-walking, Huffman-decoding,
+    IDCT-reconstructing reader. The fixtures are blockwise-constant so
+    the lossy pipeline is exact end-to-end and the oracle re-derives
+    every decoded pixel in closed form — a mistake anywhere in the
+    zigzag, the DC prediction, the EXTEND sign recovery, the stuffing,
+    the IDCT scaling, the 4:2:0 upsampling or the YCbCr matrix shifts
+    values and fails the hash. The general AC path (which the DC-only
+    fixtures cannot reach) is pinned by pytest against an independent
+    reference IDCT on arbitrary images.
+
+    At 100 TB: identical linear Arrow pipeline to the PNG/WAV/BMP
+    decodes — payloads stay columnar on executors, one stats row per
+    (media, variant)."""
+    build, parse, _ = make_jpeg_codec()
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "variant": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "top_row_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                for mode in ("gray", "c444", "c420"):
+                    img = parse(build(int(did), mode))
+                    rgb = img["rgb"]
+                    if rgb is None:
+                        rgb = np.repeat(img["gray"][:, :, None], 3, axis=2)
+                    npx = img["width"] * img["height"]
+                    rows["media_id"].append(int(did))
+                    rows["variant"].append(mode)
+                    rows["mean_r"].append(float(np.sum(rgb[:, :, 0])) / npx)
+                    rows["mean_g"].append(float(np.sum(rgb[:, :, 1])) / npx)
+                    rows["mean_b"].append(float(np.sum(rgb[:, :, 2])) / npx)
+                    rows["top_row_sum"].append(int(np.sum(rgb[0])))
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = d.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, variant string, mean_r double, "
+            "mean_g double, mean_b double, top_row_sum long"
+        ),
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    return out.select(
+        "media_id",
+        "variant",
+        ex.quantize(F.col("mean_r"), 6).alias("mean_r"),
+        ex.quantize(F.col("mean_g"), 6).alias("mean_g"),
+        ex.quantize(F.col("mean_b"), 6).alias("mean_b"),
+        "top_row_sum",
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": frame_sample,
@@ -1335,6 +2068,8 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_png_palette_alpha": multimodal_png_palette_alpha,
     "multimodal_png_interlaced_16bit": multimodal_png_interlaced_16bit,
+    "multimodal_png_subbyte": multimodal_png_subbyte,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -1581,6 +2316,103 @@ ORACLE = {
                ROUND(CAST(SUM(a) AS DOUBLE) / {PNG_W * PNG_H}
                      * 1000000.0) / 1000000.0 AS mean_a,
                CAST(SUM(CASE WHEN y = 0 THEN r + g + b + a ELSE 0 END)
+                    AS BIGINT) AS top_row_sum
+        FROM v GROUP BY media_id, variant
+    """,
+    # sub-byte variants: values are the same generating formulas mod
+    # 2^depth (bit packing is transport, like interlacing); pal4's
+    # 16-entry palette and 8-entry tRNS mirror in closed form
+    "multimodal_png_subbyte": f"""
+        WITH px AS (
+          SELECT doc_id AS media_id, x, y,
+                 (doc_id * 11 + x * 5 + y * 17) % 2 AS v1,
+                 (doc_id * 11 + x * 5 + y * 17) % 4 AS v2,
+                 (doc_id * 11 + x * 5 + y * 17) % 16 AS v4
+          FROM documents,
+               LATERAL (SELECT unnest(range({PNG_W})) AS x),
+               LATERAL (SELECT unnest(range({PNG_H})) AS y)
+        ), v AS (
+          SELECT media_id, x, y, 'gray1' AS variant,
+                 v1 AS r, v1 AS g, v1 AS b, 0 AS a FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'gray2i', v2, v2, v2, 0 FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'gray4', v4, v4, v4, 0 FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'pal4',
+                 (v4 * 29 + 1) % 256,
+                 (v4 * 31 + 2) % 256,
+                 (v4 * 37 + 3) % 256,
+                 CASE WHEN v4 < 8 THEN (v4 * 41 + 5) % 256
+                      ELSE 255 END
+          FROM px
+        )
+        SELECT media_id, variant,  -- subbyte stats
+               ROUND(CAST(SUM(r) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_r,
+               ROUND(CAST(SUM(g) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_g,
+               ROUND(CAST(SUM(b) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_b,
+               ROUND(CAST(SUM(a) AS DOUBLE) / {PNG_W * PNG_H}
+                     * 1000000.0) / 1000000.0 AS mean_a,
+               CAST(SUM(CASE WHEN y = 0 THEN r + g + b + a ELSE 0 END)
+                    AS BIGINT) AS top_row_sum
+        FROM v GROUP BY media_id, variant
+    """,
+    # baseline JPEG: blockwise-constant fixtures make the lossy
+    # pipeline exact, so every decoded pixel has a closed form — the
+    # JFIF YCbCr→RGB floor(x+0.5) rounding is mirrored verbatim
+    "multimodal_jpeg_decode": f"""
+        WITH px AS (
+          SELECT doc_id AS media_id, x, y,
+                 (doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256
+                     AS yv,
+                 (doc_id * 11 + (x // 8) * 17 + (y // 8) * 5) % 256
+                     AS cb444,
+                 (doc_id * 3 + (x // 8) * 23 + (y // 8) * 19) % 256
+                     AS cr444,
+                 (doc_id * 19 + (x // 16) * 7 + (y // 16) * 13) % 256
+                     AS cb420,
+                 (doc_id * 23 + (x // 16) * 29 + (y // 16) * 3) % 256
+                     AS cr420
+          FROM documents,
+               LATERAL (SELECT unnest(range({JPEG_W})) AS x),
+               LATERAL (SELECT unnest(range({JPEG_H})) AS y)
+        ), v AS (
+          SELECT media_id, x, y, 'gray' AS variant,
+                 CAST(yv AS DOUBLE) AS r, CAST(yv AS DOUBLE) AS g,
+                 CAST(yv AS DOUBLE) AS b
+          FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'c444',
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv + 1.402 * (cr444 - 128.0) + 0.5))),
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv - 0.344136 * (cb444 - 128.0)
+                              - 0.714136 * (cr444 - 128.0) + 0.5))),
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv + 1.772 * (cb444 - 128.0) + 0.5)))
+          FROM px
+          UNION ALL
+          SELECT media_id, x, y, 'c420',
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv + 1.402 * (cr420 - 128.0) + 0.5))),
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv - 0.344136 * (cb420 - 128.0)
+                              - 0.714136 * (cr420 - 128.0) + 0.5))),
+                 LEAST(255, GREATEST(0,
+                     FLOOR(yv + 1.772 * (cb420 - 128.0) + 0.5)))
+          FROM px
+        )
+        SELECT media_id, variant,
+               ROUND(SUM(r) / {JPEG_W * JPEG_H}
+                     * 1000000.0) / 1000000.0 AS mean_r,
+               ROUND(SUM(g) / {JPEG_W * JPEG_H}
+                     * 1000000.0) / 1000000.0 AS mean_g,
+               ROUND(SUM(b) / {JPEG_W * JPEG_H}
+                     * 1000000.0) / 1000000.0 AS mean_b,
+               CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
                     AS BIGINT) AS top_row_sum
         FROM v GROUP BY media_id, variant
     """,

@@ -339,12 +339,14 @@ def test_png_parser_rejects_malformed_and_gates_unwired():
         body = zlib.compress(scan if scan is not None else b"\x00" + b"\x00" * (w * (3 if ctype == 2 else 1)))
         return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
 
-    # interlace + 16-bit are WIRED since r10; the remaining honest
-    # boundary is sub-byte sample packing
+    # every valid depth/type/interlace combination is WIRED since
+    # r10; invalid combinations are ValueErrors, not gates
     with pytest.raises(ValueError, match="invalid PNG interlace"):
         parse(mk(interlace=2))
-    with pytest.raises(NotImplementedError, match="sub-byte"):
-        parse(mk(depth=4))
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        parse(mk(depth=3))
+    with pytest.raises(ValueError, match="invalid for color type"):
+        parse(mk(depth=4))  # 4-bit truecolor is not a spec combo
     with pytest.raises(ValueError, match="size mismatch"):
         parse(mk(depth=16))  # 1x1 RGB16 needs 7 bytes, scan has 4
     with pytest.raises(ValueError, match="invalid PNG color type"):
@@ -355,8 +357,8 @@ def test_png_parser_rejects_malformed_and_gates_unwired():
     with pytest.raises(ValueError, match="without a PLTE"):
         parse(mk(ctype=3))
 
-    def mk_pal(plte, trns=None, scan=b"\x00\x00"):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    def mk_pal_depth(plte, trns=None, scan=b"\x00\x00", depth=8):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 3, 0, 0, 0)
         out = sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
         if trns is not None:
             out += chunk(b"tRNS", trns)
@@ -364,8 +366,14 @@ def test_png_parser_rejects_malformed_and_gates_unwired():
             b"IDAT", zlib.compress(scan)
         ) + chunk(b"IEND", b"")
 
+    def mk_pal(plte, trns=None, scan=b"\x00\x00"):
+        return mk_pal_depth(plte, trns=trns, scan=scan)
+
     with pytest.raises(ValueError, match="ragged PLTE"):
         parse(mk_pal(b"\x01\x02"))  # 2 bytes: not a multiple of 3
+    with pytest.raises(ValueError, match="PLTE has"):
+        # 3-entry palette under 1-bit indices (max 2)
+        parse(mk_pal_depth(b"\x01\x02\x03" * 3, depth=1))
     with pytest.raises(ValueError, match="tRNS has"):
         parse(mk_pal(b"\x01\x02\x03", trns=b"\x10\x20"))
     with pytest.raises(ValueError, match="palette index"):
@@ -444,6 +452,37 @@ def test_png_adam7_and_16bit_round_trip():
         assert np.array_equal(i16["rgb"][:, :, 0], v16), ct
         both = parse(build(did, ctype=ct, depth=16, interlace=1))
         assert np.array_equal(both["rgb"], i16["rgb"]), ct
+
+
+def test_png_subbyte_round_trip():
+    """1/2/4-bit gray and palette PNGs decode to the mod-2^depth
+    formulas (MSB-first unpack, per-row padding), progressive AND
+    Adam7; the short tRNS default-255 rule holds inside a nibble."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        make_png_codec,
+    )
+
+    build, parse = make_png_codec()
+    did = 9
+    y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+    for d in (1, 2, 4):
+        v = (did * 11 + x * 5 + y * 17) % (1 << d)
+        for il in (0, 1):
+            g = parse(build(did, ctype=0, depth=d, interlace=il))
+            assert np.array_equal(g["rgb"][:, :, 0], v), (d, il)
+            p = parse(build(did, ctype=3, depth=d, interlace=il))
+            assert np.array_equal(
+                p["rgb"][:, :, 0], (v * 29 + 1) % 256
+            ), (d, il)
+            nt = min(64, (1 << d) // 2)
+            if nt:
+                assert np.array_equal(
+                    p["alpha"], np.where(v < nt, (v * 41 + 5) % 256, 255)
+                ), (d, il)
 
 
 def test_png_interlaced_16bit_query_matches_truecolor_stats(spark, sf_dir):
@@ -526,3 +565,223 @@ def test_png_palette_alpha_query_matches_formula(spark, sf_dir):
             assert r.top_row_sum == int(
                 rr[0].sum() + gg[0].sum() + bb[0].sum() + aa[0].sum()
             )
+
+
+#: public T.81 zigzag order as flat 8x8 indices — the independent
+#: constant the codec's generated order is pinned against
+JPEG_SPEC_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_segments(data):
+    """{marker: payload} for the marker segments before SOS."""
+    import struct
+
+    segs = {}
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        segs[marker] = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDA:
+            break
+        pos += 2 + ln
+    return segs
+
+
+def _jpeg_ref_idct(img, qt):
+    """Independent reference: per-block FDCT → quantize → dequantize →
+    IDCT → level shift → clamp/round, with a test-local DCT matrix."""
+    import numpy as np
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    H, W = img.shape
+    out = np.zeros_like(img)
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            S = np.floor((A @ blk @ A.T) / qt + 0.5) * qt
+            r = A.T @ S @ A + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(r + 0.5), 0, 255
+            )
+    return out
+
+
+def test_jpeg_round_trip_exact_blockwise():
+    """Blockwise-constant fixtures decode bit-exactly to the
+    generating formulas in all three modes — the engine-side version
+    of the DuckDB oracle's closed forms."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        make_jpeg_codec,
+    )
+
+    build, parse, _ = make_jpeg_codec()
+    for did in (0, 7, 123):
+        bx, by = np.meshgrid(
+            np.arange(JPEG_W) // 8, np.arange(JPEG_H) // 8, indexing="xy"
+        )
+        yv = (did * 7 + bx * 13 + by * 29) % 256
+        g = parse(build(did, "gray"))
+        assert g["rgb"] is None and np.array_equal(g["gray"], yv)
+
+        mx, my = np.meshgrid(
+            np.arange(JPEG_W) // 16, np.arange(JPEG_H) // 16, indexing="xy"
+        )
+        for mode, cb, cr in (
+            (
+                "c444",
+                (did * 11 + bx * 17 + by * 5) % 256,
+                (did * 3 + bx * 23 + by * 19) % 256,
+            ),
+            (
+                "c420",
+                (did * 19 + mx * 7 + my * 13) % 256,
+                (did * 23 + mx * 29 + my * 3) % 256,
+            ),
+        ):
+            img = parse(build(did, mode))
+            er = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+            eg = np.clip(
+                np.floor(
+                    yv
+                    - 0.344136 * (cb - 128.0)
+                    - 0.714136 * (cr - 128.0)
+                    + 0.5
+                ),
+                0,
+                255,
+            )
+            eb = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+            assert np.array_equal(img["rgb"][:, :, 0], er), (did, mode)
+            assert np.array_equal(img["rgb"][:, :, 1], eg), (did, mode)
+            assert np.array_equal(img["rgb"][:, :, 2], eb), (did, mode)
+
+
+def test_jpeg_general_ac_path_vs_reference_idct():
+    """Arbitrary images drive the general AC Huffman path (run/size
+    symbols, ZRL, EOB, byte stuffing); the decode must equal an
+    INDEPENDENT reference IDCT of the known quantized coefficients —
+    bitstream bugs can't hide behind encode/decode symmetry. Also
+    covers non-uniform quant tables (real dequantization) and restart
+    intervals (RSTn realignment + predictor reset)."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, encode = make_jpeg_codec()
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    out = parse(encode([img], [(1, 1)]))
+    assert np.array_equal(out["gray"], _jpeg_ref_idct(img, ones))
+    assert np.max(np.abs(out["gray"] - img)) <= 2  # quant=1 ≈ lossless
+
+    qt = np.array(
+        [[(JPEG_SPEC_ZIGZAG.index(r * 8 + c) % 7) + 1 for c in range(8)]
+         for r in range(8)],
+        dtype=np.int64,
+    )
+    out2 = parse(encode([img], [(1, 1)], qtab=qt))
+    assert np.array_equal(out2["gray"], _jpeg_ref_idct(img, qt))
+
+    out3 = parse(encode([img], [(1, 1)], restart_interval=3))
+    assert np.array_equal(out3["gray"], _jpeg_ref_idct(img, ones))
+
+
+def test_jpeg_zigzag_matches_spec_order():
+    """Pin the generated zigzag against the PUBLIC T.81 order: a quant
+    table whose (r, c) entry is its spec zigzag position + 1 must
+    serialize into the DQT segment as exactly 1..64."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, _, encode = make_jpeg_codec()
+    qt = np.zeros((8, 8), dtype=np.int64)
+    for k, flat in enumerate(JPEG_SPEC_ZIGZAG):
+        qt[flat // 8, flat % 8] = k + 1
+    data = encode([np.full((8, 8), 128, dtype=np.int64)], [(1, 1)], qtab=qt)
+    dqt = _jpeg_segments(data)[0xDB]
+    assert dqt == bytes([0]) + bytes(range(1, 65))
+
+
+def test_jpeg_taxonomy():
+    """Malformed streams raise descriptive ValueErrors; genuinely
+    different coding processes raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode = make_jpeg_codec()
+    good = build(3, "gray")
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        parse(good[:-12])
+
+    def swap_sof_marker(data, new):
+        i = data.index(b"\xff\xc0")
+        return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        parse(swap_sof_marker(good, 0xC2))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        parse(swap_sof_marker(good, 0xC9))
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        parse(swap_sof_marker(good, 0xC3))
+
+    # 12-bit precision: patch the SOF precision byte
+    i = good.index(b"\xff\xc0")
+    bad = good[: i + 4] + bytes([12]) + good[i + 5 :]
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        parse(bad)
+
+    # 16-bit quant table: patch the DQT Pq nibble
+    i = good.index(b"\xff\xdb")
+    bad = good[: i + 4] + bytes([0x10]) + good[i + 5 :]
+    with pytest.raises(NotImplementedError, match="16-bit JPEG quant"):
+        parse(bad)
+
+    # strip the DHT segment entirely -> missing Huffman table
+    i = good.index(b"\xff\xc4")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    with pytest.raises(ValueError, match="missing JPEG Huffman"):
+        parse(good[:i] + good[i + 2 + ln :])
+
+    # strip the DQT segment -> missing quant table
+    i = good.index(b"\xff\xdb")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    with pytest.raises(ValueError, match="missing JPEG quant"):
+        parse(good[:i] + good[i + 2 + ln :])
+
+    with pytest.raises(ValueError, match="missing JPEG EOI"):
+        parse(good[:-2])
+
+    # wrong restart marker id: encode with DRI, then corrupt the RST0
+    img = np.arange(16 * 32, dtype=np.int64).reshape(16, 32) % 256
+    with_rst = encode([img], [(1, 1)], restart_interval=1)
+    i = with_rst.index(b"\xff\xd0")
+    corrupted = with_rst[:i] + b"\xff\xd3" + with_rst[i + 2 :]
+    with pytest.raises(ValueError, match="expected RST0"):
+        parse(corrupted)
+
+    with pytest.raises(ValueError, match="unknown JPEG fixture mode"):
+        build(1, "cmyk")
