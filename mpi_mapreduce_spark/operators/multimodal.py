@@ -46,11 +46,30 @@ FEATURE_DIM = 4
 REAL_CODECS_AVAILABLE = False
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a decode-stage input to the session's default
+    parallelism. Decode stages are CPU-dense per ROW while their
+    inputs are tiny in BYTES (payloads are synthesized executor-side
+    from doc_id, or are small relative to the decode work), so
+    Spark's byte-based file splitting under-partitions them: a 50 MB
+    documents file is ONE split under the default 128 MB
+    maxPartitionBytes, which serializes the whole corpus decode into
+    a single task no matter how many executors exist (measured: the
+    100k-doc JPEG decode ran 292 s on one core with 31 idle —
+    SCALING.md round-10). The round-robin shuffle this adds moves
+    only the tiny input rows and unlocks full-cluster decode; with
+    real blob-dominated payloads at 100 TB the byte-based split
+    sizes partitions correctly on its own, but an explicit spread of
+    a CPU-bound stage stays harmless."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the multimodal table shape from ``documents``: one
     binary payload per row plus typed metadata — the schema an
     ingestion job would produce from an object store."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -876,7 +895,7 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(encode, schema="media_id long, payload binary")
 
 
@@ -960,7 +979,7 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(encode, schema="media_id long, payload binary")
 
 
@@ -1120,7 +1139,7 @@ def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(encode, schema="media_id long, payload binary")
 
 
@@ -1271,7 +1290,7 @@ def multimodal_png_palette_alpha(
                     )
             yield pd.DataFrame(rows)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     out = d.mapInPandas(
         decode,
         schema=(
@@ -1352,7 +1371,7 @@ def multimodal_png_interlaced_16bit(
                     )
             yield pd.DataFrame(rows)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     out = d.mapInPandas(
         decode,
         schema=(
@@ -1431,7 +1450,7 @@ def multimodal_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     out = d.mapInPandas(
         decode,
         schema=(
@@ -2038,7 +2057,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["top_row_sum"].append(int(np.sum(rgb[0])))
             yield pd.DataFrame(rows)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     out = d.mapInPandas(
         decode,
         schema=(
