@@ -11,19 +11,22 @@ boundary splits honestly in two:
   PNG at every valid depth × color-type × interlace combination
   (chunk walk with CRC32 verification, stdlib-zlib inflate, all five
   per-row filter reconstructions, Adam7, sub-byte unpacking, palette
-  + tRNS) and baseline JPEG (marker walk, canonical Huffman decode
+  + tRNS), baseline JPEG (marker walk, canonical Huffman decode
   rebuilt from DHT, dequantize + de-zigzag + IDCT, restart markers,
-  4:2:0 upsampling, JFIF YCbCr→RGB) are implemented for real: the
-  engine builds genuine files executor-side and parses them back,
-  with DuckDB oracles recomputing the expected stats from the
-  generating formula and pytest cross-checking against the stdlib
-  ``wave`` reader, hand-assembled fixture images, an independent
-  reference IDCT and a numpy recount.
+  4:2:0 upsampling, JFIF YCbCr→RGB) and — round 11 — progressive
+  JPEG (SOF2 multi-scan reader: spectral selection, successive
+  approximation, EOBRUN, G.1.2.3 refinement correction bits) are
+  implemented for real: the engine builds genuine files
+  executor-side and parses them back, with DuckDB oracles
+  recomputing the expected stats from the generating formula and
+  pytest cross-checking against the stdlib ``wave`` reader,
+  hand-assembled fixture images, an independent reference IDCT and a
+  numpy recount.
 - **Stub for formats needing a codec library** (MP3/H.264,
-  progressive/arithmetic/12-bit JPEG) — deterministic byte-level
-  features, or NotImplementedError on the real-codec path. Swapping
-  the stub for Pillow/torchaudio changes one function body, not the
-  plan.
+  arithmetic-coded/12-bit JPEG — different entropy coders, not more
+  byte math) — deterministic byte-level features, or
+  NotImplementedError on the real-codec path. Swapping the stub for
+  Pillow/torchaudio changes one function body, not the plan.
 
 At 100 TB: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128-256 MB so a partition is
@@ -59,9 +62,19 @@ def _spread(df: DataFrame) -> DataFrame:
     SCALING.md round-10). The round-robin shuffle this adds moves
     only the tiny input rows and unlocks full-cluster decode; with
     real blob-dominated payloads at 100 TB the byte-based split
-    sizes partitions correctly on its own, but an explicit spread of
-    a CPU-bound stage stays harmless."""
+    sizes partitions correctly on its own.
+
+    GATED on the input's actual split count (VERDICT r10 item 8):
+    when the scan already yields >= defaultParallelism partitions —
+    the sf0.1 bench reality, where Spark's totalBytes/parallelism
+    split term kicks in — the round-robin shuffle is pure overhead
+    (measured 1.52x on multimodal_wav_decode) and is skipped; the
+    under-split case (few big files, e.g. the coalesce(4) rehearsal
+    corpora) still spreads. getNumPartitions is plan-time driver
+    metadata, no job."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
@@ -1478,8 +1491,9 @@ JPEG_H = 16
 
 
 def make_jpeg_codec():
-    """Build (build, parse, encode) for REAL baseline JPEG (the public
-    ITU-T T.81 spec) — stdlib + numpy only, no codec library.
+    """Build (build, parse, encode, encode_progressive) for REAL
+    baseline + progressive JPEG (the public ITU-T T.81 spec) —
+    stdlib + numpy only, no codec library.
 
     ``encode(planes, sampling, restart_interval=0, qtab=None)`` writes
     a genuine baseline JFIF stream: level shift, 8×8 float FDCT,
@@ -1503,9 +1517,10 @@ def make_jpeg_codec():
     realignment with predictor reset, chroma upsampling by
     replication, and JFIF YCbCr→RGB (floor(x+0.5) rounding, mirrored
     verbatim in the oracle SQL). Grayscale, 4:4:4 and 4:2:0 all
-    decode; progressive (SOF2), other non-baseline processes,
-    arithmetic coding and 12-bit precision raise NotImplementedError
-    (they are different coding processes, not byte math); everything
+    decode; progressive (SOF2) decodes through the multi-scan path
+    (round 11 — see ``encode_progressive``); other non-baseline
+    processes, arithmetic coding and 12-bit precision raise
+    NotImplementedError (different entropy coders); everything
     malformed — bad SOI, truncated segments or entropy stream, a
     marker inside the entropy segment, missing quant/Huffman tables,
     invalid Huffman codes, DC category overflow, AC index overrun,
@@ -1711,18 +1726,243 @@ def make_jpeg_codec():
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
-    def build(doc_id: int, mode: str = "gray") -> bytes:
-        """Oracle fixture: per-8×8-block constant planes (per-MCU
-        constant chroma at 4:2:0), one generating formula per plane,
-        mirrored verbatim in the oracle SQL."""
+    def encode_progressive(planes, sampling, qtab=None) -> bytes:
+        """Progressive (SOF2) twin of ``encode``: same FDCT +
+        quantization + canonical tables, coefficients delivered over
+        the classic six-scan spectral-selection + successive-
+        approximation schedule —
+
+        1. DC first, interleaved, Al=1 (point transform: arithmetic
+           shift, T.81 G.1.2.1);
+        2. per component: AC first, band 1..63, Al=1 (point transform:
+           truncate toward zero, G.1.2.2), EOB0-per-block;
+        3. DC refinement, interleaved, Ah=1→Al=0 (one raw bit/block);
+        4. per component: AC refinement, band 1..63, Ah=1→Al=0
+           (G.1.2.3: newly-significant run/1 symbols + sign bit,
+           correction bits appended for already-significant
+           coefficients passed over).
+
+        The schedule reconstructs coefficients EXACTLY (both
+        approximation levels delivered), so a progressive stream
+        decodes bit-identically to its baseline twin — the equality
+        pytest and the registered query's closed-form oracle both
+        lean on that."""
         import numpy as np
 
+        A = np.asarray(_a_rows)
+        if qtab is None:
+            qtab = np.ones((8, 8), dtype=np.int64)
+        qtab = np.asarray(qtab, dtype=np.int64)
+        ncomp = len(planes)
+        hmax = max(hh for hh, vv in sampling)
+        vmax = max(vv for hh, vv in sampling)
+        H, W = planes[0].shape
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+        # quantized zigzag coefficient grid per component (MCU-padded,
+        # same padding rule as the baseline encoder)
+        coefs = []
+        for (hh, vv), plane in zip(sampling, planes):
+            bw, bh = mcux * hh, mcuy * vv
+            padded = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            ph, pw = plane.shape
+            padded[:ph, :pw] = plane
+            if pw < bw * 8:
+                padded[:ph, pw:] = np.asarray(plane)[:, -1:]
+            if ph < bh * 8:
+                padded[ph:, :] = padded[ph - 1 : ph, :]
+            arr = np.zeros((bh, bw, 64), dtype=np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    S = A @ (blk.astype(np.float64) - 128.0) @ A.T
+                    q = np.floor(S / qtab + 0.5).astype(np.int64)
+                    arr[by, bx] = [int(q[r, c]) for (r, c) in _zz]
+            coefs.append(arr)
+        # real (non-interleaved) block grid per component
+        nblocks = [
+            (
+                (-(-(H * vv) // vmax) + 7) // 8,
+                (-(-(W * hh) // hmax) + 7) // 8,
+            )
+            for hh, vv in sampling
+        ]
+
+        out = bytearray(b"\xff\xd8")
+        out += _segment(
+            0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        out += _segment(
+            0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
+        )
+        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xC2, sof)  # SOF2: progressive DCT
+        dht = bytes([0x00]) + bytes(_dc_bits) + bytes(_dc_vals)
+        dht += bytes([0x10]) + bytes(_ac_bits) + bytes(_ac_vals)
+        out += _segment(0xC4, dht)
+
+        def sos_header(comp_idx, Ss, Se, Ah, Al):
+            s = bytes([len(comp_idx)])
+            for ci in comp_idx:
+                s += bytes([ci + 1, 0x00])
+            s += bytes([Ss, Se, (Ah << 4) | Al])
+            return _segment(0xDA, s)
+
+        def dc_blocks():
+            """Interleaved MCU order when the frame has >1 component,
+            the component's own grid otherwise (a one-component scan
+            is always non-interleaved per T.81)."""
+            if ncomp > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci, (hh, vv) in enumerate(sampling):
+                            for by in range(vv):
+                                for bx in range(hh):
+                                    yield ci, my * vv + by, mx * hh + bx
+            else:
+                bh, bw = nblocks[0]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield 0, by, bx
+
+        # scan 1: DC first (Al=1)
+        out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for ci, by, bx in dc_blocks():
+            v = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic PT
+            diff = v - pred[ci]
+            pred[ci] = v
+            n = _category(diff)
+            c, ln = _dc_codes[n]
+            wtr.put(c, ln)
+            if n:
+                wtr.put(diff if diff >= 0 else diff + (1 << n) - 1, n)
+        wtr.flush()
+        out += wtr.out
+
+        # scans 2..: AC first per component (Al=1, truncate-toward-0)
+        for ci in range(ncomp):
+            out += sos_header([ci], 1, 63, 0, 1)
+            wtr = _BitWriter()
+            bh, bw = nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[ci][by, bx]
+                    pt = [
+                        (abs(int(band[k])) >> 1)
+                        * (1 if band[k] >= 0 else -1)
+                        for k in range(1, 64)
+                    ]
+                    last = -1
+                    for i, v in enumerate(pt):
+                        if v:
+                            last = i
+                    run = 0
+                    for i in range(last + 1):
+                        v = pt[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = _ac_codes[0xF0]
+                            wtr.put(c, ln)
+                            run -= 16
+                        n = _category(v)
+                        c, ln = _ac_codes[(run << 4) | n]
+                        wtr.put(c, ln)
+                        wtr.put(v if v >= 0 else v + (1 << n) - 1, n)
+                        run = 0
+                    if last < 62:
+                        c, ln = _ac_codes[0x00]  # EOB0
+                        wtr.put(c, ln)
+            wtr.flush()
+            out += wtr.out
+
+        # scan: DC refinement (Ah=1, Al=0): one raw bit per block
+        out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+        wtr = _BitWriter()
+        for ci, by, bx in dc_blocks():
+            wtr.put(int(coefs[ci][by, bx, 0]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
+        # scans: AC refinement per component (Ah=1, Al=0)
+        for ci in range(ncomp):
+            out += sos_header([ci], 1, 63, 1, 0)
+            wtr = _BitWriter()
+            bh, bw = nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    band = [int(coefs[ci][by, bx, k]) for k in range(64)]
+                    last_new = -1
+                    for i in range(1, 64):
+                        if abs(band[i]) == 1:
+                            last_new = i
+                    run = 0
+                    pending: list[int] = []
+                    for i in range(1, last_new + 1):
+                        v = band[i]
+                        a = abs(v)
+                        if a == 0:
+                            run += 1
+                            continue
+                        if a > 1:  # already significant at Al+1
+                            pending.append(a & 1)
+                            continue
+                        while run > 15:
+                            c, ln = _ac_codes[0xF0]
+                            wtr.put(c, ln)
+                            for b2 in pending:
+                                wtr.put(b2, 1)
+                            pending = []
+                            run -= 16
+                        c, ln = _ac_codes[(run << 4) | 1]
+                        wtr.put(c, ln)
+                        wtr.put(1 if v > 0 else 0, 1)
+                        for b2 in pending:
+                            wtr.put(b2, 1)
+                        pending = []
+                        run = 0
+                    if last_new < 63:
+                        # EOB0, then corrections for every already-
+                        # significant coefficient in the tail
+                        c, ln = _ac_codes[0x00]
+                        wtr.put(c, ln)
+                        for i in range(last_new + 1, 64):
+                            if i >= 1 and abs(band[i]) > 1:
+                                wtr.put(abs(band[i]) & 1, 1)
+            wtr.flush()
+            out += wtr.out
+
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def build(
+        doc_id: int, mode: str = "gray", progressive: bool = False
+    ) -> bytes:
+        """Oracle fixture: per-8×8-block constant planes (per-MCU
+        constant chroma at 4:2:0), one generating formula per plane,
+        mirrored verbatim in the oracle SQL. ``progressive`` encodes
+        the SAME planes as an SOF2 six-scan stream (the schedule
+        reconstructs coefficients exactly, so the decoded pixels — and
+        therefore the oracle — are identical to the baseline's)."""
+        import numpy as np
+
+        enc = (
+            (lambda p, s: encode_progressive(p, s))
+            if progressive
+            else (lambda p, s: encode(p, s))
+        )
         bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
         yplane = np.repeat(
             np.repeat((doc_id * 7 + bx * 13 + by * 29) % 256, 8, 0), 8, 1
         )
         if mode == "gray":
-            return encode([yplane], [(1, 1)])
+            return enc([yplane], [(1, 1)])
         if mode == "c444":
             cb = np.repeat(
                 np.repeat((doc_id * 11 + bx * 17 + by * 5) % 256, 8, 0), 8, 1
@@ -1730,7 +1970,7 @@ def make_jpeg_codec():
             cr = np.repeat(
                 np.repeat((doc_id * 3 + bx * 23 + by * 19) % 256, 8, 0), 8, 1
             )
-            return encode([yplane, cb, cr], [(1, 1), (1, 1), (1, 1)])
+            return enc([yplane, cb, cr], [(1, 1), (1, 1), (1, 1)])
         if mode == "c420":
             mx, my = np.meshgrid(np.arange(w // 16), np.arange(h // 16))
             cb = np.repeat(
@@ -1739,7 +1979,7 @@ def make_jpeg_codec():
             cr = np.repeat(
                 np.repeat((doc_id * 23 + mx * 29 + my * 3) % 256, 8, 0), 8, 1
             )
-            return encode([yplane, cb, cr], [(2, 2), (1, 1), (1, 1)])
+            return enc([yplane, cb, cr], [(2, 2), (1, 1), (1, 1)])
         raise ValueError(f"unknown JPEG fixture mode {mode!r}")
 
     class _BitReader:
@@ -1767,7 +2007,11 @@ def make_jpeg_codec():
                     self.pos += 2  # stuffed 0xFF00 → literal 0xFF
                 else:
                     self.pos += 1
-                self.acc = (self.acc << 8) | b
+                # mask off consumed high bits (n == 0 here, so the
+                # refill IS the whole accumulator) — without the mask
+                # acc grows into a bigint proportional to the stream
+                # length and every read goes O(stream) (ADVICE r10)
+                self.acc = b
                 self.n = 8
             self.n -= 1
             return (self.acc >> self.n) & 1
@@ -1810,16 +2054,23 @@ def make_jpeg_codec():
         qtabs: dict = {}
         htabs: dict = {}
         sof = None
+        progressive = False
+        prog_state: dict = {}  # geometry + coefficient arrays, lazy
+        scans_done = 0
         restart_interval = 0
         seg = b""
         while True:
-            if pos + 4 > len(payload):
+            if pos + 2 > len(payload):
                 raise ValueError("truncated JPEG marker stream")
             if payload[pos] != 0xFF:
                 raise ValueError(f"bad JPEG marker byte at offset {pos}")
             marker = payload[pos + 1]
             if marker == 0xD9:
+                if progressive and scans_done:
+                    break  # progressive streams end at EOI
                 raise ValueError("EOI before SOS")
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG marker stream")
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
             seg = payload[pos + 4 : pos + 2 + seglen]
             if len(seg) != seglen - 2:
@@ -1857,7 +2108,7 @@ def make_jpeg_codec():
                         ).items()
                     }
                     i += 17 + nv
-            elif marker in (0xC0, 0xC1):  # baseline / ext-sequential DCT
+            elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/prog
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -1866,8 +2117,7 @@ def make_jpeg_codec():
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 sof = (H, W, comps)
-            elif marker == 0xC2:
-                raise NotImplementedError("progressive JPEG")
+                progressive = marker == 0xC2
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
                 raise NotImplementedError("non-baseline JPEG DCT process")
             elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
@@ -1875,18 +2125,27 @@ def make_jpeg_codec():
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg)
             elif marker == 0xDA:  # SOS — entropy data follows
-                break
+                if not progressive:
+                    break
+                if sof is None:
+                    raise ValueError("JPEG SOS before SOF")
+                pos = _prog_scan(
+                    payload,
+                    seg,
+                    nxt,
+                    sof,
+                    qtabs,
+                    htabs,
+                    prog_state,
+                    restart_interval,
+                )
+                scans_done += 1
+                continue
             # APPn / COM / other tables: skip
             pos = nxt
         if sof is None:
             raise ValueError("JPEG SOS before SOF")
         H, W, comps = sof
-        scan_tables = {}
-        for i in range(seg[0]):
-            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-            scan_tables[cs] = (tt >> 4, tt & 0xF)
-        reader = _BitReader(payload, nxt)
-
         hmax = max(hh for _, hh, vv, _ in comps)
         vmax = max(vv for _, hh, vv, _ in comps)
         for cid, hh, vv, _ in comps:
@@ -1896,6 +2155,29 @@ def make_jpeg_codec():
                 )
         mcux = (W + 8 * hmax - 1) // (8 * hmax)
         mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        if progressive:
+            # all scans decoded: dequantize + de-zigzag + batch IDCT
+            planes = []
+            for ci, (cid, hh, vv, tq) in enumerate(comps):
+                q = qtabs.get(tq)
+                if q is None:
+                    raise ValueError("missing JPEG quant table")
+                arr = prog_state["coefs"][ci]  # (bh, bw, 64) zigzag
+                S = np.zeros(arr.shape[:2] + (8, 8))
+                for k, (r, c) in enumerate(_zz):
+                    S[:, :, r, c] = arr[:, :, k] * q[r, c]
+                blk = np.einsum("ki,mnkl,lj->mnij", A, S, A) + 128.0
+                planes.append(
+                    blk.transpose(0, 2, 1, 3).reshape(
+                        arr.shape[0] * 8, arr.shape[1] * 8
+                    )
+                )
+            return _assemble(np, planes, comps, H, W, hmax, vmax)
+        scan_tables = {}
+        for i in range(seg[0]):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            scan_tables[cs] = (tt >> 4, tt & 0xF)
+        reader = _BitReader(payload, nxt)
         planes = [
             np.zeros((mcuy * vv * 8, mcux * hh * 8))
             for _, hh, vv, _ in comps
@@ -1973,6 +2255,12 @@ def make_jpeg_codec():
         p = reader.pos  # pad bits, then EOI must follow
         if p + 1 >= len(payload) or payload[p] != 0xFF or payload[p + 1] != 0xD9:
             raise ValueError("missing JPEG EOI")
+        return _assemble(np, planes, comps, H, W, hmax, vmax)
+
+    def _assemble(np, planes, comps, H, W, hmax, vmax) -> dict:
+        """Shared output stage of the baseline and progressive paths:
+        round/clamp, chroma upsample by replication, crop to the frame,
+        JFIF YCbCr→RGB (floor(x+0.5), mirrored in the oracle SQL)."""
         outs = []
         for ci, (cid, hh, vv, tq) in enumerate(comps):
             pl = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
@@ -2006,7 +2294,241 @@ def make_jpeg_codec():
             "rgb": np.stack([r, g, b], axis=2).astype(np.int64),
         }
 
-    return build, parse, encode
+    def _prog_geometry(sof):
+        """(hmax, vmax, mcux, mcuy, per-comp MCU-grid block shapes,
+        per-comp REAL block shapes) — non-interleaved scans cover only
+        the real grid; interleaved DC scans cover MCU padding too."""
+        H, W, comps = sof
+        hmax = max(hh for _, hh, vv, _ in comps)
+        vmax = max(vv for _, hh, vv, _ in comps)
+        for cid, hh, vv, _ in comps:
+            if hmax % hh or vmax % vv:
+                raise ValueError(
+                    f"unsupported sampling {hh}x{vv} for component {cid}"
+                )
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        grid = [(mcuy * vv, mcux * hh) for _, hh, vv, _ in comps]
+        real = [
+            (
+                (-(-(H * vv) // vmax) + 7) // 8,
+                (-(-(W * hh) // hmax) + 7) // 8,
+            )
+            for _, hh, vv, _ in comps
+        ]
+        return hmax, vmax, mcux, mcuy, grid, real
+
+    def _ac_first_band(reader, act, band, Ss, Se, Al, eobrun):
+        """One block of a progressive AC FIRST scan (T.81 G.1.2.2):
+        run/size symbols over the point-transformed band, EOBn run
+        lengths shared across blocks. Returns the remaining EOBRUN."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = Ss
+        while k <= Se:
+            sym = _huff_decode(reader, act)
+            r, s = sym >> 4, sym & 15
+            if s:
+                k += r
+                if k > Se:
+                    raise ValueError("JPEG AC index overrun")
+                raw = reader.bits(s)
+                val = raw if raw >= (1 << (s - 1)) else raw - (1 << s) + 1
+                band[k] = val << Al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    return eobrun
+                k += 16  # ZRL
+        return 0
+
+    def _ac_refine_band(reader, act, band, Ss, Se, Al, eobrun):
+        """One block of a progressive AC REFINEMENT scan (T.81
+        G.1.2.3): newly-significant coefficients arrive as run/1
+        symbols + sign bit, already-significant ones as correction
+        bits read while advancing. Returns the remaining EOBRUN."""
+        p1 = 1 << Al
+        m1 = -(1 << Al)
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                sym = _huff_decode(reader, act)
+                r, s = sym >> 4, sym & 15
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid JPEG AC refinement symbol"
+                        )
+                    s_val = p1 if reader.bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    s_val = 0  # ZRL: skip 16 zero-history positions
+                while k <= Se:
+                    c = int(band[k])
+                    if c != 0:
+                        if reader.bit() and (c & p1) == 0:
+                            band[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if s_val:
+                    if k > Se:
+                        raise ValueError("JPEG AC refinement overrun")
+                    band[k] = s_val
+                k += 1
+        if eobrun > 0:
+            while k <= Se:
+                c = int(band[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        band[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def _prog_scan(
+        payload, seg, data_start, sof, qtabs, htabs, prog_state,
+        restart_interval,
+    ) -> int:
+        """Decode ONE progressive SOS scan's entropy data into the
+        shared coefficient state; returns the offset of the next
+        marker. Scan kinds per T.81 G.1: DC first (interleaved allowed,
+        Huffman category + EXTEND on the point-transformed diffs), DC
+        refinement (one raw bit per block), AC first / AC refinement
+        (single-component only, spectral band [Ss, Se])."""
+        import numpy as np
+
+        H, W, comps = sof
+        if not prog_state:
+            hmax, vmax, mcux, mcuy, grid, real = _prog_geometry(sof)
+            prog_state.update(
+                hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy,
+                grid=grid, real=real,
+                coefs=[
+                    np.zeros((bh, bw, 64), dtype=np.int64)
+                    for bh, bw in grid
+                ],
+            )
+        ns = seg[0]
+        scomps = []
+        cids = [cid for cid, _, _, _ in comps]
+        for i in range(ns):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            if cs not in cids:
+                raise ValueError(f"component {cs} missing from SOF")
+            scomps.append((cids.index(cs), tt >> 4, tt & 0xF))
+        Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        Ah, Al = ahal >> 4, ahal & 0xF
+        if Ss == 0 and Se != 0:
+            raise ValueError(
+                "invalid progressive spectral selection (DC scan must "
+                "have Se=0; a baseline-shaped 0..63 scan is not a "
+                "valid progressive scan)"
+            )
+        if Ss > 0 and ns != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        if Ss > 0 and (Se > 63 or Ss > Se):
+            raise ValueError("invalid progressive spectral band")
+        coefs = prog_state["coefs"]
+        reader = _BitReader(payload, data_start)
+
+        def units():
+            if ns > 1:
+                for my in range(prog_state["mcuy"]):
+                    for mx in range(prog_state["mcux"]):
+                        blocks = []
+                        for ci, td, ta in scomps:
+                            _, hh, vv, _ = comps[ci]
+                            for by in range(vv):
+                                for bx in range(hh):
+                                    blocks.append(
+                                        (ci, my * vv + by, mx * hh + bx)
+                                    )
+                        yield blocks
+            else:
+                ci = scomps[0][0]
+                bh, bw = prog_state["real"][ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield [(ci, by, bx)]
+
+        pred = {ci: 0 for ci, _, _ in scomps}
+        eobrun = 0
+        count = 0
+        rst_expect = 0
+        dctabs = {}
+        actab = None
+        if Ss == 0 and Ah == 0:
+            for ci, td, _ in scomps:
+                t = htabs.get((0, td))
+                if t is None:
+                    raise ValueError("missing JPEG Huffman table")
+                dctabs[ci] = t
+        if Ss > 0:
+            ta = scomps[0][2]
+            actab = htabs.get((1, ta))
+            if actab is None:
+                raise ValueError("missing JPEG Huffman table")
+        for blocks in units():
+            if restart_interval and count and count % restart_interval == 0:
+                m = reader.restart_marker()
+                if m != 0xD0 + rst_expect:
+                    raise ValueError(
+                        f"expected RST{rst_expect}, got marker {m:02x}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                pred = {ci: 0 for ci, _, _ in scomps}
+                eobrun = 0
+            for ci, by, bx in blocks:
+                band = coefs[ci][by, bx]
+                if Ss == 0:
+                    if Ah == 0:  # DC first
+                        t = _huff_decode(reader, dctabs[ci])
+                        if t > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        diff = 0
+                        if t:
+                            raw = reader.bits(t)
+                            diff = (
+                                raw
+                                if raw >= (1 << (t - 1))
+                                else raw - (1 << t) + 1
+                            )
+                        pred[ci] += diff
+                        band[0] = pred[ci] << Al
+                    else:  # DC refinement: one raw bit
+                        if reader.bit():
+                            band[0] = int(band[0]) | (1 << Al)
+                elif Ah == 0:
+                    eobrun = _ac_first_band(
+                        reader, actab, band, Ss, Se, Al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_band(
+                        reader, actab, band, Ss, Se, Al, eobrun
+                    )
+            count += 1
+        p = reader.pos  # skip pad bits to the next marker
+        while p + 1 < len(payload) and not (
+            payload[p] == 0xFF and payload[p + 1] != 0x00
+        ):
+            p += 1
+        if p + 1 >= len(payload):
+            raise ValueError("truncated JPEG after progressive scan")
+        return p
+
+    return build, parse, encode, encode_progressive
 
 
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2027,7 +2549,36 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: identical linear Arrow pipeline to the PNG/WAV/BMP
     decodes — payloads stay columnar on executors, one stats row per
     (media, variant)."""
-    build, parse, _ = make_jpeg_codec()
+    return _jpeg_decode_query(spark, sf_dir, progressive=False)
+
+
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive JPEG decode (round 11 — closing the last
+    declared JPEG coding-process gap that is pure math): the same
+    per-document gray / 4:4:4 / 4:2:0 fixtures as
+    :func:`multimodal_jpeg_decode`, encoded as genuine SOF2 streams
+    over the classic six-scan spectral-selection + successive-
+    approximation schedule (DC first at Al=1, per-component AC first,
+    DC refinement bits, per-component AC refinement with correction
+    bits) and decoded through the general multi-scan reader —
+    coefficient state across scans, EOBRUN, G.1.2.3 refinement. The
+    schedule reconstructs every coefficient exactly, so the decoded
+    pixels (and therefore the closed-form DuckDB oracle) are
+    IDENTICAL to the baseline query's; the oracle hash pins the
+    whole progressive pipeline end-to-end. Arbitrary-image
+    progressive==baseline equality (the AC scan machinery the
+    DC-only fixtures can't reach) is pinned by pytest. Arithmetic
+    coding and 12-bit precision remain loud NotImplementedError —
+    those need a different entropy coder, not more byte math."""
+    return _jpeg_decode_query(spark, sf_dir, progressive=True)
+
+
+def _jpeg_decode_query(
+    spark: SparkSession, sf_dir: str, progressive: bool
+) -> DataFrame:
+    build, parse, _, _ = make_jpeg_codec()
 
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -2044,7 +2595,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for did in pdf["doc_id"]:
                 for mode in ("gray", "c444", "c420"):
-                    img = parse(build(int(did), mode))
+                    img = parse(
+                        build(int(did), mode, progressive=progressive)
+                    )
                     rgb = img["rgb"]
                     if rgb is None:
                         rgb = np.repeat(img["gray"][:, :, None], 3, axis=2)
@@ -2089,6 +2642,7 @@ QUERIES = {
     "multimodal_png_interlaced_16bit": multimodal_png_interlaced_16bit,
     "multimodal_png_subbyte": multimodal_png_subbyte,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
+    "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -2453,3 +3007,10 @@ ORACLE = {
         FROM px GROUP BY media_id, ((r + g + b) // 3) // 16
     """,
 }
+
+# the progressive schedule reconstructs coefficients exactly, so the
+# decoded pixels equal the baseline decode of the same fixture planes
+# — one closed-form oracle serves both queries
+ORACLE["multimodal_jpeg_progressive_decode"] = ORACLE[
+    "multimodal_jpeg_decode"
+]

@@ -192,6 +192,83 @@ def nightly_curation_update(
     return out, files
 
 
+def weekly_curation_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    timings: dict[str, float] | None = None,
+) -> dict[str, int]:
+    """The composite's WEEKLY maintenance twin (VERDICT r10 item 1):
+    fold each heavy stored-index family — substring gram vocabulary,
+    MinHash band table, embedding bucket index — into its bucketed
+    co-located serving base + catalog fold ledger, so every subsequent
+    :func:`nightly_curation_update` probes two-tier (base co-located
+    and never re-shuffled, post-compaction partitions broadcast as
+    deltas) instead of flat. Scheduling contract: run this weekly (or
+    whenever the delta partition count grows past a handful); the
+    nightly composite NEVER requires it — each leg's probe degrades to
+    the flat shape whenever no valid compaction exists, per the
+    three-step crash ladder documented on
+    :func:`~mpi_mapreduce_spark.operators.dedup.weekly_gram_compaction`.
+
+    Only LEDGER-COMMITTED partitions fold (ADVICE r10): a crashed
+    night's partial must never enter a base the replay will probe.
+    Serving table names are derived from each index path
+    (dedup._serving_table) — the same derivation the nightly cores
+    use — and the base files live under ``state_dir/serving/<leg>``,
+    keeping the whole loop's state inside ``state_dir``.
+
+    Returns {leg: folded partition count}; a leg with no committed
+    partitions (or not yet created) reports 0 and its existing base,
+    if any, stays valid. Pass ``timings`` to receive per-leg wall
+    seconds (the SCALING.md harness contract)."""
+    import time as _time
+
+    from mpi_mapreduce_spark.operators.dedup import (
+        _serving_table,
+        weekly_embedding_compaction,
+        weekly_gram_compaction,
+        weekly_minhash_compaction,
+    )
+
+    ledger = os.path.join(state_dir, LEDGER_SUBDIR)
+    serving = os.path.join(state_dir, "serving")
+    grams_dir = os.path.join(state_dir, STATE_SUBDIRS["grams"])
+    sig_dir = os.path.join(state_dir, STATE_SUBDIRS["minhash"])
+    emb_bands_dir = os.path.join(
+        state_dir, STATE_SUBDIRS["embedding"], "bands"
+    )
+    jobs = {
+        "substring": lambda: weekly_gram_compaction(
+            spark,
+            grams_dir,
+            _serving_table(grams_dir, "grams"),
+            ledger,
+            path=os.path.join(serving, "grams"),
+        ),
+        "minhash": lambda: weekly_minhash_compaction(
+            spark,
+            sig_dir,
+            _serving_table(sig_dir, "mhband"),
+            ledger,
+            path=os.path.join(serving, "minhash"),
+        ),
+        "embedding": lambda: weekly_embedding_compaction(
+            spark,
+            emb_bands_dir,
+            _serving_table(emb_bands_dir, "embband"),
+            ledger,
+            path=os.path.join(serving, "embedding"),
+        ),
+    }
+    out: dict[str, int] = {}
+    for leg, job in jobs.items():
+        t0 = _time.perf_counter()
+        out[leg] = job()
+        if timings is not None:
+            timings[leg] = _time.perf_counter() - t0
+    return out
+
+
 def curation_state_audit(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:

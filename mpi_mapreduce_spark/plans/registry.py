@@ -116,97 +116,88 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-10 window (the driver checks the first DRIVER_CAP registered
+#: Round-11 window (the driver checks the first DRIVER_CAP registered
 #: queries — this list IS that window, asserted in _build). Keeps the
-#: ≤3-round freshness invariant: after round 10 no query's newest
-#: green driver row predates round 7.
-#: - late additions from round 9, attest first as promised by the r9
-#:   window note (3): substring_gram_index, dedup_incremental_strip,
-#:   multimodal_png_decode — builder-attested at 3 scales last round
-#:   and independently verified by the judge 3/3 at sf0.01, but never
-#:   driver-sampled.
-#: - substring-family freshness (1): dedup_incremental_substring —
-#:   its serving family gained the co-located bucketed variant this
-#:   round (dedup.py incremental_span_rows_colocated, a SIBLING api;
-#:   the registered query's own plan is unchanged), so keep the
-#:   family's driver row current alongside the r9-late pair above.
-#: - rotation (42): the entire round-6 tier — dedup_exact/_stats,
-#:   graph_nation_pagerank, knn_bruteforce, ann_pq_rerank_topk, the
-#:   events_* analytics block, the text_* block, the training_*
-#:   block, multimodal features/frame_sample, cdc_orders_rollforward,
-#:   pipeline_curate_corpus, array_functions_showcase,
-#:   embedding_label_centroids — derived by newest-green over
-#:   CORRECTNESS_r01..r09 (exactly 42 queries).
-#: - fillers (4) from the 47-query r7 tier: the two VERDICT-named
-#:   rows (events_rolling_user_stats, customer_spend_deciles) plus
-#:   two LSH validate twins (dedup_minhash_lsh_validate,
-#:   dedup_simhash_validate) so the rows-only contract's attestation
-#:   stays fresh.
+#: ≤3-round freshness invariant: after round 11 no query's newest
+#: green driver row predates round 8.
+#: - late additions from round 10, attest first as promised by the
+#:   r10 window note (4): multimodal_jpeg_decode and the three PNG
+#:   depth/interlace completions — builder-attested at 3 scales last
+#:   round and judge-verified 4/4 at sf0.01, never driver-sampled.
+#: - rotation (43): the entire round-7 tier (VERDICT r10 item 4) —
+#:   derived by newest-green over CORRECTNESS_r01..r10 (exactly 43
+#:   queries: the streaming batch twins, the remaining TPC-H trio,
+#:   the incremental-dedup family, multimodal wav/bmp/resize/energy,
+#:   the weighted samplers, the analytics tail, the three remaining
+#:   LSH validate twins).
+#: - fillers (3) from the 49-query r8 tier, chosen heavy: the
+#:   flagship q1, and the two most expensive bench queries
+#:   (pipeline_canonical_containment, dedup_canonical_corpus) so the
+#:   costliest plans carry fresh driver attestations.
 _ROUND_PRIORITY = [
-    # -- r9 late additions: attest first (3) --
-    "substring_gram_index",
-    "dedup_incremental_strip",
-    "multimodal_png_decode",
-    # -- changed-code re-attest: gram-index co-location (1) --
-    "dedup_incremental_substring",
-    # -- rotation: newest green row is round 6 (42) --
-    "ann_pq_rerank_topk",
-    "array_functions_showcase",
-    "cdc_orders_rollforward",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "embedding_label_centroids",
-    "events_asof_purchase_click",
-    "events_click_attribution",
-    "events_click_purchase_join",
-    "events_funnel_conversion",
-    "events_hll_user_rollup",
-    "events_incident_correlation",
-    "events_sessionize",
-    "events_user_value_corr",
-    "events_user_value_trend",
-    "graph_nation_pagerank",
-    "knn_bruteforce",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pipeline_curate_corpus",
-    "text_bigram_counts",
-    "text_bigram_lm_score",
-    "text_bpe_token_stats",
-    "text_distribution_drift",
-    "text_fingerprint",
-    "text_heavy_hitters",
-    "text_lang_confusion",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "training_chunk_documents",
-    "training_contamination_check",
-    "training_mixture_resample",
-    "training_outlier_iqr",
-    "training_pack_sequences",
-    "training_sample_documents",
-    "training_sample_stratified",
-    "training_split_assign",
-    "training_take_k_per_lang",
-    "training_winsorize_values",
-    # -- fillers: oldest (r7) tier (4) --
-    "events_rolling_user_stats",
-    "customer_spend_deciles",
-    "dedup_minhash_lsh_validate",
-    "dedup_simhash_validate",
+    # -- r10 late additions: attest first (4) --
+    "multimodal_jpeg_decode",
+    "multimodal_png_palette_alpha",
+    "multimodal_png_interlaced_16bit",
+    "multimodal_png_subbyte",
+    # -- rotation: newest green row is round 7 (43) --
+    "ann_lsh_topk",
+    "approx_distinct_counts",
+    "approx_percentile_order_prices",
+    "cdc_orders_snapshot_diff",
+    "cdc_user_value_scd2",
+    "customer_pseudonymize",
+    "customer_rfm_segments",
+    "dedup_embedding_lsh_validate",
+    "dedup_incremental",
+    "dedup_incremental_minhash_validate",
+    "dq_audit_orders",
+    "dq_profile_documents",
+    "embedding_label_outliers",
+    "events_asof_next_purchase",
+    "events_enriched_by_segment",
+    "events_first_per_user_type",
+    "events_interarrival_stats",
+    "events_ohlc_bars",
+    "events_resampled_gapfill",
+    "events_retention_cohorts",
+    "events_salted_type_stats",
+    "events_session_stats",
+    "events_sliding_counts",
+    "events_transition_matrix",
+    "events_trending_types",
+    "events_tumbling_counts",
+    "events_user_totals",
+    "events_value_anomalies",
+    "multimodal_bmp_decode",
+    "multimodal_frame_energy",
+    "multimodal_resize",
+    "multimodal_wav_decode",
+    "order_price_histogram",
+    "orders_cohort_ltv",
+    "orders_market_basket",
+    "pipeline_canonical_minhash_validate",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_customer_balances",
+    "text_pii_redaction",
+    "training_domain_quota",
+    "training_weighted_sample",
+    "training_weighted_sample_per_lang",
+    # -- fillers: heavy rows from the (next-oldest) r8 tier (3) --
+    "q1_pricing_summary",
+    "pipeline_canonical_containment",
+    "dedup_canonical_corpus",
 ]
 # With this window every registered query's newest green driver row
-# will be round 7+ (r7:43 / r8:49 / r9:46 less overlaps — recompute
-# from CORRECTNESS_r01..r10 as always); the rows-only LSH paths stay
-# green-by-twin per their contract. Any query REGISTERED in round 10
-# after this window froze follows the established late-addition
-# handling: builder-attested this round (hash-green vs their DuckDB
-# oracles at sf0.001/0.01/0.1 via tools/rehearse.py + the oracle
-# harness, plus the round-end full sweeps), FIRST IN LINE for the
-# round-11 window.
+# will be round 8+ (remaining tiers after r11: r8:46 / r9:49 /
+# r10:50 — recompute from CORRECTNESS_r01..r11 as always); the
+# rows-only LSH paths stay green-by-twin per their contract. Any
+# query REGISTERED in round 11 after this window froze follows the
+# established late-addition handling: builder-attested this round
+# (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
+# tools/rehearse.py + the oracle harness, plus the round-end full
+# sweeps), FIRST IN LINE for the round-12 window.
 
 
 def _promote(names: list[str]) -> None:

@@ -417,7 +417,8 @@ def record_ingested(
     spark: SparkSession,
     ledger_dir: str,
     files: list[str],
-    batch_key: str | None = None,
+    *,
+    batch_key: str,
 ) -> None:
     """Append the given files to the ledger (call AFTER the downstream
     write succeeds).
@@ -425,16 +426,54 @@ def record_ingested(
     ``batch_key`` records WHICH ``batch=<k>`` index partitions this
     commit produced, making crashed partials provable orphans:
     :func:`reconcile_batch_partitions` drops any stored partition
-    whose key is neither committed here nor current. Ledgers written
-    before this column existed read back NULL (parquet missing-column
-    semantics) and disable reconciliation rather than risk dropping
-    committed state."""
+    whose key is neither committed here nor current. REQUIRED (ADVICE
+    r10): a single keyless commit used to append a NULL-key row, and
+    the any-NULL legacy gate then permanently and silently disabled
+    orphan reconciliation for the whole state dir. Ledgers written
+    before this column existed still read back NULL (parquet
+    missing-column semantics) and disable reconciliation rather than
+    risk dropping committed state — but no NEW NULL rows can be
+    minted. A caller with no partitioned artifact passes an explicit
+    sentinel (its batch id is still well-defined via _batch_key)."""
     import os
 
     rows = [(p, os.path.getsize(p), batch_key) for p in files]
     spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
         ledger_dir
     )
+
+
+def committed_batch_keys(
+    spark: SparkSession, ledger_dir: str
+) -> tuple[set[str], bool]:
+    """(the ledger's committed ``batch_key`` set, legacy flag). The
+    legacy flag is True iff any ledger row predates the batch_key
+    column (reads back NULL) — under a legacy ledger committed
+    partitions cannot be distinguished from crashed partials, so
+    consumers must fail SAFE for their own hazard direction:
+    reconciliation drops nothing, compaction folds nothing (ADVICE
+    r10 — folding an uncommitted partial bakes a crashed night's
+    grams into the serving base, where the replayed batch would be
+    flagged as a duplicate of itself)."""
+    import os
+
+    committed: set[str] = set()
+    legacy = False
+    if os.path.isdir(ledger_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(ledger_dir)
+    ):
+        for r in (
+            spark.read.schema(LEDGER_SCHEMA)
+            .parquet(ledger_dir)
+            .select("batch_key")
+            .distinct()
+            .collect()
+        ):
+            if r.batch_key is None:
+                legacy = True
+            else:
+                committed.add(r.batch_key)
+    return committed, legacy
 
 
 def reconcile_batch_partitions(
@@ -463,22 +502,7 @@ def reconcile_batch_partitions(
     import os
     import shutil
 
-    committed: set[str] = set()
-    legacy = False
-    if os.path.isdir(ledger_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(ledger_dir)
-    ):
-        for r in (
-            spark.read.schema(LEDGER_SCHEMA)
-            .parquet(ledger_dir)
-            .select("batch_key")
-            .distinct()
-            .collect()
-        ):
-            if r.batch_key is None:
-                legacy = True
-            else:
-                committed.add(r.batch_key)
+    committed, legacy = committed_batch_keys(spark, ledger_dir)
     if legacy:
         return []
     keep = committed | current_keys

@@ -10,6 +10,22 @@ from pyspark.sql import functions as F
 from mpi_mapreduce_spark.operators import dedup as D
 
 
+def _commit_keys(spark, tmp_path, ledger: str, *keys: str) -> None:
+    """Record one committed ledger row per batch key (the weekly
+    compactions fold COMMITTED partitions only — ADVICE r10); the
+    ledger's unit is files, so each key commits one dummy file."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import record_ingested
+
+    d = tmp_path / "ledger_files"
+    os.makedirs(d, exist_ok=True)
+    for k in keys:
+        f = d / f"{k}.src"
+        f.write_bytes(b"x")
+        record_ingested(spark, ledger, [str(f)], batch_key=k)
+
+
 def _pairs(df) -> set[tuple[int, int]]:
     return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
 
@@ -1809,12 +1825,14 @@ def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
     corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
     batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
     idx = str(tmp_path / "gram_index")
+    ledger = str(tmp_path / "ledger")
     D.substring_gram_index_rows(
         corpus.where(F.col("doc_id") % 3 == 0)
     ).write.parquet(idx + "/batch=b1")
     D.substring_gram_index_rows(
         corpus.where(F.col("doc_id") % 3 == 1)
     ).write.parquet(idx + "/batch=b2")
+    _commit_keys(spark, tmp_path, ledger, "b1", "b2")
 
     def spans(df):
         return {tuple(r) for r in df.collect()}
@@ -1836,7 +1854,7 @@ def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
         )
 
         n = D.weekly_gram_compaction(
-            spark, idx, "b_prod_vocab", path=str(tmp_path / "b_prod")
+            spark, idx, "b_prod_vocab", ledger, path=str(tmp_path / "b_prod")
         )
         assert n == 2
         folded = {
@@ -1853,10 +1871,12 @@ def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
             == flat_2
         )
 
-        # a new nightly partition lands after the compaction
+        # a new nightly partition lands (and commits) after the
+        # compaction
         D.substring_gram_index_rows(
             corpus.where(F.col("doc_id") % 3 == 2)
         ).write.parquet(idx + "/batch=b3")
+        _commit_keys(spark, tmp_path, ledger, "b3")
         flat_3 = spans(
             D.incremental_span_rows(
                 batch, corpus_grams=spark.read.parquet(idx).select("s")
@@ -1886,7 +1906,11 @@ def test_weekly_gram_compaction_production_serving(spark, sf_dir, tmp_path):
         # re-run the compaction: idempotent, folds all three
         assert (
             D.weekly_gram_compaction(
-                spark, idx, "b_prod_vocab", path=str(tmp_path / "b_prod2")
+                spark,
+                idx,
+                "b_prod_vocab",
+                ledger,
+                path=str(tmp_path / "b_prod2"),
             )
             == 3
         )
@@ -1914,10 +1938,12 @@ def test_weekly_minhash_compaction_production_serving(
     corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
     batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
     idx = str(tmp_path / "sig_index")
+    ledger = str(tmp_path / "ledger")
     for k, m in (("b1", 0), ("b2", 1)):
         D.minhash_signature_table(
             D.shingle_rows(corpus.where(F.col("doc_id") % 3 == m))
         ).write.parquet(f"{idx}/batch={k}")
+    _commit_keys(spark, tmp_path, ledger, "b1", "b2")
 
     sig_cols = ["doc_id"] + [f"mh{i}" for i in range(D.MINHASH_HASHES)]
 
@@ -1949,7 +1975,11 @@ def test_weekly_minhash_compaction_production_serving(
         assert prod() == flat_2  # pre-compaction fallback
         assert (
             D.weekly_minhash_compaction(
-                spark, idx, "b_mh_prod", path=str(tmp_path / "b_mh_prod")
+                spark,
+                idx,
+                "b_mh_prod",
+                ledger,
+                path=str(tmp_path / "b_mh_prod"),
             )
             == 2
         )
@@ -1976,10 +2006,12 @@ def test_weekly_embedding_compaction_production_serving(
     batch = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD == 0)
     corpus = emb.where(F.col("vec_id") % D.INCR_BATCH_MOD != 0)
     idx = str(tmp_path / "band_index")
+    ledger = str(tmp_path / "ledger")
     for k, m in (("b1", 0), ("b2", 1)):
         D.embedding_band_rows(
             corpus.where(F.col("vec_id") % 3 == m), dim=64
         ).write.parquet(f"{idx}/batch={k}")
+    _commit_keys(spark, tmp_path, ledger, "b1", "b2")
 
     def flat():
         return {
@@ -2007,7 +2039,11 @@ def test_weekly_embedding_compaction_production_serving(
         assert prod() == flat_2
         assert (
             D.weekly_embedding_compaction(
-                spark, idx, "b_emb_prod", path=str(tmp_path / "b_emb_prod")
+                spark,
+                idx,
+                "b_emb_prod",
+                ledger,
+                path=str(tmp_path / "b_emb_prod"),
             )
             == 2
         )

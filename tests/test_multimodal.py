@@ -628,7 +628,7 @@ def test_jpeg_round_trip_exact_blockwise():
         make_jpeg_codec,
     )
 
-    build, parse, _ = make_jpeg_codec()
+    build, parse, _, _ = make_jpeg_codec()
     for did in (0, 7, 123):
         bx, by = np.meshgrid(
             np.arange(JPEG_W) // 8, np.arange(JPEG_H) // 8, indexing="xy"
@@ -681,7 +681,7 @@ def test_jpeg_general_ac_path_vs_reference_idct():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, encode = make_jpeg_codec()
+    _, parse, encode, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
 
@@ -710,7 +710,7 @@ def test_jpeg_zigzag_matches_spec_order():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode = make_jpeg_codec()
+    _, _, encode, _ = make_jpeg_codec()
     qt = np.zeros((8, 8), dtype=np.int64)
     for k, flat in enumerate(JPEG_SPEC_ZIGZAG):
         qt[flat // 8, flat % 8] = k + 1
@@ -729,7 +729,7 @@ def test_jpeg_taxonomy():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode = make_jpeg_codec()
+    build, parse, encode, _ = make_jpeg_codec()
     good = build(3, "gray")
 
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -741,7 +741,11 @@ def test_jpeg_taxonomy():
         i = data.index(b"\xff\xc0")
         return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
 
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # progressive is IMPLEMENTED (round 11) — but a baseline stream
+    # with its SOF marker swapped to SOF2 is not a valid progressive
+    # stream (its single scan spans 0..63, which progressive forbids):
+    # the decoder must reject it loudly, not misdecode it
+    with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xC2))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         parse(swap_sof_marker(good, 0xC9))
@@ -785,3 +789,108 @@ def test_jpeg_taxonomy():
 
     with pytest.raises(ValueError, match="unknown JPEG fixture mode"):
         build(1, "cmyk")
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive (SOF2) encoder/decoder pair reconstructs every
+    image bit-identically to its baseline twin — the six-scan
+    spectral-selection + successive-approximation schedule delivers
+    both approximation levels, so no information is lost. Arbitrary
+    random and smooth images exercise the AC first-scan run/ZRL/EOB
+    machinery, the refinement correction bits, newly- vs already-
+    significant coefficient paths, odd dimensions (MCU padding vs the
+    non-interleaved real block grid), and 4:2:0 sampling — everything
+    the DC-only registered fixtures cannot reach."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode, encode_prog = make_jpeg_codec()
+    rng = np.random.RandomState(7)
+
+    def check(planes, sampling, qtab=None):
+        base = parse(encode(planes, sampling, qtab=qtab))
+        prog_bytes = encode_prog(planes, sampling, qtab=qtab)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = parse(prog_bytes)
+        for k in ("width", "height"):
+            assert base[k] == prog[k]
+        for k in ("gray", "rgb"):
+            if base[k] is None:
+                assert prog[k] is None
+            else:
+                assert np.array_equal(base[k], prog[k])
+
+    q = np.clip(rng.randint(1, 9, (8, 8)), 1, None)
+    y = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y], [(1, 1)])  # flat q: lossless round trip
+    check([y], [(1, 1)], qtab=q)  # lossy: refinement-heavy
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y, cb, cr], [(1, 1)] * 3, qtab=q)
+    y2 = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    cb2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cr2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    check([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], qtab=q)
+    # smooth gradient at a coarse quantizer: many zero bands, EOB-only
+    # blocks, and |coef|==1 newly-significant refinement cases
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = ((xx + yy) // 3 + 100).astype(np.int64)
+    check([smooth], [(1, 1)], qtab=np.full((8, 8), 16, dtype=np.int64))
+    # odd dimensions: MCU padding blocks exist in the interleaved DC
+    # scans but NOT in the non-interleaved AC scans
+    y3 = rng.randint(0, 256, (17, 27)).astype(np.int64)
+    cb3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    cr3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    check([y3, cb3, cr3], [(2, 2), (1, 1), (1, 1)], qtab=q)
+
+
+def test_jpeg_progressive_fixture_matches_baseline_fixture():
+    """The registered progressive query's fixtures decode to the SAME
+    pixels as the baseline query's (shared closed-form oracle): pin
+    that equivalence directly, per mode."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _ = make_jpeg_codec()
+    for did in (0, 3, 17):
+        for mode in ("gray", "c444", "c420"):
+            base = parse(build(did, mode))
+            prog = parse(build(did, mode, progressive=True))
+            for k in ("gray", "rgb"):
+                if base[k] is None:
+                    assert prog[k] is None
+                else:
+                    assert np.array_equal(base[k], prog[k]), (did, mode)
+
+
+def test_jpeg_progressive_malformed():
+    """Progressive-specific loud boundaries: multi-component AC scans
+    and truncation mid-schedule are errors, not misdecodes."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, encode_prog = make_jpeg_codec()
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    good = encode_prog([y, cb, cr], [(1, 1)] * 3)
+
+    # truncate inside the scan schedule: the EOI never arrives
+    with pytest.raises(ValueError):
+        parse(good[: len(good) // 2])
+
+    # rewrite the FIRST SOS into a 3-component AC scan (Ss=1):
+    # progressive AC scans must be single-component
+    i = good.index(b"\xff\xda")
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    hdr = bytearray(good[i : i + 2 + ln])
+    hdr[-3] = 1  # Ss
+    hdr[-2] = 63  # Se
+    bad = good[:i] + bytes(hdr) + good[i + 2 + ln :]
+    with pytest.raises(ValueError, match="single-component"):
+        parse(bad)

@@ -17,6 +17,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from mpi_mapreduce_spark.operators import dedup as D
 from mpi_mapreduce_spark.operators import nightly as N
@@ -435,3 +436,209 @@ def test_curation_state_audit_clean_and_corrupted(spark, tmp_path):
     }
     assert bad[("grams", "n_wrong_arity")] == 1
     assert bad[("ivf", "n_orphan_cell_rows")] == 1
+
+
+def _drop_serving_tables(spark, state):
+    """Drop the derived serving base + fold-ledger tables a test's
+    weekly_curation_compaction created (names are path-hashed, so
+    leaks would pile up in the shared warehouse)."""
+    pairs = (
+        (os.path.join(state, N.STATE_SUBDIRS["grams"]), "grams"),
+        (os.path.join(state, N.STATE_SUBDIRS["minhash"]), "mhband"),
+        (
+            os.path.join(state, N.STATE_SUBDIRS["embedding"], "bands"),
+            "embband",
+        ),
+    )
+    for d, fam in pairs:
+        t = D._serving_table(d, fam)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_folded")
+
+
+def test_nightly_composite_two_tier_equals_flat_after_compaction(
+    spark, tmp_path
+):
+    """VERDICT r10 item 1 — the serving loop wired INTO the composite:
+    night-2 decisions and index state are byte-identical with and
+    without a weekly_curation_compaction between the nights, and the
+    EXACT probes the composite's cores run (the factored _*_cross_*
+    helpers) plan through the bucketed co-located base — plus the
+    broadcast delta tier once a post-compaction partition lands."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+        vecs=[(1, axis_vec(0)), (2, axis_vec(1))],
+    )
+    N.nightly_curation_update(spark, batch, state)
+
+    # crash-free flat reference: clone BEFORE the compaction
+    ref_state = str(tmp_path / "ref_state")
+    shutil.copytree(state, ref_state)
+
+    try:
+        folded = N.weekly_curation_compaction(spark, state)
+        assert folded == {"substring": 1, "minhash": 1, "embedding": 1}
+
+        _stage(
+            spark, tmp_path, batch, "n2.parquet",
+            docs=[
+                (10, "beta text two words"),      # exact copy of doc 2
+                (11, f"b-pre {SHARED} b-post"),   # repeats night-1 passage
+                (12, "completely novel stuff here ok"),
+            ],
+            vecs=[(10, axis_vec(0, wiggle=0.04)), (11, axis_vec(2))],
+        )
+        # same batch dir for both runs (the ledger keys on absolute
+        # file paths); each state dir has its own ledger
+        r_tier, _ = N.nightly_curation_update(spark, batch, state)
+        r_flat, _ = N.nightly_curation_update(spark, batch, ref_state)
+        assert _decisions(r_tier) == _decisions(r_flat)
+        assert _state_rows(spark, state) == _state_rows(spark, ref_state)
+        # the tiered night really flagged the planted dups
+        mh = {r.doc_id: r.is_near_dup for r in r_tier["minhash"].collect()}
+        assert mh[10] is True and mh[12] is False
+        spans = {r.doc_id for r in r_tier["substring"].collect()}
+        assert 11 in spans
+        emb = {r.vec_id: r.keep for r in r_tier["embedding"].collect()}
+        assert emb[10] is False
+
+        # plan-assert the probes the cores run, against this exact
+        # state: night-1 folded (base), night-2 committed since
+        # (delta), probe key is a fresh night's
+        grams_dir = os.path.join(state, N.STATE_SUBDIRS["grams"])
+        probe_docs = spark.createDataFrame(
+            [(90, f"x-lead {SHARED} x-tail")], "doc_id long, text string"
+        )
+        plan = (
+            D._gram_cross_spans(spark, probe_docs, "bPROBE", grams_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+        sig_dir = os.path.join(state, N.STATE_SUBDIRS["minhash"])
+        bands_b = D.minhash_band_keys(
+            D.minhash_signature_table(D.shingle_rows(probe_docs))
+        ).select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        plan = (
+            D._minhash_cross_candidates(spark, bands_b, "bPROBE", sig_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+        emb_bands = os.path.join(
+            state, N.STATE_SUBDIRS["embedding"], "bands"
+        )
+        bb = D.embedding_band_rows(
+            spark.createDataFrame(
+                [(90, axis_vec(3))], "vec_id long, v array<double>"
+            ),
+            dim=PQ_M * PQ_SUBDIM,
+        ).select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        plan = (
+            D._embedding_cross_candidates(spark, bb, "bPROBE", emb_bands)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        _drop_serving_tables(spark, state)
+
+
+def test_weekly_compaction_never_folds_uncommitted_partials(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): a night crashes BEFORE its ledger commit
+    leaving batch partitions on disk; a weekly compaction runs between
+    the crash and the replay. The compaction must fold only
+    ledger-COMMITTED partitions — folding the partial would bake the
+    crashed night's grams/bands into the serving base, where the
+    replayed batch probes a base containing itself and every replayed
+    doc is wrongly flagged as a duplicate (and reconcile, which later
+    drops the orphan partition, cannot un-fold a base)."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail"), (2, "beta text two words")],
+    )
+    N.nightly_curation_update(spark, batch, state)
+
+    _stage(
+        spark, tmp_path, batch, "n2.parquet",
+        docs=[(11, f"b-pre {SHARED} b-post"),
+              (12, "completely novel stuff here ok")],
+    )
+    # crash-free reference on a cloned state (no crash, no
+    # compaction); same batch dir — the ledger keys on absolute paths
+    ref_state = str(tmp_path / "ref_state")
+    shutil.copytree(state, ref_state)
+    ref, _ = N.nightly_curation_update(spark, batch, ref_state)
+    ref_dec = _decisions(ref)
+
+    # the crashed night: substring + minhash legs written, no commit
+    from mpi_mapreduce_spark.sources.io import list_new_files
+
+    ledger = os.path.join(state, N.LEDGER_SUBDIR)
+    doc_files = list_new_files(
+        spark, os.path.join(batch, N.DOCS_SUBDIR), ledger, ".parquet"
+    )
+    bkey = D._batch_key(doc_files)
+    docs = spark.read.parquet(*doc_files)
+    D._nightly_substring_core(
+        spark, docs, bkey, os.path.join(state, N.STATE_SUBDIRS["grams"])
+    )
+    D._nightly_minhash_core(
+        spark, docs, bkey, os.path.join(state, N.STATE_SUBDIRS["minhash"])
+    )
+    # CRASH here; then the weekly compaction fires on schedule
+    try:
+        folded = N.weekly_curation_compaction(spark, state)
+        # only night 1 is committed — the crashed partial is NOT folded
+        assert folded["substring"] == 1 and folded["minhash"] == 1
+        grams_dir = os.path.join(state, N.STATE_SUBDIRS["grams"])
+        tbl = D._serving_table(grams_dir, "grams")
+        assert {
+            r.batch_key for r in spark.table(f"{tbl}_folded").collect()
+        } != {bkey} and bkey not in {
+            r.batch_key for r in spark.table(f"{tbl}_folded").collect()
+        }
+
+        # the replayed night equals the crash-free flat reference —
+        # in particular doc 12 (novel) is NOT flagged against the
+        # crashed partial's own grams/signatures
+        got, _ = N.nightly_curation_update(spark, batch, state)
+        assert _decisions(got) == ref_dec
+    finally:
+        _drop_serving_tables(spark, state)
+
+
+def test_weekly_compaction_legacy_ledger_folds_nothing(spark, tmp_path):
+    """Under a legacy ledger (NULL batch_key rows) committed
+    partitions are indistinguishable from crashed partials, so the
+    compaction folds NOTHING (serving stays flat — slower, never
+    wrong), mirroring reconcile's drop-nothing gate."""
+    ledger = str(tmp_path / "ledger")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [("/some/file.parquet", 123)], "file_path string, file_size long"
+    ).write.parquet(ledger)
+    spark.createDataFrame([("g1 g2 g3 g4 g5 g6 g7 g8",)], "s string").write.parquet(
+        os.path.join(idx, "batch=bOLD")
+    )
+    assert (
+        D.weekly_gram_compaction(spark, idx, "b_legacy_vocab", ledger) == 0
+    )
+    assert not spark.catalog.tableExists("b_legacy_vocab")

@@ -351,7 +351,7 @@ def test_incremental_ingest_ledger(spark, tmp_path):
     drop("b.parquet", [3])
     df, files = ingest_incremental(spark, src, ledger)
     assert len(files) == 2 and df.count() == 3
-    record_ingested(spark, ledger, files)
+    record_ingested(spark, ledger, files, batch_key="bk1")
 
     # nothing new -> no frame
     df2, files2 = ingest_incremental(spark, src, ledger)
@@ -365,7 +365,7 @@ def test_incremental_ingest_ledger(spark, tmp_path):
     # crash before record: the same file comes back (at-least-once)
     df4, files4 = ingest_incremental(spark, src, ledger)
     assert files4 == files3
-    record_ingested(spark, ledger, files4)
+    record_ingested(spark, ledger, files4, batch_key="bk2")
     assert ingest_incremental(spark, src, ledger)[1] == []
 
     # in-place rewrite of an ingested file is an error, not a skip

@@ -716,7 +716,9 @@ def time_novelty(scratch: str, m_bits_list: list[int]) -> None:
     spark.stop()
 
 
-def time_nightly(txt_scratch: str, emb_scratch: str) -> None:
+def time_nightly(
+    txt_scratch: str, emb_scratch: str, compact: bool = False
+) -> None:
     """End-to-end cost of the WHOLE nightly curation composite
     (operators/nightly.py — all eight legs, one ledger commit) at the
     100k scale: night 1 seeds every index from the 90% split of both
@@ -784,6 +786,24 @@ def time_nightly(txt_scratch: str, emb_scratch: str) -> None:
     n1 = {leg: df.count() for leg, df in r1.items()}
     print(f"night 1 (seed, {len(f1)} files): {seed:.1f} s  {n1}")
     print("  per-leg: " + ", ".join(f"{k} {v:.1f}s" for k, v in t1.items()))
+
+    if compact:
+        # the round-11 wiring: a weekly compaction between the nights
+        # folds the seed partitions into the bucketed serving bases,
+        # so night 2's text/embedding legs probe two-tier
+        from mpi_mapreduce_spark.operators.nightly import (
+            weekly_curation_compaction,
+        )
+
+        tc: dict[str, float] = {}
+        t0 = time.perf_counter()
+        folded = weekly_curation_compaction(spark, state_dir, timings=tc)
+        print(
+            f"weekly compaction: {time.perf_counter() - t0:.1f} s  {folded}"
+        )
+        print(
+            "  per-leg: " + ", ".join(f"{k} {v:.1f}s" for k, v in tc.items())
+        )
 
     stage(
         "n2",
@@ -920,7 +940,8 @@ def main() -> None:
     elif mode == "time-nightly":
         txt = sys.argv[2] if len(sys.argv) > 2 else "/tmp/txtsep100k"
         embd = sys.argv[3] if len(sys.argv) > 3 else "/tmp/embsep100k"
-        time_nightly(txt, embd)
+        time_nightly(txt, embd, compact=len(sys.argv) > 4
+                     and sys.argv[4] == "compact")
     elif mode == "time-novelty":
         ms = [int(m) for m in sys.argv[2].split(",")]
         scratch = sys.argv[3] if len(sys.argv) > 3 else "/tmp/txtsep100k"
