@@ -269,6 +269,52 @@ def weekly_curation_compaction(
     return out
 
 
+def maybe_weekly_curation_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    max_deltas: int = 7,
+    timings: dict[str, float] | None = None,
+) -> dict[str, int] | None:
+    """Policy-triggered form of :func:`weekly_curation_compaction`:
+    compact when ANY family's post-compaction delta count exceeds
+    ``max_deltas`` (default 7 — one week of nightly partitions, the
+    point past which the broadcast-delta tier stops being 'a few
+    small frames'). A scheduler can simply call this after every
+    :func:`nightly_curation_update` instead of maintaining its own
+    calendar: no-op (returns None) while the delta tier is small, one
+    fold when it isn't. Uncommitted partials never count as deltas
+    (they are reconciliation's problem, not compaction's — and the
+    fold itself only touches committed keys)."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        _fold_state,
+        _serving_table,
+    )
+    from mpi_mapreduce_spark.sources.io import committed_batch_keys
+
+    ledger = os.path.join(state_dir, LEDGER_SUBDIR)
+    committed, legacy = committed_batch_keys(spark, ledger)
+    if legacy:
+        return None  # cannot prove anything committed: never compact
+    fams = (
+        (os.path.join(state_dir, STATE_SUBDIRS["grams"]), "grams"),
+        (os.path.join(state_dir, STATE_SUBDIRS["minhash"]), "mhband"),
+        (
+            os.path.join(state_dir, STATE_SUBDIRS["embedding"], "bands"),
+            "embband",
+        ),
+    )
+    for d, fam in fams:
+        folded, parts = _fold_state(spark, d, _serving_table(d, fam))
+        deltas = [
+            k for k in parts if k not in folded and k in committed
+        ]
+        if len(deltas) > max_deltas:
+            return weekly_curation_compaction(
+                spark, state_dir, timings=timings
+            )
+    return None
+
+
 def curation_state_audit(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:

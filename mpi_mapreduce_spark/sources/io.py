@@ -498,25 +498,37 @@ def reconcile_batch_partitions(
     Safety gate: if the ledger predates the ``batch_key`` column (any
     NULL key rows), committed partitions can't be distinguished from
     orphans, so nothing is dropped. Driver-side metadata work, same
-    cost class as the ledger read itself; returns the dropped paths."""
-    import os
-    import shutil
+    cost class as the ledger read itself; returns the dropped paths.
 
+    Listing and deletion go through the Hadoop FileSystem API (r11,
+    with dedup._batch_partition_dirs): the orphan drop must work
+    wherever the partitions actually live — local FS here, HDFS or an
+    object store through its Hadoop connector in production."""
     committed, legacy = committed_batch_keys(spark, ledger_dir)
     if legacy:
         return []
     keep = committed | current_keys
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     dropped: list[str] = []
+
+    def _walk(fs, jpath) -> None:
+        for st in fs.listStatus(jpath):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.startswith("batch="):
+                key = name[len("batch=") :]
+                if key not in keep:
+                    fs.delete(st.getPath(), True)
+                    dropped.append(st.getPath().toString())
+                # never descend into batch dirs
+            else:
+                _walk(fs, st.getPath())
+
     for root in state_roots:
-        if not os.path.isdir(root):
-            continue
-        for d, dirs, _fs in os.walk(root):
-            for name in list(dirs):
-                if name.startswith("batch="):
-                    key = name[len("batch=") :]
-                    if key not in keep:
-                        p = os.path.join(d, name)
-                        shutil.rmtree(p)
-                        dropped.append(p)
-                    dirs.remove(name)  # never descend into batch dirs
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            _walk(fs, jpath)
     return dropped

@@ -642,3 +642,49 @@ def test_weekly_compaction_legacy_ledger_folds_nothing(spark, tmp_path):
         D.weekly_gram_compaction(spark, idx, "b_legacy_vocab", ledger) == 0
     )
     assert not spark.catalog.tableExists("b_legacy_vocab")
+
+
+def test_maybe_weekly_compaction_policy(spark, tmp_path):
+    """The delta-count trigger: below the threshold it's a no-op;
+    past it, one fold runs; uncommitted partials don't count toward
+    the trigger (and never fold)."""
+    batch = str(tmp_path / "batch")
+    state = str(tmp_path / "state")
+    _stage(
+        spark, tmp_path, batch, "n1.parquet",
+        docs=[(1, f"c-lead {SHARED} c-tail")],
+    )
+    N.nightly_curation_update(spark, batch, state)
+    try:
+        # one committed delta, threshold 7: no-op
+        assert (
+            N.maybe_weekly_curation_compaction(spark, state) is None
+        )
+        # threshold 0: any committed delta triggers the fold
+        folded = N.maybe_weekly_curation_compaction(
+            spark, state, max_deltas=0
+        )
+        assert folded is not None and folded["substring"] == 1
+        # everything folded: trigger is quiet again even at 0
+        assert (
+            N.maybe_weekly_curation_compaction(spark, state, max_deltas=0)
+            is None
+        )
+        # an uncommitted partial lands (crashed night): still quiet —
+        # partials are reconciliation's problem, not compaction's
+        import pyspark.sql.functions as F  # noqa: N812
+
+        grams = os.path.join(state, N.STATE_SUBDIRS["grams"])
+        D.substring_gram_index_rows(
+            spark.createDataFrame(
+                [(99, f"z-pre {SHARED} z-post")], "doc_id long, text string"
+            )
+        ).write.mode("overwrite").parquet(
+            os.path.join(grams, "batch=bCRASH")
+        )
+        assert (
+            N.maybe_weekly_curation_compaction(spark, state, max_deltas=0)
+            is None
+        )
+    finally:
+        _drop_serving_tables(spark, state)
