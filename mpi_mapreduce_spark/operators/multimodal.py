@@ -1575,6 +1575,16 @@ def make_jpeg_codec():
     ]
     _dc_codes = _canonical_codes(_dc_bits, _dc_vals)
     _ac_codes = _canonical_codes(_ac_bits, _ac_vals)
+    # 12-bit twins: DC categories reach 15 (|diff| ≤ 8·4095 under an
+    # all-ones quantizer), AC sizes reach 14 (T.81 F.1.2.2.1 note)
+    _dc_bits12 = [0, 0, 0, 0, 16] + [0] * 11
+    _dc_vals12 = list(range(16))
+    _ac_bits12 = [0] * 8 + [226] + [0] * 7
+    _ac_vals12 = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    _dc_codes12 = _canonical_codes(_dc_bits12, _dc_vals12)
+    _ac_codes12 = _canonical_codes(_ac_bits12, _ac_vals12)
 
     def _segment(marker: int, payload: bytes) -> bytes:
         return (
@@ -1613,30 +1623,59 @@ def make_jpeg_codec():
             m >>= 1
         return n
 
-    def encode(planes, sampling, restart_interval: int = 0, qtab=None) -> bytes:
-        """planes: HxW uint8 arrays (1 = gray, 3 = Y/Cb/Cr at their own
-        resolutions); sampling: (h, v) factor per plane."""
+    def encode(
+        planes,
+        sampling,
+        restart_interval: int = 0,
+        qtab=None,
+        precision: int = 8,
+    ) -> bytes:
+        """planes: HxW sample arrays, values in [0, 2^precision)
+        (1 = gray, 3 = Y/Cb/Cr at their own resolutions); sampling:
+        (h, v) factor per plane. ``precision`` 8 emits baseline SOF0;
+        12 emits EXTENDED SEQUENTIAL SOF1 (T.81: baseline is 8-bit
+        only) with the 16-category DC / 14-size AC tables and a 2048
+        level shift. A quant table with any entry > 255 is serialized
+        as a 16-bit (Pq=1) DQT."""
         import numpy as np
 
         A = np.asarray(_a_rows)
+        if precision not in (8, 12):
+            raise ValueError(f"unsupported JPEG precision {precision}")
         if qtab is None:
             qtab = np.ones((8, 8), dtype=np.int64)
         qtab = np.asarray(qtab, dtype=np.int64)
+        dc_codes = _dc_codes if precision == 8 else _dc_codes12
+        ac_codes = _ac_codes if precision == 8 else _ac_codes12
+        shift = float(1 << (precision - 1))
         ncomp = len(planes)
         hmax = max(hh for hh, vv in sampling)
         vmax = max(vv for hh, vv in sampling)
         H, W = planes[0].shape
         out = bytearray(b"\xff\xd8")  # SOI
         out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        out += _segment(
-            0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
-        )
-        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        if int(qtab.max()) > 255:
+            out += _segment(
+                0xDB,
+                bytes([0x10])
+                + b"".join(
+                    struct.pack(">H", int(qtab[r][c])) for r, c in _zz
+                ),
+            )
+        else:
+            out += _segment(
+                0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
+            )
+        sof = struct.pack(">BHHB", precision, H, W, ncomp)
         for i, (hh, vv) in enumerate(sampling):
             sof += bytes([i + 1, (hh << 4) | vv, 0])
-        out += _segment(0xC0, sof)
-        dht = bytes([0x00]) + bytes(_dc_bits) + bytes(_dc_vals)
-        dht += bytes([0x10]) + bytes(_ac_bits) + bytes(_ac_vals)
+        out += _segment(0xC0 if precision == 8 else 0xC1, sof)
+        if precision == 8:
+            dht = bytes([0x00]) + bytes(_dc_bits) + bytes(_dc_vals)
+            dht += bytes([0x10]) + bytes(_ac_bits) + bytes(_ac_vals)
+        else:
+            dht = bytes([0x00]) + bytes(_dc_bits12) + bytes(_dc_vals12)
+            dht += bytes([0x10]) + bytes(_ac_bits12) + bytes(_ac_vals12)
         out += _segment(0xC4, dht)
         if restart_interval:
             out += _segment(0xDD, struct.pack(">H", restart_interval))
@@ -1683,12 +1722,12 @@ def make_jpeg_codec():
                             blk = padded_planes[ci][
                                 y0 : y0 + 8, x0 : x0 + 8
                             ]
-                            S = A @ (blk.astype(np.float64) - 128.0) @ A.T
+                            S = A @ (blk.astype(np.float64) - shift) @ A.T
                             q = np.floor(S / qtab + 0.5).astype(np.int64)
                             diff = int(q[0, 0]) - pred[ci]
                             pred[ci] = int(q[0, 0])
                             n = _category(diff)
-                            c, ln = _dc_codes[n]
+                            c, ln = dc_codes[n]
                             wtr.put(c, ln)
                             if n:  # T.81 F.1.2.1: n LSBs, negatives offset
                                 wtr.put(
@@ -1707,18 +1746,18 @@ def make_jpeg_codec():
                                     run += 1
                                     continue
                                 while run > 15:
-                                    c, ln = _ac_codes[0xF0]  # ZRL
+                                    c, ln = ac_codes[0xF0]  # ZRL
                                     wtr.put(c, ln)
                                     run -= 16
                                 n = _category(v2)
-                                c, ln = _ac_codes[(run << 4) | n]
+                                c, ln = ac_codes[(run << 4) | n]
                                 wtr.put(c, ln)
                                 wtr.put(
                                     v2 if v2 >= 0 else v2 + (1 << n) - 1, n
                                 )
                                 run = 0
                             if last_nz < 62:
-                                c, ln = _ac_codes[0x00]  # EOB
+                                c, ln = ac_codes[0x00]  # EOB
                                 wtr.put(c, ln)
                 mcu_count += 1
         wtr.flush()
@@ -1942,42 +1981,50 @@ def make_jpeg_codec():
         return bytes(out)
 
     def build(
-        doc_id: int, mode: str = "gray", progressive: bool = False
+        doc_id: int,
+        mode: str = "gray",
+        progressive: bool = False,
+        precision: int = 8,
     ) -> bytes:
         """Oracle fixture: per-8×8-block constant planes (per-MCU
         constant chroma at 4:2:0), one generating formula per plane,
         mirrored verbatim in the oracle SQL. ``progressive`` encodes
         the SAME planes as an SOF2 six-scan stream (the schedule
         reconstructs coefficients exactly, so the decoded pixels — and
-        therefore the oracle — are identical to the baseline's)."""
+        therefore the oracle — are identical to the baseline's).
+        ``precision`` 12 widens the same generating formulas to
+        mod-4096 samples and emits extended-sequential SOF1."""
         import numpy as np
 
+        if progressive and precision != 8:
+            raise ValueError("progressive fixtures are 8-bit")
+        mod = 1 << precision
         enc = (
             (lambda p, s: encode_progressive(p, s))
             if progressive
-            else (lambda p, s: encode(p, s))
+            else (lambda p, s: encode(p, s, precision=precision))
         )
         bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
         yplane = np.repeat(
-            np.repeat((doc_id * 7 + bx * 13 + by * 29) % 256, 8, 0), 8, 1
+            np.repeat((doc_id * 7 + bx * 13 + by * 29) % mod, 8, 0), 8, 1
         )
         if mode == "gray":
             return enc([yplane], [(1, 1)])
         if mode == "c444":
             cb = np.repeat(
-                np.repeat((doc_id * 11 + bx * 17 + by * 5) % 256, 8, 0), 8, 1
+                np.repeat((doc_id * 11 + bx * 17 + by * 5) % mod, 8, 0), 8, 1
             )
             cr = np.repeat(
-                np.repeat((doc_id * 3 + bx * 23 + by * 19) % 256, 8, 0), 8, 1
+                np.repeat((doc_id * 3 + bx * 23 + by * 19) % mod, 8, 0), 8, 1
             )
             return enc([yplane, cb, cr], [(1, 1), (1, 1), (1, 1)])
         if mode == "c420":
             mx, my = np.meshgrid(np.arange(w // 16), np.arange(h // 16))
             cb = np.repeat(
-                np.repeat((doc_id * 19 + mx * 7 + my * 13) % 256, 8, 0), 8, 1
+                np.repeat((doc_id * 19 + mx * 7 + my * 13) % mod, 8, 0), 8, 1
             )
             cr = np.repeat(
-                np.repeat((doc_id * 23 + mx * 29 + my * 3) % 256, 8, 0), 8, 1
+                np.repeat((doc_id * 23 + mx * 29 + my * 3) % mod, 8, 0), 8, 1
             )
             return enc([yplane, cb, cr], [(2, 2), (1, 1), (1, 1)])
         raise ValueError(f"unknown JPEG fixture mode {mode!r}")
@@ -2080,18 +2127,22 @@ def make_jpeg_codec():
                 i = 0
                 while i < len(seg):
                     pq, tq = seg[i] >> 4, seg[i] & 0xF
-                    if pq != 0:
-                        raise NotImplementedError(
-                            "16-bit JPEG quant tables"
-                        )
-                    if i + 65 > len(seg):
+                    if pq not in (0, 1):
+                        raise ValueError(f"invalid DQT precision {pq}")
+                    width = 1 + pq  # Pq=1: 16-bit big-endian entries
+                    if i + 1 + 64 * width > len(seg):
                         raise ValueError("truncated DQT table")
                     tab = np.zeros((8, 8), dtype=np.int64)
                     for k in range(64):
                         r, c = _zz[k]
-                        tab[r, c] = seg[i + 1 + k]
+                        off = i + 1 + k * width
+                        tab[r, c] = (
+                            seg[off]
+                            if pq == 0
+                            else (seg[off] << 8) | seg[off + 1]
+                        )
                     qtabs[tq] = tab
-                    i += 65
+                    i += 1 + 64 * width
             elif marker == 0xC4:  # DHT (possibly several tables)
                 i = 0
                 while i < len(seg):
@@ -2110,13 +2161,18 @@ def make_jpeg_codec():
                     i += 17 + nv
             elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/prog
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
-                if prec != 8:
+                if prec == 12 and marker == 0xC0:
+                    raise ValueError(
+                        "12-bit precision requires extended-sequential "
+                        "(SOF1) or progressive (SOF2), not baseline SOF0"
+                    )
+                if prec not in (8, 12):
                     raise NotImplementedError(f"{prec}-bit JPEG precision")
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
-                sof = (H, W, comps)
+                sof = (H, W, comps, prec)
                 progressive = marker == 0xC2
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
                 raise NotImplementedError("non-baseline JPEG DCT process")
@@ -2145,7 +2201,8 @@ def make_jpeg_codec():
             pos = nxt
         if sof is None:
             raise ValueError("JPEG SOS before SOF")
-        H, W, comps = sof
+        H, W, comps, prec = sof
+        shift = float(1 << (prec - 1))
         hmax = max(hh for _, hh, vv, _ in comps)
         vmax = max(vv for _, hh, vv, _ in comps)
         for cid, hh, vv, _ in comps:
@@ -2166,13 +2223,15 @@ def make_jpeg_codec():
                 S = np.zeros(arr.shape[:2] + (8, 8))
                 for k, (r, c) in enumerate(_zz):
                     S[:, :, r, c] = arr[:, :, k] * q[r, c]
-                blk = np.einsum("ki,mnkl,lj->mnij", A, S, A) + 128.0
+                blk = np.einsum("ki,mnkl,lj->mnij", A, S, A) + shift
                 planes.append(
                     blk.transpose(0, 2, 1, 3).reshape(
                         arr.shape[0] * 8, arr.shape[1] * 8
                     )
                 )
-            return _assemble(np, planes, comps, H, W, hmax, vmax)
+            return _assemble(
+                np, planes, comps, H, W, hmax, vmax, prec
+            )
         scan_tables = {}
         for i in range(seg[0]):
             cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -2213,7 +2272,7 @@ def make_jpeg_codec():
                     for by in range(vv):
                         for bx in range(hh):
                             n = _huff_decode(reader, dct)
-                            if n > 11:
+                            if n > (11 if prec == 8 else 15):
                                 raise ValueError("invalid JPEG DC category")
                             diff = 0
                             if n:
@@ -2247,7 +2306,7 @@ def make_jpeg_codec():
                                 r, c = _zz[k]
                                 S[r, c] = val * q[r, c]
                                 k += 1
-                            blk = A.T @ S @ A + 128.0
+                            blk = A.T @ S @ A + shift
                             y0 = (my * vv + by) * 8
                             x0 = (mx * hh + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
@@ -2255,15 +2314,19 @@ def make_jpeg_codec():
         p = reader.pos  # pad bits, then EOI must follow
         if p + 1 >= len(payload) or payload[p] != 0xFF or payload[p + 1] != 0xD9:
             raise ValueError("missing JPEG EOI")
-        return _assemble(np, planes, comps, H, W, hmax, vmax)
+        return _assemble(np, planes, comps, H, W, hmax, vmax, prec)
 
-    def _assemble(np, planes, comps, H, W, hmax, vmax) -> dict:
+    def _assemble(np, planes, comps, H, W, hmax, vmax, prec=8) -> dict:
         """Shared output stage of the baseline and progressive paths:
         round/clamp, chroma upsample by replication, crop to the frame,
-        JFIF YCbCr→RGB (floor(x+0.5), mirrored in the oracle SQL)."""
+        JFIF YCbCr→RGB (floor(x+0.5), mirrored in the oracle SQL).
+        12-bit frames clamp to [0, 4095] around a 2048 chroma center —
+        same matrix, wider range."""
+        mx = float((1 << prec) - 1)
+        ctr = float(1 << (prec - 1))
         outs = []
         for ci, (cid, hh, vv, tq) in enumerate(comps):
-            pl = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
+            pl = np.clip(np.floor(planes[ci] + 0.5), 0, mx)
             pl = np.repeat(
                 np.repeat(pl, vmax // vv, axis=0), hmax // hh, axis=1
             )
@@ -2278,15 +2341,15 @@ def make_jpeg_codec():
         if len(comps) != 3:
             raise ValueError(f"{len(comps)}-component JPEG not supported")
         yy, cb, cr = outs
-        r = np.clip(np.floor(yy + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        r = np.clip(np.floor(yy + 1.402 * (cr - ctr) + 0.5), 0, mx)
         g = np.clip(
             np.floor(
-                yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+                yy - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr) + 0.5
             ),
             0,
-            255,
+            mx,
         )
-        b = np.clip(np.floor(yy + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        b = np.clip(np.floor(yy + 1.772 * (cb - ctr) + 0.5), 0, mx)
         return {
             "width": W,
             "height": H,
@@ -2298,7 +2361,7 @@ def make_jpeg_codec():
         """(hmax, vmax, mcux, mcuy, per-comp MCU-grid block shapes,
         per-comp REAL block shapes) — non-interleaved scans cover only
         the real grid; interleaved DC scans cover MCU padding too."""
-        H, W, comps = sof
+        H, W, comps, _prec = sof
         hmax = max(hh for _, hh, vv, _ in comps)
         vmax = max(vv for _, hh, vv, _ in comps)
         for cid, hh, vv, _ in comps:
@@ -2407,7 +2470,7 @@ def make_jpeg_codec():
         (single-component only, spectral band [Ss, Se])."""
         import numpy as np
 
-        H, W, comps = sof
+        H, W, comps, prec = sof
         if not prog_state:
             hmax, vmax, mcux, mcuy, grid, real = _prog_geometry(sof)
             prog_state.update(
@@ -2495,7 +2558,7 @@ def make_jpeg_codec():
                 if Ss == 0:
                     if Ah == 0:  # DC first
                         t = _huff_decode(reader, dctabs[ci])
-                        if t > 11:
+                        if t > (11 if prec == 8 else 15):
                             raise ValueError("invalid JPEG DC category")
                         diff = 0
                         if t:
@@ -2575,8 +2638,27 @@ def multimodal_jpeg_progressive_decode(
     return _jpeg_decode_query(spark, sf_dir, progressive=True)
 
 
+def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 12-bit extended-sequential JPEG decode (round 11 — the
+    12-bit half of the remaining JPEG boundary closed; only
+    arithmetic coding is left, and that is a different entropy coder,
+    not more byte math): the same gray / 4:4:4 / 4:2:0 fixture
+    formulas widened to mod-4096 samples, encoded as genuine SOF1
+    streams (T.81: baseline SOF0 is 8-bit only) with the 16-category
+    DC / 14-size AC canonical tables and a 2048 level shift, decoded
+    through the same general reader — precision flows from the SOF
+    into the level shift, the DC-category bound, the clamp range and
+    the YCbCr chroma center. Same stats schema; the closed-form
+    oracle is the baseline query's SQL with the 256/128/255 constants
+    widened to 4096/2048/4095. 16-bit (Pq=1) DQT parsing rides along
+    (12-bit streams commonly need it) and is pytest-pinned."""
+    return _jpeg_decode_query(
+        spark, sf_dir, progressive=False, precision=12
+    )
+
+
 def _jpeg_decode_query(
-    spark: SparkSession, sf_dir: str, progressive: bool
+    spark: SparkSession, sf_dir: str, progressive: bool, precision: int = 8
 ) -> DataFrame:
     build, parse, _, _ = make_jpeg_codec()
 
@@ -2596,7 +2678,12 @@ def _jpeg_decode_query(
             for did in pdf["doc_id"]:
                 for mode in ("gray", "c444", "c420"):
                     img = parse(
-                        build(int(did), mode, progressive=progressive)
+                        build(
+                            int(did),
+                            mode,
+                            progressive=progressive,
+                            precision=precision,
+                        )
                     )
                     rgb = img["rgb"]
                     if rgb is None:
@@ -2643,6 +2730,7 @@ QUERIES = {
     "multimodal_png_subbyte": multimodal_png_subbyte,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
+    "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -3014,3 +3102,15 @@ ORACLE = {
 ORACLE["multimodal_jpeg_progressive_decode"] = ORACLE[
     "multimodal_jpeg_decode"
 ]
+
+# the 12-bit fixtures use the SAME generating formulas and YCbCr
+# matrix with the sample constants widened: mod 256 -> 4096, chroma
+# center 128 -> 2048, clamp ceiling 255 -> 4095
+ORACLE["multimodal_jpeg12_decode"] = (
+    ORACLE["multimodal_jpeg_decode"]
+    .replace("% 256", "% 4096")
+    .replace("- 128.0)", "- 2048.0)")
+    .replace("LEAST(255,", "LEAST(4095,")
+)
+if ORACLE["multimodal_jpeg12_decode"] == ORACLE["multimodal_jpeg_decode"]:
+    raise AssertionError("12-bit oracle rewrite did not apply")

@@ -752,16 +752,23 @@ def test_jpeg_taxonomy():
     with pytest.raises(NotImplementedError, match="non-baseline"):
         parse(swap_sof_marker(good, 0xC3))
 
-    # 12-bit precision: patch the SOF precision byte
+    # 12-bit precision is REAL (round 11) but T.81 forbids it in
+    # baseline SOF0 — patching the precision byte of an SOF0 stream
+    # must be rejected loudly, not decoded with the wrong level shift
     i = good.index(b"\xff\xc0")
     bad = good[: i + 4] + bytes([12]) + good[i + 5 :]
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    with pytest.raises(ValueError, match="extended-sequential"):
+        parse(bad)
+    # ... and precisions T.81 doesn't define at all stay loud
+    bad = good[: i + 4] + bytes([10]) + good[i + 5 :]
+    with pytest.raises(NotImplementedError, match="10-bit"):
         parse(bad)
 
-    # 16-bit quant table: patch the DQT Pq nibble
+    # 16-bit quant tables are REAL (round 11): an invalid Pq nibble
+    # still raises
     i = good.index(b"\xff\xdb")
-    bad = good[: i + 4] + bytes([0x10]) + good[i + 5 :]
-    with pytest.raises(NotImplementedError, match="16-bit JPEG quant"):
+    bad = good[: i + 4] + bytes([0x20]) + good[i + 5 :]
+    with pytest.raises(ValueError, match="invalid DQT precision"):
         parse(bad)
 
     # strip the DHT segment entirely -> missing Huffman table
@@ -894,3 +901,76 @@ def test_jpeg_progressive_malformed():
     bad = good[:i] + bytes(hdr) + good[i + 2 + ln :]
     with pytest.raises(ValueError, match="single-component"):
         parse(bad)
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit precision (round 11): SOF1 streams with a 2048 level
+    shift, 16-category DC tables, and [0, 4095] output range decode
+    exactly; 16-bit (Pq=1) DQT entries round-trip; the YCbCr matrix
+    recenters at 2048. Lossless for blockwise-constant planes under
+    an all-ones quantizer — same invariant the 8-bit fixtures pin."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode, _ = make_jpeg_codec()
+
+    # full-range 12-bit constant blocks: exact round trip
+    y = np.full((16, 16), 4000, dtype=np.int64)
+    stream = encode([y], [(1, 1)], precision=12)
+    assert b"\xff\xc1" in stream and b"\xff\xc0" not in stream  # SOF1
+    img = parse(stream)
+    assert int(img["gray"][0, 0]) == 4000 and int(img["gray"].max()) == 4000
+
+    # color: YCbCr math recentered at 2048, clamped to [0, 4095]
+    cb = np.full((16, 16), 100, dtype=np.int64)
+    cr = np.full((16, 16), 3000, dtype=np.int64)
+    rgb = parse(
+        encode([np.full((16, 16), 1000, dtype=np.int64), cb, cr],
+               [(1, 1)] * 3, precision=12)
+    )["rgb"]
+    assert int(rgb[0, 0, 0]) == 2335  # floor(1000+1.402*952+0.5)
+    assert int(rgb[0, 0, 1]) == 991
+    assert int(rgb[0, 0, 2]) == 0  # clamped from far below zero
+
+    # 16-bit quant tables serialize as Pq=1 and decode back
+    q = np.full((8, 8), 300, dtype=np.int64)
+    stream = encode(
+        [np.full((16, 16), 2000, dtype=np.int64)], [(1, 1)],
+        qtab=q, precision=12,
+    )
+    i = stream.index(b"\xff\xdb")
+    assert stream[i + 4] == 0x10  # Pq=1
+    assert int(parse(stream)["gray"][0, 0]) == 2011  # quantized round
+
+    # random 12-bit image through a nontrivial quantizer: the decode
+    # must match an independent per-block reference IDCT recompute
+    rng = np.random.RandomState(11)
+    img12 = rng.randint(0, 4096, (16, 24)).astype(np.int64)
+    q2 = np.clip(rng.randint(1, 40, (8, 8)), 1, None).astype(np.int64)
+    got = parse(encode([img12], [(1, 1)], qtab=q2, precision=12))["gray"]
+    A = np.array(
+        [
+            [
+                0.5 * ((1 / np.sqrt(2)) if u == 0 else 1.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    want = np.zeros_like(img12)
+    for by in range(2):
+        for bx in range(3):
+            blk = img12[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            S = A @ (blk - 2048.0) @ A.T
+            qq = np.floor(S / q2 + 0.5) * q2
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(A.T @ qq @ A + 2048.0 + 0.5), 0, 4095
+            )
+    assert np.array_equal(got, want)
+
+    # fixture builder refuses the (unscheduled) progressive 12-bit mix
+    with pytest.raises(ValueError, match="8-bit"):
+        build(1, "gray", progressive=True, precision=12)
