@@ -90,6 +90,12 @@ HEADLINE = [
     # the palette/alpha PNG decode (the PLTE/tRNS lookup path)
     "dedup_incremental_strip",
     "multimodal_png_palette_alpha",
+    # round 11: the weekly-compaction serving pair — SAME stored
+    # vocabulary probed flat vs two-tier (co-located base + broadcast
+    # delta), so the production serving win is gated by the 2x budget
+    # machinery rather than only measured in SCALING.md
+    "substring_serving_flat",
+    "substring_serving_tiered",
 ]
 
 
