@@ -408,6 +408,110 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: absolute discount for the interpolated Kneser-Ney bigram model —
+#: the standard 0.75 (Chen & Goodman 1999's fixed-D variant)
+KN_DISCOUNT = 0.75
+
+
+def text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an INTERPOLATED KNESER-NEY bigram
+    model trained on the corpus (r11) — the smoothing family real
+    perplexity filters (KenLM-style) actually use, complementing the
+    add-one model of :func:`text_bigram_lm_score` (add-one
+    over-penalizes rich contexts; KN backs off by CONTEXT DIVERSITY,
+    so 'san francisco' and 'the francisco' separate even at equal
+    counts):
+
+    P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·P_cont(w2)
+    λ(w1)    = D · N1+(w1,·)/c(w1)
+    P_cont(w2) = N1+(·,w2)/N1+(·,·)
+
+    with D = 0.75, N1+(w1,·) the distinct-successor count, N1+(·,w2)
+    the distinct-predecessor count, N1+(·,·) the bigram TYPE count —
+    every statistic a tiny aggregate OVER the (w1,w2) count table,
+    never a corpus re-scan. Scored bigrams are corpus bigrams, so the
+    max() clause never zeroes (c ≥ 1 > D).
+
+    Plan at 100 TB: identical shape to the add-one model — bigram
+    derivation (posexplode + per-doc lead window), one shuffled count
+    table, three SMALL derived aggregates joined back on compact
+    keys, the type count a broadcast scalar. Per-term NLL quantized
+    to 4 decimals before the exact integer-sum rollup (cross-engine
+    bit stability, the functions.exact discipline)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count("*").alias("t1")
+    )
+    c2 = c12.groupBy("w2").agg(F.count("*").alias("t2"))
+    types = c12.agg(F.count("*").alias("tt"))
+    d = F.lit(KN_DISCOUNT)
+    p = (F.col("n12") - d) / F.col("n1") + (
+        d * F.col("t1") / F.col("n1")
+    ) * (F.col("t2") / F.col("tt"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        ex.quantized_avg("nll", 4).alias("kn_cross_entropy"),
+    )
+
+
+ORACLE_KN_BIGRAM = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(tok) - 1),
+                      i -> [tok[i+1], tok[i+2]])) AS bg
+        FROM toks WHERE len(tok) >= 2
+      )
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n12) AS n1, COUNT(*) AS t1 FROM c12 GROUP BY w1
+    ), c2 AS (
+      SELECT w2, COUNT(*) AS t2 FROM c12 GROUP BY w2
+    ), tt AS (
+      SELECT COUNT(*) AS tt FROM c12
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           {{kn_avg}} AS kn_cross_entropy
+    FROM b
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    JOIN c2 USING (w2)
+    CROSS JOIN tt
+    GROUP BY b.doc_id
+""".replace(
+    "{kn_avg}",
+    ex.sql_avg(
+        "-ln((n12 - 0.75) / n1 + (0.75 * t1 / n1) * (t2 / tt))", 4
+    ),
+)
+
+
 ORACLE_BIGRAM_LM = f"""
     WITH toks AS (
       SELECT doc_id,
@@ -994,6 +1098,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_bigram_lm_score": text_bigram_lm_score,
+    "text_kn_bigram_score": text_kn_bigram_score,
     "text_distribution_drift": text_distribution_drift,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_bpe_train_merges": text_bpe_train_merges,
@@ -1010,6 +1115,7 @@ def _oracle_hits(lang: str) -> str:
 
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
+    "text_kn_bigram_score": ORACLE_KN_BIGRAM,
     "text_unigram_entropy": ORACLE_UNIGRAM_ENTROPY,
     "text_bpe_fertility_by_lang": ORACLE_BPE_FERTILITY,
     "text_distribution_drift": ORACLE_DRIFT,
