@@ -1413,6 +1413,81 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Matryoshka truncation tiers audited by embedding_matryoshka_quality
+MRL_TIERS = (8, 16, 32, 64)
+
+
+def embedding_matryoshka_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-truncation quality audit (r11): for each prefix
+    tier d ∈ {8, 16, 32, 64}, the cosine between every embedding and
+    its d-prefix truncation — which reduces in closed form to
+    sqrt(energy_d / energy_total), the fraction of the vector's L2
+    mass the prefix retains — rolled up per tier as (n_vectors, avg,
+    min). This is THE adoption question for MRL-style embeddings in a
+    100 TB store ('how many dims can serving truncate to before
+    recall collapses?'), answered from the table itself before anyone
+    re-indexes. Per-vector cosines are a fixed-order left-fold of
+    one-multiply squares (bit-identical across engines), quantized at
+    1e-6 BEFORE the exact integer-sum average (functions.exact
+    discipline); plan is one scan + per-tier projections unioned —
+    no shuffle until the 4-group rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+
+    def _energy(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    total = _energy(F.col("e"))
+    per_tier = [
+        emb.select(
+            F.lit(d).cast("long").alias("dim_tier"),
+            F.sqrt(_energy(F.slice("e", 1, d)) / total).alias("cosr"),
+        )
+        for d in MRL_TIERS
+    ]
+    out = per_tier[0]
+    for t in per_tier[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("dim_tier").agg(
+        F.count("*").alias("n_vectors"),
+        ex.quantized_avg("cosr", 6).alias("avg_retained_cosine"),
+        F.min(ex.quantize(F.col("cosr"), 6)).alias("min_retained_cosine"),
+    )
+
+
+ORACLE_MATRYOSHKA = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), t AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(e, x -> x * x)) AS tot
+      FROM v
+    ), tiers AS (
+      SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dim_tier
+    ), c AS (
+      SELECT dim_tier,
+             sqrt(list_sum(list_transform(e[1:dim_tier], x -> x * x))
+                  / tot) AS cosr
+      FROM t, tiers
+    )
+    SELECT dim_tier,
+           COUNT(*) AS n_vectors,
+           {ex.sql_avg("cosr", 6)} AS avg_retained_cosine,
+           MIN({ex.sql_quantize("cosr", 6)}) AS min_retained_cosine
+    FROM c GROUP BY dim_tier
+"""
+
+
 #: screening slack ≥ the 1e-6 quantize step of the final cosine — see
 #: the displacement proof in knn_topk_int8_screened
 INT8_SCREEN_MARGIN = 1e-6
@@ -2381,6 +2456,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_label_outliers": embedding_label_outliers,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "embedding_matryoshka_quality": embedding_matryoshka_quality,
     "ann_int8_topk": ann_int8_topk,
     "embedding_kmeans": embedding_kmeans,
     "ann_pq_topk": ann_pq_topk,
@@ -2402,6 +2478,7 @@ ORACLE = {
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "embedding_label_outliers": ORACLE_OUTLIERS,
     "embedding_int8_quantize": ORACLE_INT8_QUANTIZE,
+    "embedding_matryoshka_quality": ORACLE_MATRYOSHKA,
     # full exact oracle: the int8 screening is output-invariant
     "ann_int8_topk": ORACLE_KNN,
     "embedding_kmeans": ORACLE_KMEANS,

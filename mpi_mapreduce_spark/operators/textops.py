@@ -408,6 +408,107 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: word-n-gram width for the source-pair overlap audit
+OVERLAP_N = 3
+
+
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair n-gram overlap matrix (r11) — the corpus-level
+    provenance audit a curation pipeline runs before mixing sources:
+    for every source pair (a < b), the Jaccard similarity of their
+    DISTINCT word-trigram sets, plus the raw set sizes. High overlap
+    means two feeds are scraping the same upstream (double-weighted
+    training data); the per-source gram sets are also what
+    contamination triage inspects first. Pairs with zero common grams
+    are omitted (inner join — the absent row IS the answer).
+
+    Scale shape: the pairwise term is over SOURCES (bounded catalog
+    cardinality), never documents — (source, gram) distinct rows,
+    a gram-keyed self-join (co-partitioned on the join key), and a
+    |sources|²-row rollup. At 100 TB the distinct gram table is the
+    only corpus-shaped stage and it shuffles once."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("p", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(w) for i in range(1, OVERLAP_N)]
+    g = (
+        tok.select(
+            "source",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+            leads[-1].alias("last"),
+        )
+        .where(F.col("last").isNotNull())
+        .select("source", "g")
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.select(F.col("source").alias("source_a"), "g")
+    b = g.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            ex.quantize(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_transform(range(len(tok) - {OVERLAP_N - 1}),
+                      i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
+                   AS g
+        FROM toks WHERE len(tok) >= {OVERLAP_N}
+      )
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM g GROUP BY source
+    ), p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           {ex.sql_quantize("n_common / (sa.n + sb.n - n_common)", 6)}
+               AS jaccard
+    FROM p
+    JOIN sz sa ON sa.source = p.source_a
+    JOIN sz sb ON sb.source = p.source_b
+"""
+
+
 #: absolute discount for the interpolated Kneser-Ney bigram model —
 #: the standard 0.75 (Chen & Goodman 1999's fixed-D variant)
 KN_DISCOUNT = 0.75
@@ -1099,6 +1200,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_kn_bigram_score": text_kn_bigram_score,
+    "text_source_overlap": text_source_overlap,
     "text_distribution_drift": text_distribution_drift,
     "text_boilerplate_strip": text_boilerplate_strip,
     "text_bpe_train_merges": text_bpe_train_merges,
@@ -1116,6 +1218,7 @@ def _oracle_hits(lang: str) -> str:
 ORACLE = {
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_kn_bigram_score": ORACLE_KN_BIGRAM,
+    "text_source_overlap": ORACLE_SOURCE_OVERLAP,
     "text_unigram_entropy": ORACLE_UNIGRAM_ENTROPY,
     "text_bpe_fertility_by_lang": ORACLE_BPE_FERTILITY,
     "text_distribution_drift": ORACLE_DRIFT,
