@@ -105,12 +105,43 @@ def main() -> None:
 
     spark = get_spark(app_name="mpi_mapreduce_spark-bench")
     names = [n for n in HEADLINE if n in QUERIES]
+
+    def free_leaked_blocks() -> None:
+        # Several operators eagerly localCheckpoint shared stages at
+        # CONSTRUCTION time (registry contract), and bench constructs
+        # every query 4x (warmup + 3 reps). Each construction pins a
+        # fresh set of checkpoint blocks in the single-JVM block
+        # manager with nothing ever unpersisting them — the round-11
+        # serving pair's gram/occ blocks were big enough that every
+        # query AFTER them in the loop inflated 20-42% (VERDICT r11
+        # item 1, A/B: map2_letterfreq 0.569 s standalone vs 0.809 s
+        # with the pair in-session). After a query's result is
+        # materialized its construction-scoped blocks are dead —
+        # every rep reconstructs from scratch — so drop ALL persistent
+        # RDDs here, OUTSIDE the timed region.
+        # py4j exposes the java.util.Map as a Python mapping
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jrdds.values()):
+            jrdd.unpersist(True)
+
+    # The serving pair probes a stored vocabulary; build that state
+    # ONCE, before the warmup loop, so neither warmup nor any timed
+    # rep ever pays (or races) the build job (VERDICT r11 item 1).
+    if any(n.startswith("substring_serving_") for n in names):
+        from mpi_mapreduce_spark.operators.dedup import (
+            _serving_bench_state,
+        )
+
+        _serving_bench_state(spark, SF_DIR)
+        free_leaked_blocks()
+
     # Warm each query once: JVM startup, parquet footer reads, and
     # whole-stage-codegen compilation (~1.5s per novel plan shape) are
     # one-time costs; the timed runs below measure steady-state
     # execution, which is what scales with data size.
     for name in names:
         QUERIES[name](spark, SF_DIR).count()
+        free_leaked_blocks()
 
     # Best of 3 timed reps per query: the box this runs on shows
     # intermittent host-level noise (individual queries spike 2-6x
@@ -134,6 +165,9 @@ def main() -> None:
             rows[name] = df.count()  # full materialization of the result
             t = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, t), t)
+            # untimed: free this construction's localCheckpoint blocks
+            # so they can't degrade the NEXT query (see above)
+            free_leaked_blocks()
     for name in names:
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 

@@ -4073,6 +4073,7 @@ def incremental_span_rows_tiered(
     table: str,
     deltas: DataFrame | None = None,
     n: int = SPAN_N,
+    broadcast_deltas: bool = True,
 ) -> DataFrame:
     """TWO-TIER gram serving — the shape the 1M composite measurement
     (SCALING.md round-10) motivated: between weekly compactions the
@@ -4104,13 +4105,14 @@ def incremental_span_rows_tiered(
         starts = occ.join(base, "s", "left_semi").select("doc_id", "q")
         return _spans_from_starts(starts, n)
     occ = occ.localCheckpoint()
+    delta_side = deltas.select("s")
+    if broadcast_deltas:
+        delta_side = F.broadcast(delta_side)
     starts = (
         occ.join(base, "s", "left_semi")
         .select("doc_id", "q")
         .unionByName(
-            occ.join(
-                F.broadcast(deltas.select("s")), "s", "left_semi"
-            ).select("doc_id", "q")
+            occ.join(delta_side, "s", "left_semi").select("doc_id", "q")
         )
         .distinct()
     )
@@ -4198,6 +4200,53 @@ def _fold_3step(
         spark.createDataFrame([(k,) for k in keys], "batch_key string")
     ).saveAsTable(ledger_tbl)
     return len(keys)
+
+
+#: On-disk byte cap for the broadcast-delta serving tier. The
+#: maybe_weekly compaction policy caps delta COUNT (7 nights), not
+#: bytes (ADVICE r12 low) — at 100 TB a week of nightly band/gram
+#: partitions can blow past Spark's 8 GB broadcast hard limit and the
+#: driver's heap long before the count trips. 256 MB of parquet is
+#: comfortably inside both even after columnar decompression, and a
+#: delta tier bigger than that has stopped being "a few small frames"
+#: anyway — the plain shuffle join it falls back to is the correct
+#: shape for it.
+DELTA_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _delta_dirs_small(
+    spark: SparkSession,
+    delta_dirs: list[str],
+    limit: int | None = None,
+) -> bool:
+    """True iff the delta partitions' summed on-disk footprint is
+    under ``limit`` (default :data:`DELTA_BROADCAST_MAX_BYTES`,
+    resolved at call time so tests can shrink it) — driver-side
+    Hadoop FS metadata only, no job."""
+    if limit is None:
+        limit = DELTA_BROADCAST_MAX_BYTES
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for d in delta_dirs:
+        jp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = jp.getFileSystem(hconf)
+        if fs.exists(jp):
+            total += fs.getContentSummary(jp).getLength()
+            if total > limit:
+                return False
+    return True
+
+
+def _broadcast_if_small(
+    spark: SparkSession, df: DataFrame, delta_dirs: list[str]
+) -> DataFrame:
+    """The delta tier's join hint: ``F.broadcast(df)`` while the
+    backing partitions fit :data:`DELTA_BROADCAST_MAX_BYTES`, the
+    unhinted frame (plain shuffle join) above it."""
+    if _delta_dirs_small(spark, delta_dirs):
+        return F.broadcast(df)
+    return df
 
 
 def _fold_state(
@@ -4337,7 +4386,14 @@ def incremental_span_rows_production(
     deltas = (
         spark.read.parquet(*delta_dirs).select("s") if delta_dirs else None
     )
-    return incremental_span_rows_tiered(spark, batch, table, deltas, n)
+    return incremental_span_rows_tiered(
+        spark,
+        batch,
+        table,
+        deltas,
+        n,
+        broadcast_deltas=_delta_dirs_small(spark, delta_dirs),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4387,7 +4443,14 @@ def _gram_cross_spans(
             if delta_dirs
             else None
         )
-        return incremental_span_rows_tiered(spark, batch, tbl, deltas, n)
+        return incremental_span_rows_tiered(
+            spark,
+            batch,
+            tbl,
+            deltas,
+            n,
+            broadcast_deltas=_delta_dirs_small(spark, delta_dirs),
+        )
     if has_committed_parquet(index_dir):
         stored = (
             spark.read.parquet(index_dir)
@@ -4445,7 +4508,8 @@ def _minhash_cross_candidates(
             )
             cands = cands.unionByName(
                 bands_b.join(
-                    F.broadcast(delta), ["band_id", "band_hash"]
+                    _broadcast_if_small(spark, delta, delta_dirs),
+                    ["band_id", "band_hash"],
                 ).select("doc_b", "doc_c")
             )
         return cands.distinct()
@@ -4494,9 +4558,10 @@ def _embedding_cross_candidates(
                 F.col("vec_id").alias("vec_b"), "band", "bucket"
             )
             cands = cands.unionByName(
-                bb.join(F.broadcast(delta), ["band", "bucket"]).select(
-                    "vec_a", "vec_b"
-                )
+                bb.join(
+                    _broadcast_if_small(spark, delta, delta_dirs),
+                    ["band", "bucket"],
+                ).select("vec_a", "vec_b")
             )
         return cands.distinct()
     if has_committed_parquet(bands_dir):
@@ -4526,12 +4591,21 @@ def _serving_bench_state(
     content-checked on every construction (partitions committed, base
     + fold ledger present with exactly {b1}) — the registry's
     documented EAGER cache-lifecycle pattern, so bench's timed reps
-    measure the SERVING probe, not the state build."""
+    measure the SERVING probe, not the state build.
+
+    Concurrency (VERDICT r11 item 4): the shared-by-design temp-dir
+    state is keyed only by sf_dir, so two sessions (the driver's
+    bench plus a stray pytest) can construct simultaneously. The
+    BUILD is serialized through an exclusive ``flock`` on
+    ``<index_dir>.lock`` with the content check re-run after the
+    lock is granted — the loser of the race re-checks, finds the
+    winner's committed state, and builds nothing. Sessions that only
+    READ are not blocked; a reader overlapping a rebuild degrades to
+    the flat probe per the three-step fold protocol (correct, merely
+    corpus-shaped)."""
     import hashlib
     import os
     import tempfile
-
-    from mpi_mapreduce_spark.sources.io import has_committed_parquet
 
     key = hashlib.sha256(
         os.path.abspath(sf_dir).encode()
@@ -4540,8 +4614,62 @@ def _serving_bench_state(
         tempfile.gettempdir(), f"spark_graft_serving_{key}"
     )
     tbl = _serving_table(index_dir, "grams")
+
+    if _serving_state_ok(spark, index_dir, tbl):
+        return index_dir, tbl
+
+    import fcntl
+
+    lock_path = f"{index_dir}.lock"
+    with open(lock_path, "w") as lock_fd:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        try:
+            # the race loser lands here AFTER the winner committed:
+            # re-check before (re)building over live shared state
+            if _serving_state_ok(spark, index_dir, tbl):
+                return index_dir, tbl
+            docs = _docs(spark, sf_dir)
+            corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+            substring_gram_index_rows(
+                corpus.where(F.col("doc_id") % 3 != 2)
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "batch=b1")
+            )
+            substring_gram_index_rows(
+                corpus.where(F.col("doc_id") % 3 == 2)
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, "batch=b2")
+            )
+            _fold_3step(
+                spark,
+                tbl,
+                ["b1"],
+                lambda: compact_gram_index_bucketed(
+                    spark,
+                    index_dir,
+                    tbl,
+                    paths=[os.path.join(index_dir, "batch=b1")],
+                    path=os.path.join(index_dir, "_base"),
+                ),
+                ledger_path=os.path.join(index_dir, "_base_folded"),
+            )
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+    return index_dir, tbl
+
+
+def _serving_state_ok(
+    spark: SparkSession, index_dir: str, tbl: str
+) -> bool:
+    """The serving-state content check (see _serving_bench_state):
+    both batch partitions committed, base + fold ledger registered in
+    THIS session's catalog, ledger holding exactly the folded key."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
     ledger_tbl = f"{tbl}_folded"
-    ok = (
+    return (
         has_committed_parquet(os.path.join(index_dir, "batch=b1"))
         and has_committed_parquet(os.path.join(index_dir, "batch=b2"))
         and spark.catalog.tableExists(tbl)
@@ -4549,33 +4677,6 @@ def _serving_bench_state(
         and {r.batch_key for r in spark.table(ledger_tbl).collect()}
         == {"b1"}
     )
-    if not ok:
-        docs = _docs(spark, sf_dir)
-        corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
-        substring_gram_index_rows(
-            corpus.where(F.col("doc_id") % 3 != 2)
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "batch=b1")
-        )
-        substring_gram_index_rows(
-            corpus.where(F.col("doc_id") % 3 == 2)
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "batch=b2")
-        )
-        _fold_3step(
-            spark,
-            tbl,
-            ["b1"],
-            lambda: compact_gram_index_bucketed(
-                spark,
-                index_dir,
-                tbl,
-                paths=[os.path.join(index_dir, "batch=b1")],
-                path=os.path.join(index_dir, "_base"),
-            ),
-            ledger_path=os.path.join(index_dir, "_base_folded"),
-        )
-    return index_dir, tbl
 
 
 def substring_serving_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4759,7 +4860,8 @@ def minhash_incremental_candidates_production(
         .select("doc_b", "doc_c")
         .unionByName(
             bands_b.join(
-                F.broadcast(delta_bands), ["band_id", "band_hash"]
+                _broadcast_if_small(spark, delta_bands, delta_dirs),
+                ["band_id", "band_hash"],
             ).select("doc_b", "doc_c")
         )
         .distinct()
@@ -4906,8 +5008,12 @@ def embedding_incremental_candidates_production(
         ["band", "bucket"],
     ).select("vec_a", "vec_b")
     delta_side = bb.join(
-        F.broadcast(
-            deltas.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        _broadcast_if_small(
+            spark,
+            deltas.select(
+                F.col("vec_id").alias("vec_b"), "band", "bucket"
+            ),
+            delta_dirs,
         ),
         ["band", "bucket"],
     ).select("vec_a", "vec_b")

@@ -1949,9 +1949,14 @@ def make_jpeg_codec():
                         if a == 0:
                             run += 1
                             continue
-                        if a > 1:  # already significant at Al+1
-                            pending.append(a & 1)
-                            continue
+                        # Emit pending ZRLs BEFORE branching on
+                        # already-significant (ADVICE r12 high,
+                        # matching libjpeg encode_mcu_AC_refine): the
+                        # decoder consumes correction bits per 16-zero
+                        # ZRL span, so an already-significant
+                        # coefficient sitting past the 16th zero must
+                        # see its ZRL first or the bitstream
+                        # desynchronizes and decodes to wrong pixels.
                         while run > 15:
                             c, ln = _ac_codes[0xF0]
                             wtr.put(c, ln)
@@ -1959,6 +1964,9 @@ def make_jpeg_codec():
                                 wtr.put(b2, 1)
                             pending = []
                             run -= 16
+                        if a > 1:  # already significant at Al+1
+                            pending.append(a & 1)
+                            continue
                         c, ln = _ac_codes[(run << 4) | 1]
                         wtr.put(c, ln)
                         wtr.put(1 if v > 0 else 0, 1)
@@ -3105,12 +3113,23 @@ ORACLE["multimodal_jpeg_progressive_decode"] = ORACLE[
 
 # the 12-bit fixtures use the SAME generating formulas and YCbCr
 # matrix with the sample constants widened: mod 256 -> 4096, chroma
-# center 128 -> 2048, clamp ceiling 255 -> 4095
-ORACLE["multimodal_jpeg12_decode"] = (
-    ORACLE["multimodal_jpeg_decode"]
-    .replace("% 256", "% 4096")
-    .replace("- 128.0)", "- 2048.0)")
-    .replace("LEAST(255,", "LEAST(4095,")
-)
-if ORACLE["multimodal_jpeg12_decode"] == ORACLE["multimodal_jpeg_decode"]:
-    raise AssertionError("12-bit oracle rewrite did not apply")
+# center 128 -> 2048, clamp ceiling 255 -> 4095. Each substitution is
+# asserted INDIVIDUALLY (ADVICE r12 low): a differs-from-original
+# check passes when just one of the three applied, so a spelling
+# drift in the baseline oracle would mint a silently wrong 12-bit
+# oracle.
+ORACLE["multimodal_jpeg12_decode"] = ORACLE["multimodal_jpeg_decode"]
+for _pat, _sub in (
+    ("% 256", "% 4096"),
+    ("- 128.0)", "- 2048.0)"),
+    ("LEAST(255,", "LEAST(4095,"),
+):
+    if _pat not in ORACLE["multimodal_jpeg12_decode"]:
+        raise AssertionError(
+            f"12-bit oracle rewrite: pattern {_pat!r} not found in the"
+            " baseline oracle (spelling drift?)"
+        )
+    ORACLE["multimodal_jpeg12_decode"] = ORACLE[
+        "multimodal_jpeg12_decode"
+    ].replace(_pat, _sub)
+del _pat, _sub

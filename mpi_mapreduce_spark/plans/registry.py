@@ -116,88 +116,86 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-11 window (the driver checks the first DRIVER_CAP registered
-#: queries — this list IS that window, asserted in _build). Keeps the
-#: ≤3-round freshness invariant: after round 11 no query's newest
-#: green driver row predates round 8.
-#: - late additions from round 10, attest first as promised by the
-#:   r10 window note (4): multimodal_jpeg_decode and the three PNG
-#:   depth/interlace completions — builder-attested at 3 scales last
-#:   round and judge-verified 4/4 at sf0.01, never driver-sampled.
-#: - rotation (43): the entire round-7 tier (VERDICT r10 item 4) —
-#:   derived by newest-green over CORRECTNESS_r01..r10 (exactly 43
-#:   queries: the streaming batch twins, the remaining TPC-H trio,
-#:   the incremental-dedup family, multimodal wav/bmp/resize/energy,
-#:   the weighted samplers, the analytics tail, the three remaining
-#:   LSH validate twins).
-#: - fillers (3) from the 49-query r8 tier, chosen heavy: the
-#:   flagship q1, and the two most expensive bench queries
-#:   (pipeline_canonical_containment, dedup_canonical_corpus) so the
-#:   costliest plans carry fresh driver attestations.
+#: Round-12 window (the driver checks the first DRIVER_CAP registered
+#: queries — this list IS that window, asserted in _build).
+#: - late additions from round 11, attest first as promised by the
+#:   r11 window note (7): the substring serving pair, the Matryoshka
+#:   audit, the Kneser-Ney scorer, the source-overlap matrix, and the
+#:   progressive/12-bit JPEG decodes — builder-attested at 3 scales
+#:   last round and judge-verified 7/7 at sf0.01, never
+#:   driver-sampled.
+#: - rotation (43): the round-8 tier (VERDICT r11 item 3) — derived
+#:   by newest-green over CORRECTNESS_r01..r11 (46 queries), minus
+#:   the three held out below.
+#: - held out (3, the 50-slot cap forces it: 7 late + 46 tier = 53):
+#:   map1_charclass / map2_letterfreq / map3_synthetic — chosen
+#:   because they are the only tier members with BYTE-EXACT reference
+#:   golden coverage in pytest (refjob.py end-to-end goldens), an
+#:   independent attestation stronger than the driver's DuckDB hash.
+#:   They are builder-attested this round via tools/rehearse.py at
+#:   sf0.01 and are FIRST IN LINE for the round-13 window.
 _ROUND_PRIORITY = [
-    # -- r10 late additions: attest first (4) --
-    "multimodal_jpeg_decode",
-    "multimodal_png_palette_alpha",
-    "multimodal_png_interlaced_16bit",
-    "multimodal_png_subbyte",
-    # -- rotation: newest green row is round 7 (43) --
-    "ann_lsh_topk",
-    "approx_distinct_counts",
-    "approx_percentile_order_prices",
-    "cdc_orders_snapshot_diff",
-    "cdc_user_value_scd2",
-    "customer_pseudonymize",
-    "customer_rfm_segments",
-    "dedup_embedding_lsh_validate",
-    "dedup_incremental",
-    "dedup_incremental_minhash_validate",
-    "dq_audit_orders",
-    "dq_profile_documents",
-    "embedding_label_outliers",
-    "events_asof_next_purchase",
-    "events_enriched_by_segment",
-    "events_first_per_user_type",
-    "events_interarrival_stats",
-    "events_ohlc_bars",
-    "events_resampled_gapfill",
-    "events_retention_cohorts",
-    "events_salted_type_stats",
-    "events_session_stats",
-    "events_sliding_counts",
-    "events_transition_matrix",
-    "events_trending_types",
-    "events_tumbling_counts",
-    "events_user_totals",
-    "events_value_anomalies",
-    "multimodal_bmp_decode",
-    "multimodal_frame_energy",
-    "multimodal_resize",
-    "multimodal_wav_decode",
-    "order_price_histogram",
-    "orders_cohort_ltv",
-    "orders_market_basket",
-    "pipeline_canonical_minhash_validate",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_customer_balances",
-    "text_pii_redaction",
-    "training_domain_quota",
-    "training_weighted_sample",
-    "training_weighted_sample_per_lang",
-    # -- fillers: heavy rows from the (next-oldest) r8 tier (3) --
-    "q1_pricing_summary",
-    "pipeline_canonical_containment",
-    "dedup_canonical_corpus",
+    # -- r11 late additions: attest first (7) --
+    "substring_serving_flat",
+    "substring_serving_tiered",
+    "embedding_matryoshka_quality",
+    "text_kn_bigram_score",
+    "text_source_overlap",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_jpeg12_decode",
+    # -- rotation: newest green row is round 8 (43 of 46) --
+    "ann_int8_topk",
+    "ann_ivf_assign_batch",
+    "ann_ivf_cells",
+    "ann_ivf_centroids",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "customer_name_fuzzy_pairs",
+    "dedup_embedding",
+    "dedup_embedding_auto",
+    "dedup_incremental_embedding_validate",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_ngrams",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "dedup_substring_stats",
+    "dedup_substring_strip",
+    "dq_skew_report_events",
+    "embedding_bucket_index",
+    "embedding_covariance",
+    "embedding_hard_negatives",
+    "embedding_int8_quantize",
+    "embedding_kmeans",
+    "embedding_pq_codes",
+    "events_quantile_sketch",
+    "events_seasonal_profile",
+    "events_user_value_ewma",
+    "multimodal_audio_decimate",
+    "multimodal_pixel_histogram",
+    "parts_abc_revenue",
+    "q3_shipping_priority",
+    "text_bm25_topk",
+    "text_boilerplate_strip",
+    "text_bpe_encode",
+    "text_bpe_fertility_by_lang",
+    "text_bpe_train_merges",
+    "text_unigram_entropy",
+    "training_dsir_resample",
+    "training_epoch_shard",
+    "training_quality_logreg",
+    "training_shard_manifest",
+    "training_split_cluster_safe",
+    "window_topk_suppliers",
+    "wordcount",
 ]
-# With this window every registered query's newest green driver row
-# will be round 8+ (remaining tiers after r11: r8:46 / r9:49 /
-# r10:50 — recompute from CORRECTNESS_r01..r11 as always); the
-# rows-only LSH paths stay green-by-twin per their contract. Any
-# query REGISTERED in round 11 after this window froze follows the
-# established late-addition handling: builder-attested this round
-# (hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
-# tools/rehearse.py + the oracle harness, plus the round-end full
-# sweeps), FIRST IN LINE for the round-12 window.
+# After round 12 the newest-green histogram is r8:3 (the held-out
+# golden-covered trio) / r9:49 / r10:50 / r11:50 / r12:50 — the
+# 208-query registry cannot cycle through a 50-slot window in under
+# ~4.2 rounds, so a strict less-than-4-round bound is structurally
+# unreachable; the held-out trio plus any queries REGISTERED in round
+# 12 after this window froze are builder-attested this round
+# (hash-green vs their DuckDB oracles via tools/rehearse.py) and go
+# FIRST IN LINE for the round-13 window.
 
 
 def _promote(names: list[str]) -> None:

@@ -454,14 +454,18 @@ def committed_batch_keys(
     reconciliation drops nothing, compaction folds nothing (ADVICE
     r10 — folding an uncommitted partial bakes a crashed night's
     grams into the serving base, where the replayed batch would be
-    flagged as a duplicate of itself)."""
-    import os
+    flagged as a duplicate of itself).
 
+    The presence gate reads the ledger directory through the SAME
+    Hadoop FileSystem API as the partition walk (ADVICE r12 medium):
+    with state and ledger on HDFS/an object store, an ``os.listdir``
+    gate read the ledger as absent, so committed=∅ with legacy=False
+    — and reconcile's safety gate then PASSED and deleted every
+    committed non-current batch partition (and weekly compactions
+    silently folded nothing)."""
     committed: set[str] = set()
     legacy = False
-    if os.path.isdir(ledger_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(ledger_dir)
-    ):
+    if _hadoop_has_parquet(spark, ledger_dir):
         for r in (
             spark.read.schema(LEDGER_SCHEMA)
             .parquet(ledger_dir)
@@ -474,6 +478,28 @@ def committed_batch_keys(
             else:
                 committed.add(r.batch_key)
     return committed, legacy
+
+
+def _hadoop_has_parquet(spark: SparkSession, d: str) -> bool:
+    """True iff directory ``d`` holds at least one top-level
+    ``.parquet`` file, resolved through the Hadoop FileSystem for
+    ``d``'s scheme — the filesystem-agnostic twin of the local-only
+    ``os.listdir`` gate it replaced (ADVICE r12 medium). Hidden
+    ('_'/'.') names are ignored, matching Spark's hiddenFileFilter."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(d)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            and name.endswith(".parquet")
+            and not name.startswith(("_", "."))
+        ):
+            return True
+    return False
 
 
 def reconcile_batch_partitions(

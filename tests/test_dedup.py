@@ -2417,3 +2417,134 @@ def test_nightly_substring_crash_replay_idempotent(spark, tmp_path):
     assert [os.path.basename(f) for f in f3] == ["n2.parquet"]
     assert {tuple(r) for r in d3.collect()} == first
     assert spark.read.parquet(index).count() == n_rows
+
+
+def test_serving_bench_state_halfwritten_and_lock(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r11 item 4: the shared temp-dir serving state behind
+    the bench pair must survive (a) a half-written build — content
+    check fails, state is rebuilt — and (b) a concurrent builder —
+    the build serializes on the flock, the loser re-checks and
+    builds nothing over the winner's live state."""
+    import os
+    import tempfile
+    import threading
+    import fcntl
+
+    import mpi_mapreduce_spark.operators.dedup as D
+
+    # isolate the shared state under tmp_path (the table name is
+    # derived from the index path, so no catalog collision either)
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+
+    index_dir, tbl = D._serving_bench_state(spark, sf_dir)
+    assert index_dir.startswith(str(tmp_path))
+    assert D._serving_state_ok(spark, index_dir, tbl)
+    flat = {
+        tuple(r)
+        for r in D.substring_serving_flat(spark, sf_dir).collect()
+    }
+    tiered = {
+        tuple(r)
+        for r in D.substring_serving_tiered(spark, sf_dir).collect()
+    }
+    assert flat == tiered
+
+    # (a) half-written: a batch partition holding only in-flight
+    # _temporary task attempts is a crashed writer; the content check
+    # must reject (hidden-prefixed files don't count) and rebuild
+    def _tear_partition(part: str) -> None:
+        import shutil
+
+        d = os.path.join(index_dir, part)
+        shutil.rmtree(d)
+        os.makedirs(os.path.join(d, "_temporary"))
+        open(
+            os.path.join(d, "_temporary", "part-000.parquet"), "w"
+        ).close()
+
+    _tear_partition("batch=b2")
+    assert not D._serving_state_ok(spark, index_dir, tbl)
+    i2, t2 = D._serving_bench_state(spark, sf_dir)
+    assert (i2, t2) == (index_dir, tbl)
+    assert D._serving_state_ok(spark, index_dir, tbl)
+
+    # (b) concurrent builder: while another holder owns the flock the
+    # rebuild must wait (flock conflicts across distinct fds even in
+    # one process); after release it completes and the state is green
+    _tear_partition("batch=b2")
+    lock_fd = open(f"{index_dir}.lock", "w")
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def _worker():
+        try:
+            D._serving_bench_state(spark, sf_dir)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_worker, daemon=True)
+    t.start()
+    assert not done.wait(2.0), "builder ignored a held build lock"
+    fcntl.flock(lock_fd, fcntl.LOCK_UN)
+    lock_fd.close()
+    assert done.wait(120.0), "builder never finished after release"
+    t.join(5.0)
+    assert not err, err
+    assert D._serving_state_ok(spark, index_dir, tbl)
+
+
+def test_delta_broadcast_size_gate(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12 (low): the broadcast-delta serving tier is gated on
+    the delta partitions' on-disk BYTES, not only the weekly policy's
+    delta COUNT — above the cap the tier falls back to a plain
+    shuffle join (same results, no 8 GB-broadcast / driver-heap
+    hazard at 100 TB)."""
+    docs = D._docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % D.INCR_BATCH_MOD == 0)
+    delta_dir = str(tmp_path / "batch=bDELTA")
+    D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 1)
+    ).write.parquet(delta_dir)
+
+    # the gate itself: metadata-only, honest about the footprint
+    assert D._delta_dirs_small(spark, [delta_dir])
+    assert not D._delta_dirs_small(spark, [delta_dir], limit=1)
+    assert D._delta_dirs_small(spark, [])
+
+    base_grams = D.substring_gram_index_rows(
+        corpus.where(F.col("doc_id") % 2 == 0)
+    )
+    delta_grams = spark.read.parquet(delta_dir).select("s")
+    from mpi_mapreduce_spark.sources.io import write_bucketed
+
+    try:
+        write_bucketed(
+            base_grams, "b_gate_base", D.GRAM_INDEX_BUCKETS, ["s"],
+            sort_cols=["s"], path=str(tmp_path / "b_base"),
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            big = D.incremental_span_rows_tiered(
+                spark, batch, "b_gate_base", deltas=delta_grams,
+                broadcast_deltas=False,
+            )
+            plan = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan
+            got = {tuple(r) for r in big.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        flat = {
+            tuple(r)
+            for r in D.incremental_span_rows(
+                batch,
+                corpus_grams=base_grams.unionByName(delta_grams),
+            ).collect()
+        }
+        assert got == flat and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_gate_base")

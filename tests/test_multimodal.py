@@ -974,3 +974,59 @@ def test_jpeg_12bit_extended_sequential():
     # fixture builder refuses the (unscheduled) progressive 12-bit mix
     with pytest.raises(ValueError, match="8-bit"):
         build(1, "gray", progressive=True, precision=12)
+
+
+def test_jpeg_progressive_ac_refine_zrl_before_correction_bit():
+    """ADVICE r12 (high): an already-significant coefficient (|c|>1)
+    sitting past the 16th zero of a >15-zero run that precedes a
+    newly-significant one must see its ZRL emitted BEFORE its
+    correction bit is buffered (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine) — the refinement decoder consumes
+    correction bits per 16-zero ZRL span, so the old ordering
+    desynchronized the bitstream and decoded to wrong pixels
+    silently. Crafted zigzag block: 17 zeros, |c|=2, zeros, |c|=1."""
+    import math
+
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode, encode_prog = make_jpeg_codec()
+
+    A = np.array(
+        [
+            [
+                0.5
+                * ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
+        ),
+    )
+    want = np.zeros(64, dtype=np.int64)
+    want[18] = 2  # already significant at Al=1 (2 >> 1 == 1) ...
+    want[25] = 1  # ... preceding a newly-significant |c| == 1
+    qtab = np.full((8, 8), 16, dtype=np.int64)
+    S = np.zeros((8, 8))
+    for k, (r, c) in enumerate(zz):
+        S[r, c] = want[k] * 16.0
+    plane = np.rint(A.T @ S @ A + 128.0).astype(np.int64)
+
+    # self-check: the rounded integer plane really quantizes back to
+    # the crafted pattern (otherwise the case silently tests nothing)
+    got = np.floor((A @ (plane - 128.0) @ A.T) / qtab + 0.5).astype(
+        np.int64
+    )
+    assert [int(got[r, c]) for (r, c) in zz] == want.tolist()
+
+    base = parse(encode([plane], [(1, 1)], qtab=qtab))
+    prog = parse(encode_prog([plane], [(1, 1)], qtab=qtab))
+    assert np.array_equal(base["gray"], prog["gray"])

@@ -688,3 +688,38 @@ def test_maybe_weekly_compaction_policy(spark, tmp_path):
         )
     finally:
         _drop_serving_tables(spark, state)
+
+
+def test_reconcile_ledger_gate_uses_hadoop_fs(spark, tmp_path):
+    """ADVICE r12 (medium): the ledger presence gate must read the
+    ledger through the SAME Hadoop FileSystem API as the partition
+    walk. A ``file:`` scheme URI is the in-container proxy for a
+    non-local filesystem: the old ``os.listdir`` gate saw it as
+    absent (committed=∅, legacy=False), so reconcile's safety gate
+    passed and deleted every committed non-current partition."""
+    from mpi_mapreduce_spark.sources.io import (
+        committed_batch_keys,
+        record_ingested,
+        reconcile_batch_partitions,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    idx = str(tmp_path / "idx")
+    f = tmp_path / "n1.txt"
+    f.write_text("payload")
+    record_ingested(spark, ledger, [str(f)], batch_key="bOLD")
+    spark.createDataFrame([("g1 g2",)], "s string").write.parquet(
+        os.path.join(idx, "batch=bOLD")
+    )
+
+    ledger_uri = f"file:{ledger}"
+    committed, legacy = committed_batch_keys(spark, ledger_uri)
+    assert committed == {"bOLD"} and not legacy
+
+    # the committed partition must survive a reconcile whose ledger
+    # arrives as a URI (both sides now see the same filesystem)
+    dropped = reconcile_batch_partitions(
+        spark, ledger_uri, [idx], {"bNEW"}
+    )
+    assert dropped == []
+    assert os.path.isdir(os.path.join(idx, "batch=bOLD"))
