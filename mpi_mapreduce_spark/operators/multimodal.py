@@ -1518,9 +1518,12 @@ def make_jpeg_codec():
     replication, and JFIF YCbCr→RGB (floor(x+0.5) rounding, mirrored
     verbatim in the oracle SQL). Grayscale, 4:4:4 and 4:2:0 all
     decode; progressive (SOF2) decodes through the multi-scan path
-    (round 11 — see ``encode_progressive``); other non-baseline
-    processes, arithmetic coding and 12-bit precision raise
-    NotImplementedError (different entropy coders); everything
+    (round 11 — see ``encode_progressive``); 12-bit precision rides
+    the same paths (round 11); sequential ARITHMETIC coding (SOF9)
+    encodes and decodes through the T.81 QM coder (round 12 — see
+    ``encode_arith``); the remaining processes — progressive
+    arithmetic (SOF10), differential/hierarchical, lossless — raise
+    NotImplementedError; everything
     malformed — bad SOI, truncated segments or entropy stream, a
     marker inside the entropy segment, missing quant/Huffman tables,
     invalid Huffman codes, DC category overflow, AC index overrun,
@@ -1988,11 +1991,539 @@ def make_jpeg_codec():
         out += b"\xff\xd9"
         return bytes(out)
 
+    # ------------------------------------------------------------------
+    # Arithmetic coding — the T.81 QM coder (Annexes D, E, F), round 12.
+    # Closes the last declared JPEG entropy-coder boundary: SOF9
+    # extended-sequential arithmetic encode + decode, pure stdlib math.
+    # In-container validation is encoder<->decoder round-trip equality
+    # against the Huffman baseline decode of the same planes (lossless
+    # given the same quantizer, so pixels must match bit-exactly) plus
+    # the registered query's closed-form oracle; no external codec
+    # exists in this environment to cross-check bitstream interop.
+    # ------------------------------------------------------------------
+
+    #: T.81 Table D.3: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS)
+    #: per probability-estimation state, plus the NON-adaptive sign bin
+    #: (index 113, Qe=0.5, self-looping) F.1.4.4.1.2 uses for AC signs.
+    _QM = [
+        (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+        (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+        (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+        (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+        (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+        (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+        (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+        (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+        (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+        (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+        (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+        (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+        (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+        (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+        (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+        (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+        (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+        (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+        (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+        (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+        (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+        (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+        (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+        (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+        (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+        (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+        (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+        (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+        (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+        (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+        (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+        (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+        (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+        (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+        (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+        (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+        (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+        (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+        # index 113: the fixed (non-adaptive) equiprobable bin
+        (0x5A1D, 113, 113, 0),
+    ]
+
+    #: default conditioning (T.81 Table F.5 defaults): DC thresholds
+    #: L=0 / U=1, AC high/low-frequency split Kx=5
+    _ARITH_DC_L, _ARITH_DC_U, _ARITH_AC_KX = 0, 1, 5
+
+    class _ArithEncoder:
+        """QM encoder registers per T.81 D.1: 16-bit interval A
+        (0x10000 at init), code register C drained through the
+        bit-19 window, CT shift countdown, byte buffer + stacked-0xFF
+        carry pipeline (D.1.8), 0xFF00 byte stuffing on output.
+        Statistics bins live in caller-owned bytearrays: bit 7 = MPS
+        sense, bits 0-6 = Table D.3 state index."""
+
+        def __init__(self):
+            self.a = 0x10000
+            self.c = 0
+            self.ct = 11
+            self.buf = None  # no byte buffered yet
+            self.sx = 0  # stacked 0xFF bytes awaiting carry resolution
+            self.out = bytearray()
+
+        def _emit(self, b: int) -> None:
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+        def _byteout(self) -> None:
+            t = self.c >> 19
+            self.c &= 0x7FFFF
+            if t > 0xFF:
+                # carry: ripples through every stacked 0xFF (-> 0x00)
+                # into the buffered byte; a second carry into the same
+                # position is impossible (the code value left after a
+                # carry is strictly below one unit in that place)
+                if self.buf is not None:
+                    self._emit(self.buf + 1)
+                for _ in range(self.sx):
+                    self._emit(0x00)
+                self.sx = 0
+                self.buf = t & 0xFF
+            elif t == 0xFF:
+                self.sx += 1  # a future carry may still flip it
+            else:
+                if self.buf is not None:
+                    self._emit(self.buf)
+                for _ in range(self.sx):
+                    self._emit(0xFF)  # _emit appends the 0x00 stuff
+                self.sx = 0
+                self.buf = t
+
+        def code(self, st: bytearray, i: int, bit: int) -> None:
+            """Code one binary decision against statistics bin i."""
+            sv = st[i]
+            mps = sv >> 7
+            qe, nlps, nmps, sw = _QM[sv & 0x7F]
+            self.a -= qe
+            if bit == mps:
+                if self.a >= 0x8000:
+                    return  # no renormalization, no state change
+                if self.a < qe:  # conditional exchange
+                    self.c += self.a
+                    self.a = qe
+                st[i] = (mps << 7) | nmps
+            else:
+                if self.a >= qe:  # plain LPS: the top subinterval
+                    self.c += self.a
+                    self.a = qe
+                # else conditional exchange: keep the bottom interval
+                if sw:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            while self.a < 0x8000:  # RENORME
+                self.a <<= 1
+                self.c <<= 1
+                self.ct -= 1
+                if self.ct == 0:
+                    self._byteout()
+                    self.ct = 8
+
+        def flush(self) -> bytes:
+            # CLEARBITS (D.1.9): zero as many low C bits as the final
+            # interval allows, then push the rest through the window
+            t = (self.c + self.a - 1) & ~0xFFFF
+            if t < self.c:
+                t += 0x8000
+            self.c = t
+            self.c <<= self.ct
+            self._byteout()
+            self.c <<= 8
+            self._byteout()
+            if self.buf is not None:
+                self._emit(self.buf)
+            for _ in range(self.sx):
+                self._emit(0xFF)
+            self.sx = 0
+            self.buf = None
+            return bytes(self.out)
+
+    class _ArithDecoder:
+        """QM decoder mirroring _ArithEncoder bit-for-bit: the code
+        value rides in c_high against the same A discipline; bytes
+        feed MSB-first with 0xFF00 de-stuffing, and per T.81 the
+        decoder supplies ZERO bits once a marker is reached (markers
+        inside arithmetic entropy data are legal stream ends, unlike
+        the Huffman path)."""
+
+        def __init__(self, data: bytes, pos: int):
+            self.data = data
+            self.bp = pos
+            self.acc = 0
+            self.nbits = 0
+            self.marker_pos: int | None = None
+            self.a = 0x10000
+            self.c_high = 0
+            for _ in range(16):
+                self.c_high = (self.c_high << 1) | self._bit()
+
+        def _byte(self) -> int:
+            if self.marker_pos is not None:
+                return 0  # zero-feed past the marker
+            if self.bp >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.bp]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.bp + 1]
+                    if self.bp + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.bp += 2  # stuffed 0xFF00 -> literal 0xFF
+                    return 0xFF
+                self.marker_pos = self.bp
+                return 0
+            self.bp += 1
+            return b
+
+        def _bit(self) -> int:
+            if self.nbits == 0:
+                self.acc = self._byte()
+                self.nbits = 8
+            self.nbits -= 1
+            return (self.acc >> self.nbits) & 1
+
+        def decode(self, st: bytearray, i: int) -> int:
+            sv = st[i]
+            mps = sv >> 7
+            qe, nlps, nmps, sw = _QM[sv & 0x7F]
+            self.a -= qe
+            if self.c_high < self.a:
+                if self.a >= 0x8000:
+                    return mps
+                if self.a < qe:  # MPS_EXCHANGE: roles swapped
+                    bit = mps ^ 1
+                    if sw:
+                        mps ^= 1
+                    st[i] = (mps << 7) | nlps
+                else:
+                    bit = mps
+                    st[i] = (mps << 7) | nmps
+            else:
+                self.c_high -= self.a
+                bottom = self.a
+                self.a = qe
+                if bottom < qe:  # LPS_EXCHANGE: roles swapped
+                    bit = mps
+                    st[i] = (mps << 7) | nmps
+                else:
+                    bit = mps ^ 1
+                    if sw:
+                        mps ^= 1
+                    st[i] = (mps << 7) | nlps
+            while self.a < 0x8000:  # RENORMD
+                self.a <<= 1
+                self.c_high = (self.c_high << 1) | self._bit()
+            return bit
+
+    def _arith_enc_dc(enc, dc_st, dc_ctx, ci, diff, L, U) -> None:
+        """Encode one DC difference per F.1.4.1/F.1.4.4.1: zero/sign
+        decisions in the 4-bin group picked by the previous diff's
+        conditioning category, magnitude-category chain at X1=20,
+        magnitude bits 14 bins above the chain terminator."""
+        s0 = dc_ctx[ci]
+        if diff == 0:
+            enc.code(dc_st, s0, 0)
+            dc_ctx[ci] = 0
+            return
+        enc.code(dc_st, s0, 1)
+        sign = 1 if diff < 0 else 0
+        enc.code(dc_st, s0 + 1, sign)
+        v = (-diff if sign else diff) - 1
+        st = s0 + 2 + sign
+        m = 0
+        if v:
+            enc.code(dc_st, st, 1)
+            m = 1
+            st = 20
+            v2 = v
+            while v2 >> 1:
+                v2 >>= 1
+                enc.code(dc_st, st, 1)
+                m <<= 1
+                st += 1
+        enc.code(dc_st, st, 0)
+        if m < (1 << L) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << U) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        st += 14
+        while m >> 1:
+            m >>= 1
+            enc.code(dc_st, st, 1 if (v & m) else 0)
+
+    def _arith_dec_dc(dec, dc_st, dc_ctx, ci, L, U, prec) -> int:
+        """Decode one DC difference (mirror of _arith_enc_dc)."""
+        s0 = dc_ctx[ci]
+        if dec.decode(dc_st, s0) == 0:
+            dc_ctx[ci] = 0
+            return 0
+        sign = dec.decode(dc_st, s0 + 1)
+        st = s0 + 2 + sign
+        m = dec.decode(dc_st, st)
+        if m:
+            st = 20
+            while dec.decode(dc_st, st):
+                m <<= 1
+                if m > (1 << (prec + 2)):
+                    raise ValueError("JPEG arithmetic DC magnitude overflow")
+                st += 1
+        if m < (1 << L) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << U) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(dc_st, st):
+                v |= m
+        v += 1
+        return -v if sign else v
+
+    def _arith_enc_ac(enc, ac_st, fixed, zzvals, kx) -> None:
+        """Encode one block's AC coefficients (zigzag order, 63
+        entries) per F.1.4.2/F.1.4.4.2: per-index (EOB, zero/nonzero,
+        magnitude>1) bin triples, fixed equiprobable sign bin,
+        magnitude chains at 189 (k<=Kx) / 217 (k>Kx)."""
+        ke = 0
+        for i, v in enumerate(zzvals):
+            if v:
+                ke = i + 1  # 1-based k of the last nonzero
+        k = 1
+        while k <= ke:
+            st = 3 * (k - 1)
+            enc.code(ac_st, st, 0)  # not EOB yet
+            while zzvals[k - 1] == 0:
+                enc.code(ac_st, st + 1, 0)
+                st += 3
+                k += 1
+            enc.code(ac_st, st + 1, 1)
+            val = zzvals[k - 1]
+            sign = 1 if val < 0 else 0
+            enc.code(fixed, 0, sign)
+            v = (-val if sign else val) - 1
+            st += 2
+            m = 0
+            if v:
+                enc.code(ac_st, st, 1)
+                m = 1
+                v2 = v
+                if v2 >> 1:
+                    v2 >>= 1
+                    enc.code(ac_st, st, 1)
+                    m <<= 1
+                    st = 189 if k <= kx else 217
+                    while v2 >> 1:
+                        v2 >>= 1
+                        enc.code(ac_st, st, 1)
+                        m <<= 1
+                        st += 1
+            enc.code(ac_st, st, 0)
+            st += 14
+            while m >> 1:
+                m >>= 1
+                enc.code(ac_st, st, 1 if (v & m) else 0)
+            k += 1
+        if ke < 63:
+            enc.code(ac_st, 3 * (ke + 1 - 1), 1)  # EOB decision
+
+    def _arith_dec_ac(dec, ac_st, fixed, kx, prec) -> list:
+        """Decode one block's 63 AC coefficients (mirror of
+        _arith_enc_ac); returns zigzag-ordered values."""
+        zzvals = [0] * 63
+        k = 1
+        while k <= 63:
+            st = 3 * (k - 1)
+            if dec.decode(ac_st, st):
+                break  # EOB
+            while dec.decode(ac_st, st + 1) == 0:
+                st += 3
+                k += 1
+                if k > 63:
+                    raise ValueError("JPEG arithmetic AC index overrun")
+            sign = dec.decode(fixed, 0)
+            st += 2
+            m = dec.decode(ac_st, st)
+            if m:
+                if dec.decode(ac_st, st):
+                    m <<= 1
+                    st = 189 if k <= kx else 217
+                    while dec.decode(ac_st, st):
+                        m <<= 1
+                        if m > (1 << (prec + 2)):
+                            raise ValueError(
+                                "JPEG arithmetic AC magnitude overflow"
+                            )
+                        st += 1
+            v = m
+            st += 14
+            while m >> 1:
+                m >>= 1
+                if dec.decode(ac_st, st):
+                    v |= m
+            v += 1
+            zzvals[k - 1] = -v if sign else v
+            k += 1
+        return zzvals
+
+    def encode_arith(
+        planes,
+        sampling,
+        qtab=None,
+        precision: int = 8,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """ARITHMETIC-coded extended-sequential (SOF9) twin of
+        ``encode``: same FDCT + quantization + zigzag + MCU
+        interleave, entropy coded by the adaptive QM coder instead of
+        canonical Huffman — DAC conditioning segment in place of DHT,
+        byte-stuffed QM bitstream, CLEARBITS flush. Every component
+        scans against statistics table 0 (matching the shared-table
+        Huffman twin); the statistics adapt as the image codes, which
+        is the entire point of the arithmetic option (T.81 Annex F).
+        Lossless for any plane set under an all-ones quantizer, so
+        pixels decode bit-identically to the baseline twin."""
+        import numpy as np
+
+        A = np.asarray(_a_rows)
+        if precision not in (8, 12):
+            raise ValueError(f"unsupported JPEG precision {precision}")
+        if qtab is None:
+            qtab = np.ones((8, 8), dtype=np.int64)
+        qtab = np.asarray(qtab, dtype=np.int64)
+        shift = float(1 << (precision - 1))
+        ncomp = len(planes)
+        hmax = max(hh for hh, vv in sampling)
+        vmax = max(vv for hh, vv in sampling)
+        H, W = planes[0].shape
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        if int(qtab.max()) > 255:
+            out += _segment(
+                0xDB,
+                bytes([0x10])
+                + b"".join(
+                    struct.pack(">H", int(qtab[r][c])) for r, c in _zz
+                ),
+            )
+        else:
+            out += _segment(
+                0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
+            )
+        sof = struct.pack(">BHHB", precision, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xC9, sof)  # SOF9: extended sequential, arith
+        # DAC: DC table 0 conditioning (U<<4 | L), AC table 0 (Kx)
+        out += _segment(
+            0xCC,
+            bytes(
+                [
+                    0x00,
+                    (_ARITH_DC_U << 4) | _ARITH_DC_L,
+                    0x10,
+                    _ARITH_AC_KX,
+                ]
+            ),
+        )
+        if restart_interval:
+            out += _segment(0xDD, struct.pack(">H", restart_interval))
+        sos = bytes([ncomp])
+        for i in range(ncomp):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += _segment(0xDA, sos)
+
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        padded_planes = []
+        for (hh, vv), plane in zip(sampling, planes):
+            bw, bh = mcux * hh, mcuy * vv
+            padded = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            ph, pw = plane.shape
+            padded[:ph, :pw] = plane
+            if pw < bw * 8:
+                padded[:ph, pw:] = np.asarray(plane)[:, -1:]
+            if ph < bh * 8:
+                padded[ph:, :] = padded[ph - 1 : ph, :]
+            padded_planes.append(padded)
+
+        enc = _ArithEncoder()
+        dc_st = bytearray(64)
+        ac_st = bytearray(256)
+        fixed = bytearray([113])
+        dc_ctx = [0] * ncomp
+        pred = [0] * ncomp
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    # F.1.4.4: a restart flushes and REINITIALIZES the
+                    # coder, every statistics area and the DC state
+                    out += enc.flush()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    enc = _ArithEncoder()
+                    dc_st = bytearray(64)
+                    ac_st = bytearray(256)
+                    dc_ctx = [0] * ncomp
+                    pred = [0] * ncomp
+                for ci, (hh, vv) in enumerate(sampling):
+                    for by in range(vv):
+                        for bx in range(hh):
+                            y0 = (my * vv + by) * 8
+                            x0 = (mx * hh + bx) * 8
+                            blk = padded_planes[ci][
+                                y0 : y0 + 8, x0 : x0 + 8
+                            ]
+                            S = A @ (blk.astype(np.float64) - shift) @ A.T
+                            q = np.floor(S / qtab + 0.5).astype(np.int64)
+                            diff = int(q[0, 0]) - pred[ci]
+                            pred[ci] = int(q[0, 0])
+                            _arith_enc_dc(
+                                enc,
+                                dc_st,
+                                dc_ctx,
+                                ci,
+                                diff,
+                                _ARITH_DC_L,
+                                _ARITH_DC_U,
+                            )
+                            zzvals = [
+                                int(q[r, c2]) for (r, c2) in _zz[1:]
+                            ]
+                            _arith_enc_ac(
+                                enc, ac_st, fixed, zzvals, _ARITH_AC_KX
+                            )
+                mcu_count += 1
+        out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     def build(
         doc_id: int,
         mode: str = "gray",
         progressive: bool = False,
         precision: int = 8,
+        arithmetic: bool = False,
     ) -> bytes:
         """Oracle fixture: per-8×8-block constant planes (per-MCU
         constant chroma at 4:2:0), one generating formula per plane,
@@ -2001,17 +2532,25 @@ def make_jpeg_codec():
         reconstructs coefficients exactly, so the decoded pixels — and
         therefore the oracle — are identical to the baseline's).
         ``precision`` 12 widens the same generating formulas to
-        mod-4096 samples and emits extended-sequential SOF1."""
+        mod-4096 samples and emits extended-sequential SOF1.
+        ``arithmetic`` encodes the same planes as an SOF9 QM-coded
+        stream (lossless under the all-ones quantizer, so pixels —
+        and the oracle — again equal the baseline's)."""
         import numpy as np
 
         if progressive and precision != 8:
             raise ValueError("progressive fixtures are 8-bit")
+        if progressive and arithmetic:
+            raise ValueError(
+                "progressive arithmetic fixtures are not supported"
+            )
         mod = 1 << precision
-        enc = (
-            (lambda p, s: encode_progressive(p, s))
-            if progressive
-            else (lambda p, s: encode(p, s, precision=precision))
-        )
+        if arithmetic:
+            enc = lambda p, s: encode_arith(p, s, precision=precision)
+        elif progressive:
+            enc = lambda p, s: encode_progressive(p, s)
+        else:
+            enc = lambda p, s: encode(p, s, precision=precision)
         bx, by = np.meshgrid(np.arange(w // 8), np.arange(h // 8))
         yplane = np.repeat(
             np.repeat((doc_id * 7 + bx * 13 + by * 29) % mod, 8, 0), 8, 1
@@ -2099,6 +2638,123 @@ def make_jpeg_codec():
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    def _next_marker(payload: bytes, p: int) -> int:
+        """First real marker position at/after ``p``: entropy bytes
+        contain 0xFF only as stuffed 0xFF00, so skip until a 0xFF with
+        a non-zero follower."""
+        while p + 1 < len(payload) and not (
+            payload[p] == 0xFF and payload[p + 1] != 0x00
+        ):
+            p += 1
+        if p + 1 >= len(payload):
+            raise ValueError("truncated JPEG entropy stream")
+        return p
+
+    def _arith_seq_scan(
+        np,
+        A,
+        payload,
+        data_start,
+        comps,
+        prec,
+        qtabs,
+        dac,
+        scan_tables,
+        restart_interval,
+        mcux,
+        mcuy,
+        shift,
+    ):
+        """Sequential (SOF9) arithmetic-coded scan: the Huffman MCU
+        loop's twin with QM decoding — per-table adaptive statistics,
+        DAC (or default) conditioning, RSTn realignment resetting the
+        statistics AND the coder (F.1.4.4: restart reinitializes the
+        arithmetic decoder and all statistics areas)."""
+        ncomp = len(comps)
+        dc_stats: dict = {}
+        ac_stats: dict = {}
+
+        def stats_for(ci):
+            cid = comps[ci][0]
+            if cid not in scan_tables:
+                raise ValueError(f"component {cid} missing from SOS")
+            td, ta = scan_tables[cid]
+            if td not in dc_stats:
+                dc_stats[td] = bytearray(64)
+            if ta not in ac_stats:
+                ac_stats[ta] = bytearray(256)
+            cond_dc = dac.get((0, td), (_ARITH_DC_L, _ARITH_DC_U))
+            cond_kx = dac.get((1, ta), _ARITH_AC_KX)
+            return dc_stats[td], ac_stats[ta], cond_dc, cond_kx
+
+        fixed = bytearray([113])
+        dec = _ArithDecoder(payload, data_start)
+        planes = [
+            np.zeros((mcuy * vv * 8, mcux * hh * 8))
+            for _, hh, vv, _ in comps
+        ]
+        pred = [0] * ncomp
+        dc_ctx = [0] * ncomp
+        mcu_count = 0
+        rst_expect = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    p = (
+                        dec.marker_pos
+                        if dec.marker_pos is not None
+                        else dec.bp
+                    )
+                    p = _next_marker(payload, p)
+                    m = payload[p + 1]
+                    if m != 0xD0 + rst_expect:
+                        raise ValueError(
+                            f"expected RST{rst_expect}, got marker {m:02x}"
+                        )
+                    rst_expect = (rst_expect + 1) % 8
+                    pred = [0] * ncomp
+                    dc_ctx = [0] * ncomp
+                    for st in dc_stats.values():
+                        st[:] = bytes(len(st))
+                    for st in ac_stats.values():
+                        st[:] = bytes(len(st))
+                    dec = _ArithDecoder(payload, p + 2)
+                for ci, (cid, hh, vv, tq) in enumerate(comps):
+                    dc_st, ac_st, (L, U), kx = stats_for(ci)
+                    q = qtabs.get(tq)
+                    if q is None:
+                        raise ValueError("missing JPEG quant table")
+                    for by in range(vv):
+                        for bx in range(hh):
+                            pred[ci] += _arith_dec_dc(
+                                dec, dc_st, dc_ctx, ci, L, U, prec
+                            )
+                            zz_ac = _arith_dec_ac(
+                                dec, ac_st, fixed, kx, prec
+                            )
+                            S = np.zeros((8, 8))
+                            S[0, 0] = pred[ci] * q[0, 0]
+                            for k in range(1, 64):
+                                v = zz_ac[k - 1]
+                                if v:
+                                    r, c = _zz[k]
+                                    S[r, c] = v * q[r, c]
+                            blk = A.T @ S @ A + shift
+                            y0 = (my * vv + by) * 8
+                            x0 = (mx * hh + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                mcu_count += 1
+        # EOI must follow (unconsumed flush remnants allowed)
+        p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        p = _next_marker(payload, p)
+        if payload[p + 1] != 0xD9:
+            raise ValueError("missing JPEG EOI")
+        return planes
+
     def parse(payload: bytes) -> dict:
         import numpy as np
 
@@ -2110,6 +2766,8 @@ def make_jpeg_codec():
         htabs: dict = {}
         sof = None
         progressive = False
+        arith = False
+        dac: dict = {}  # (class, table) -> conditioning, DAC marker
         prog_state: dict = {}  # geometry + coefficient arrays, lazy
         scans_done = 0
         restart_interval = 0
@@ -2167,7 +2825,8 @@ def make_jpeg_codec():
                         ).items()
                     }
                     i += 17 + nv
-            elif marker in (0xC0, 0xC1, 0xC2):  # baseline/ext-seq/prog
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+                # baseline / ext-seq / progressive / ext-seq arithmetic
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
                 if prec == 12 and marker == 0xC0:
                     raise ValueError(
@@ -2182,10 +2841,38 @@ def make_jpeg_codec():
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 sof = (H, W, comps, prec)
                 progressive = marker == 0xC2
+                arith = marker == 0xC9
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
                 raise NotImplementedError("non-baseline JPEG DCT process")
-            elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
-                raise NotImplementedError("arithmetic-coded JPEG")
+            elif marker == 0xCA:
+                raise NotImplementedError(
+                    "progressive arithmetic-coded JPEG"
+                )
+            elif marker in (0xCD, 0xCE):
+                raise NotImplementedError(
+                    "differential (hierarchical) arithmetic-coded JPEG"
+                )
+            elif marker == 0xCC:  # DAC: arithmetic conditioning
+                i = 0
+                while i + 1 < len(seg):
+                    tc, tb = seg[i] >> 4, seg[i] & 0xF
+                    cs = seg[i + 1]
+                    if tc == 0:  # DC: Cs = (U << 4) | L, need L <= U
+                        L, U = cs & 0xF, cs >> 4
+                        if L > U:
+                            raise ValueError(
+                                "invalid JPEG DC arithmetic conditioning"
+                            )
+                        dac[(0, tb)] = (L, U)
+                    elif tc == 1:  # AC: Cs = Kx in 1..63
+                        if not 1 <= cs <= 63:
+                            raise ValueError(
+                                "invalid JPEG AC arithmetic conditioning"
+                            )
+                        dac[(1, tb)] = cs
+                    else:
+                        raise ValueError("invalid DAC table class")
+                    i += 2
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg)
             elif marker == 0xDA:  # SOS — entropy data follows
@@ -2244,6 +2931,23 @@ def make_jpeg_codec():
         for i in range(seg[0]):
             cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
             scan_tables[cs] = (tt >> 4, tt & 0xF)
+        if arith:
+            planes = _arith_seq_scan(
+                np,
+                A,
+                payload,
+                nxt,
+                comps,
+                prec,
+                qtabs,
+                dac,
+                scan_tables,
+                restart_interval,
+                mcux,
+                mcuy,
+                shift,
+            )
+            return _assemble(np, planes, comps, H, W, hmax, vmax, prec)
         reader = _BitReader(payload, nxt)
         planes = [
             np.zeros((mcuy * vv * 8, mcux * hh * 8))
@@ -2599,7 +3303,7 @@ def make_jpeg_codec():
             raise ValueError("truncated JPEG after progressive scan")
         return p
 
-    return build, parse, encode, encode_progressive
+    return build, parse, encode, encode_progressive, encode_arith
 
 
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2640,17 +3344,18 @@ def multimodal_jpeg_progressive_decode(
     IDENTICAL to the baseline query's; the oracle hash pins the
     whole progressive pipeline end-to-end. Arbitrary-image
     progressive==baseline equality (the AC scan machinery the
-    DC-only fixtures can't reach) is pinned by pytest. Arithmetic
-    coding and 12-bit precision remain loud NotImplementedError —
-    those need a different entropy coder, not more byte math."""
+    DC-only fixtures can't reach) is pinned by pytest. 12-bit
+    precision and sequential arithmetic coding each have their own
+    registered queries (rounds 11/12)."""
     return _jpeg_decode_query(spark, sf_dir, progressive=True)
 
 
 def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 12-bit extended-sequential JPEG decode (round 11 — the
-    12-bit half of the remaining JPEG boundary closed; only
-    arithmetic coding is left, and that is a different entropy coder,
-    not more byte math): the same gray / 4:4:4 / 4:2:0 fixture
+    12-bit half of the then-remaining JPEG boundary closed; the
+    arithmetic-coding half followed in round 12, see
+    :func:`multimodal_jpeg_arith_decode`): the same gray / 4:4:4 /
+    4:2:0 fixture
     formulas widened to mod-4096 samples, encoded as genuine SOF1
     streams (T.81: baseline SOF0 is 8-bit only) with the 16-category
     DC / 14-size AC canonical tables and a 2048 level shift, decoded
@@ -2665,10 +3370,38 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jpeg_decode_query(
-    spark: SparkSession, sf_dir: str, progressive: bool, precision: int = 8
+def multimodal_jpeg_arith_decode(
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    build, parse, _, _ = make_jpeg_codec()
+    """REAL arithmetic-coded JPEG decode (round 12 — the LAST declared
+    JPEG entropy-coder boundary closed): the same gray / 4:4:4 / 4:2:0
+    fixture formulas as :func:`multimodal_jpeg_decode`, encoded as
+    genuine SOF9 extended-sequential streams through the T.81 QM coder
+    (Table D.3 probability estimation, conditional MPS/LPS exchange,
+    carry-stacked byte pipeline, DAC conditioning, byte stuffing) and
+    decoded through the general marker walker — adaptive per-table
+    statistics, F.1.4 DC/AC conditioning contexts, zero-fed marker
+    ends, RSTn statistics resets. The QM schedule is lossless under
+    the all-ones quantizer, so the decoded pixels (and the closed-form
+    DuckDB oracle) are IDENTICAL to the baseline query's. Arbitrary-
+    image arithmetic==baseline equality (the adaptive AC machinery the
+    DC-only fixtures can't reach) is pinned by pytest. Remaining JPEG
+    boundaries are progressive-arithmetic (SOF10) and the
+    differential/hierarchical and lossless processes — loud
+    NotImplementedError, pinned in SURVEY §2.12."""
+    return _jpeg_decode_query(
+        spark, sf_dir, progressive=False, arithmetic=True
+    )
+
+
+def _jpeg_decode_query(
+    spark: SparkSession,
+    sf_dir: str,
+    progressive: bool,
+    precision: int = 8,
+    arithmetic: bool = False,
+) -> DataFrame:
+    build, parse, _, _, _ = make_jpeg_codec()
 
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -2691,6 +3424,7 @@ def _jpeg_decode_query(
                             mode,
                             progressive=progressive,
                             precision=precision,
+                            arithmetic=arithmetic,
                         )
                     )
                     rgb = img["rgb"]
@@ -2739,6 +3473,7 @@ QUERIES = {
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
     "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
+    "multimodal_jpeg_arith_decode": multimodal_jpeg_arith_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -3110,6 +3845,10 @@ ORACLE = {
 ORACLE["multimodal_jpeg_progressive_decode"] = ORACLE[
     "multimodal_jpeg_decode"
 ]
+
+# the QM coder is lossless under the all-ones quantizer, so the
+# arithmetic-coded fixtures decode to the same pixels too
+ORACLE["multimodal_jpeg_arith_decode"] = ORACLE["multimodal_jpeg_decode"]
 
 # the 12-bit fixtures use the SAME generating formulas and YCbCr
 # matrix with the sample constants widened: mod 256 -> 4096, chroma

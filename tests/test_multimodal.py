@@ -628,7 +628,7 @@ def test_jpeg_round_trip_exact_blockwise():
         make_jpeg_codec,
     )
 
-    build, parse, _, _ = make_jpeg_codec()
+    build, parse, _, _, _ = make_jpeg_codec()
     for did in (0, 7, 123):
         bx, by = np.meshgrid(
             np.arange(JPEG_W) // 8, np.arange(JPEG_H) // 8, indexing="xy"
@@ -681,7 +681,7 @@ def test_jpeg_general_ac_path_vs_reference_idct():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, encode, _ = make_jpeg_codec()
+    _, parse, encode, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
 
@@ -710,7 +710,7 @@ def test_jpeg_zigzag_matches_spec_order():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode, _ = make_jpeg_codec()
+    _, _, encode, _, _ = make_jpeg_codec()
     qt = np.zeros((8, 8), dtype=np.int64)
     for k, flat in enumerate(JPEG_SPEC_ZIGZAG):
         qt[flat // 8, flat % 8] = k + 1
@@ -729,7 +729,7 @@ def test_jpeg_taxonomy():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _ = make_jpeg_codec()
+    build, parse, encode, _, _ = make_jpeg_codec()
     good = build(3, "gray")
 
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -747,8 +747,12 @@ def test_jpeg_taxonomy():
     # the decoder must reject it loudly, not misdecode it
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xC2))
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        parse(swap_sof_marker(good, 0xC9))
+    # sequential arithmetic (SOF9) is IMPLEMENTED (round 12); the
+    # remaining arithmetic processes stay loud boundaries
+    with pytest.raises(NotImplementedError, match="progressive arith"):
+        parse(swap_sof_marker(good, 0xCA))
+    with pytest.raises(NotImplementedError, match="differential"):
+        parse(swap_sof_marker(good, 0xCD))
     with pytest.raises(NotImplementedError, match="non-baseline"):
         parse(swap_sof_marker(good, 0xC3))
 
@@ -812,7 +816,7 @@ def test_jpeg_progressive_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog = make_jpeg_codec()
+    build, parse, encode, encode_prog, _ = make_jpeg_codec()
     rng = np.random.RandomState(7)
 
     def check(planes, sampling, qtab=None):
@@ -860,7 +864,7 @@ def test_jpeg_progressive_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _ = make_jpeg_codec()
+    build, parse, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -880,7 +884,7 @@ def test_jpeg_progressive_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, encode_prog = make_jpeg_codec()
+    build, parse, _, encode_prog, _ = make_jpeg_codec()
     rng = np.random.RandomState(3)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
@@ -914,7 +918,7 @@ def test_jpeg_12bit_extended_sequential():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _ = make_jpeg_codec()
+    build, parse, encode, _, _ = make_jpeg_codec()
 
     # full-range 12-bit constant blocks: exact round trip
     y = np.full((16, 16), 4000, dtype=np.int64)
@@ -991,7 +995,7 @@ def test_jpeg_progressive_ac_refine_zrl_before_correction_bit():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog = make_jpeg_codec()
+    build, parse, encode, encode_prog, _ = make_jpeg_codec()
 
     A = np.array(
         [
@@ -1030,3 +1034,154 @@ def test_jpeg_progressive_ac_refine_zrl_before_correction_bit():
     base = parse(encode([plane], [(1, 1)], qtab=qtab))
     prog = parse(encode_prog([plane], [(1, 1)], qtab=qtab))
     assert np.array_equal(base["gray"], prog["gray"])
+
+
+def test_jpeg_arith_equals_baseline_decode():
+    """The SOF9 arithmetic (QM-coded) encoder/decoder pair
+    reconstructs every image bit-identically to its Huffman baseline
+    twin — the QM coder is a different entropy coder over the same
+    coefficients, so no information is lost. Random, smooth and
+    crafted images exercise the adaptive statistics (DC conditioning
+    categories, AC EOB/zero/magnitude contexts, the fixed sign bin,
+    the 189/217 chain split at Kx), carry stacking and byte stuffing,
+    odd dimensions, 4:2:0 sampling, restart resets and 12-bit
+    precision."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode, _, encode_arith = make_jpeg_codec()
+    rng = np.random.RandomState(11)
+
+    def check(planes, sampling, qtab=None, ri=0, precision=8):
+        base = parse(encode(planes, sampling, qtab=qtab, precision=precision))
+        ab = encode_arith(
+            planes,
+            sampling,
+            qtab=qtab,
+            precision=precision,
+            restart_interval=ri,
+        )
+        assert b"\xff\xc9" in ab  # really SOF9
+        assert b"\xff\xcc" in ab  # DAC conditioning present
+        prog = parse(ab)
+        for k in ("width", "height"):
+            assert base[k] == prog[k]
+        for k in ("gray", "rgb"):
+            if base[k] is None:
+                assert prog[k] is None
+            else:
+                assert np.array_equal(base[k], prog[k])
+
+    q = np.clip(rng.randint(1, 9, (8, 8)), 1, None)
+    y = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y], [(1, 1)])  # flat q: lossless round trip
+    check([y], [(1, 1)], qtab=q)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y, cb, cr], [(1, 1)] * 3, qtab=q)
+    y2 = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    cb2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cr2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    check([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], qtab=q)
+    # restart markers: coder + statistics reinitialized per interval
+    check([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], qtab=q, ri=2)
+    check([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], qtab=q, ri=1)
+    # smooth gradient at a coarse quantizer: long EOB streaks drive
+    # the MPS chain deep into the estimation state machine
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = ((xx + yy) // 3 + 100).astype(np.int64)
+    check([smooth], [(1, 1)], qtab=np.full((8, 8), 16, dtype=np.int64))
+    # odd dimensions: MCU padding in the interleaved scan
+    y3 = rng.randint(0, 256, (17, 27)).astype(np.int64)
+    cb3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    cr3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    check([y3, cb3, cr3], [(2, 2), (1, 1), (1, 1)], qtab=q)
+    # 12-bit extended sequential is legal under SOF9 too
+    y12 = rng.randint(0, 4096, (16, 16)).astype(np.int64)
+    check([y12], [(1, 1)], precision=12)
+    # large DC swings drive the magnitude-category chain and the
+    # large-diff conditioning categories
+    blocky = np.kron(
+        rng.randint(0, 2, (4, 4)) * 255, np.ones((8, 8), dtype=np.int64)
+    )
+    check([blocky.astype(np.int64)], [(1, 1)])
+
+
+def test_jpeg_arith_compresses_adaptively():
+    """The point of the arithmetic option: on a skewed source the
+    adaptive QM coder's output is markedly smaller than the
+    (degenerate-table) Huffman twin's for the same pixels."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, _, encode, _, encode_arith = make_jpeg_codec()
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    smooth = ((xx + yy) // 4 + 64).astype(np.int64)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    hlen = len(encode([smooth], [(1, 1)], qtab=q))
+    alen = len(encode_arith([smooth], [(1, 1)], qtab=q))
+    assert alen < hlen
+
+
+def test_jpeg_arith_fixture_matches_baseline_fixture():
+    """The registered arithmetic query's fixtures decode to the SAME
+    pixels as the baseline query's (shared closed-form oracle): pin
+    that equivalence directly, per mode."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _, _ = make_jpeg_codec()
+    for did in (0, 3, 17):
+        for mode in ("gray", "c444", "c420"):
+            base = parse(build(did, mode))
+            ar = parse(build(did, mode, arithmetic=True))
+            for k in ("gray", "rgb"):
+                if base[k] is None:
+                    assert ar[k] is None
+                else:
+                    assert np.array_equal(base[k], ar[k]), (did, mode)
+
+
+def test_jpeg_arith_malformed():
+    """Error taxonomy for the arithmetic path: bad DAC conditioning,
+    truncated entropy stream, missing EOI, wrong restart marker —
+    descriptive errors, never misdecodes."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, encode_arith = make_jpeg_codec()
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    good = encode_arith([y], [(1, 1)])
+
+    # invalid DAC: DC with L > U
+    i = good.index(b"\xff\xcc")
+    bad = bytearray(good)
+    bad[i + 5] = 0x0F  # Cs for DC table 0: U=0, L=15
+    with pytest.raises(ValueError, match="DC arithmetic conditioning"):
+        parse(bytes(bad))
+    # invalid DAC: AC with Kx = 0
+    bad = bytearray(good)
+    bad[i + 7] = 0x00
+    with pytest.raises(ValueError, match="AC arithmetic conditioning"):
+        parse(bytes(bad))
+
+    # truncated entropy stream (EOI and trailing bytes chopped)
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        parse(good[:-8])
+
+    # EOI replaced by another marker
+    assert good.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError, match="missing JPEG EOI"):
+        parse(good[:-2] + b"\xff\xd8")
+
+    # wrong restart marker id
+    g2 = encode_arith([y], [(1, 1)], restart_interval=1)
+    i = g2.index(b"\xff\xd0")
+    with pytest.raises(ValueError, match="expected RST0"):
+        parse(g2[:i] + b"\xff\xd3" + g2[i + 2 :])
