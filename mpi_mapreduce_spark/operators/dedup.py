@@ -4617,6 +4617,18 @@ def _serving_bench_state(
 
     if _serving_state_ok(spark, index_dir, tbl):
         return index_dir, tbl
+    # middle rung: the on-disk state is complete but THIS session's
+    # catalog has no tables yet (a fresh bench session over state a
+    # previous session — or the disposable build subprocess — left).
+    # Register the existing files via metadata-only DDL instead of
+    # re-running the build: the build's heavy jobs measurably degrade
+    # every later query in the session (~10% across the light
+    # headline queries, r12 paired A/B), which is exactly what the
+    # bench must not carry.
+    if _serving_state_files_ok(spark, index_dir):
+        _register_serving_tables(spark, index_dir, tbl)
+        if _serving_state_ok(spark, index_dir, tbl):
+            return index_dir, tbl
 
     import fcntl
 
@@ -4628,6 +4640,10 @@ def _serving_bench_state(
             # re-check before (re)building over live shared state
             if _serving_state_ok(spark, index_dir, tbl):
                 return index_dir, tbl
+            if _serving_state_files_ok(spark, index_dir):
+                _register_serving_tables(spark, index_dir, tbl)
+                if _serving_state_ok(spark, index_dir, tbl):
+                    return index_dir, tbl
             docs = _docs(spark, sf_dir)
             corpus = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
             substring_gram_index_rows(
@@ -4656,6 +4672,54 @@ def _serving_bench_state(
         finally:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
     return index_dir, tbl
+
+
+def _serving_state_files_ok(spark: SparkSession, index_dir: str) -> bool:
+    """True iff the ON-DISK half of the serving state is complete:
+    both batch partitions, the bucketed base files and a fold ledger
+    whose parquet content is exactly {b1} — i.e. everything a session
+    needs in order to REGISTER the tables without rebuilding."""
+    import os
+
+    from mpi_mapreduce_spark.sources.io import has_committed_parquet
+
+    if not (
+        has_committed_parquet(os.path.join(index_dir, "batch=b1"))
+        and has_committed_parquet(os.path.join(index_dir, "batch=b2"))
+        and has_committed_parquet(os.path.join(index_dir, "_base"))
+        and has_committed_parquet(os.path.join(index_dir, "_base_folded"))
+    ):
+        return False
+    ledger = spark.read.parquet(os.path.join(index_dir, "_base_folded"))
+    return {r.batch_key for r in ledger.collect()} == {"b1"}
+
+
+def _register_serving_tables(
+    spark: SparkSession, index_dir: str, tbl: str
+) -> None:
+    """Metadata-only registration of complete on-disk serving state:
+    external-table DDL over the bucketed base (same bucket spec the
+    builder's ``write_bucketed`` declared) and the fold ledger. No
+    data job runs — the point is that a fresh bench session can adopt
+    the state without paying (or carrying the session-wide cost of)
+    the build."""
+    import os
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (s STRING) USING PARQUET
+        CLUSTERED BY (s) SORTED BY (s) INTO {GRAM_INDEX_BUCKETS} BUCKETS
+        LOCATION '{os.path.join(index_dir, "_base")}'
+        """
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_folded")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl}_folded (batch_key STRING) USING PARQUET
+        LOCATION '{os.path.join(index_dir, "_base_folded")}'
+        """
+    )
 
 
 def _serving_state_ok(

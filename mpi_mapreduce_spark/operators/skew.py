@@ -72,6 +72,40 @@ def salted_broadcast_left(
     return left.join(F.broadcast(right), on, how)
 
 
+#: hot-key cap for hot_key_split_join — Zipf mass concentrates in the
+#: first few hundred keys, and 1024 rows is broadcast-trivial
+HOT_SPLIT_K = 1024
+
+
+def hot_key_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    hot_by: str,
+    hot_k: int = HOT_SPLIT_K,
+) -> DataFrame:
+    """Skew-proof INNER join of an instance-scale, Zipf-skewed
+    ``left`` against an aggregated per-key ``right`` (VERDICT r11
+    item 6): the ``hot_k`` hottest right rows (largest ``hot_by`` —
+    under Zipf these carry most of the instance mass) ride a
+    broadcast, so the hot instances NEVER shuffle; only the long cold
+    tail — whose per-key multiplicity is bounded by the coldest hot
+    key's count — takes the shuffle join, with the hot keys
+    anti-filtered out via the same broadcast.
+
+    Results are EXACTLY the plain join's for any hot/cold boundary
+    (every instance matches the identical right row on exactly one
+    side), so a tie at rank ``hot_k`` can move keys between paths
+    without moving a single output value. When the right side is
+    broadcastable whole, prefer :func:`salted_broadcast_left`; this
+    is for vocabulary-scale right sides (e.g. a 100 TB corpus's
+    bigram count table) where only the hot slice fits a broadcast."""
+    hot = right.orderBy(F.desc(hot_by)).limit(hot_k)
+    hot_side = left.join(F.broadcast(hot), on)
+    cold = left.join(F.broadcast(hot.select(*on)), on, "left_anti")
+    return hot_side.unionByName(cold.join(right, on))
+
+
 # ---------------------------------------------------------------------------
 # Registry entry: skew-proof aggregation over the (skewed) events table
 # ---------------------------------------------------------------------------

@@ -1185,3 +1185,48 @@ def test_jpeg_arith_malformed():
     i = g2.index(b"\xff\xd0")
     with pytest.raises(ValueError, match="expected RST0"):
         parse(g2[:i] + b"\xff\xd3" + g2[i + 2 :])
+
+
+def test_jpeg_qm_state_table_invariants():
+    """Structural invariants of the transcribed T.81 Table D.3: index
+    ranges, Qe bounds, MPS transitions never increase Qe, LPS
+    transitions never decrease it, MPS-sense switches only at
+    near-equiprobable states, and the fixed sign bin self-loops
+    without adapting."""
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    # reach the closure's table through a round-trip-free probe:
+    # re-derive it from the factory module source is overkill — the
+    # codec exposes behavior, so rebuild the table via the factory's
+    # encoder attribute is not public; instead import the module and
+    # read the literal from a fresh closure using a tiny stream probe.
+    import mpi_mapreduce_spark.operators.multimodal as M
+    import inspect
+    import re
+
+    src = inspect.getsource(M.make_jpeg_codec)
+    body = src[src.index("_QM = [") : src.index("]", src.index("_QM = ["))]
+    rows = re.findall(
+        r"\((0x[0-9A-Fa-f]+), (\d+), (\d+), ([01])\)", body
+    )
+    tab = [
+        (int(q, 16), int(nl), int(nm), int(sw)) for q, nl, nm, sw in rows
+    ]
+    assert len(tab) == 114  # 113 adaptive states + the fixed sign bin
+    for i, (qe, nlps, nmps, sw) in enumerate(tab):
+        assert 0 < qe < 0x8000, (i, hex(qe))
+        assert 0 <= nlps < len(tab) and 0 <= nmps < len(tab), i
+        if i < 113:
+            # adaptation direction: MPS success never raises the LPS
+            # estimate; a non-switching LPS never lowers it (at switch
+            # states the MPS sense flips, so the direction inverts)
+            assert tab[nmps][0] <= qe, (i, "MPS transition raised Qe")
+            if not sw:
+                assert tab[nlps][0] >= qe, (
+                    i,
+                    "LPS transition lowered Qe",
+                )
+        if sw:
+            assert qe > 0x5000, (i, "switch outside equiprobable zone")
+    # the fixed bin: equiprobable, self-looping, never switches
+    assert tab[113] == (0x5A1D, 113, 113, 0)
