@@ -279,7 +279,13 @@ def maybe_weekly_curation_compaction(
     compact when ANY family's post-compaction delta count exceeds
     ``max_deltas`` (default 7 — one week of nightly partitions, the
     point past which the broadcast-delta tier stops being 'a few
-    small frames'). A scheduler can simply call this after every
+    small frames'). The count is a schedule trigger, not a safety
+    bound: the serving tiers themselves byte-gate their delta
+    broadcasts (dedup._broadcast_if_small, 256 MB on-disk cap) and
+    fall back to a plain shuffle join above it, so a week of unusually
+    fat nights degrades to correct-but-shuffled serving rather than
+    an oversized broadcast (ADVICE r12). A scheduler can simply call
+    this after every
     :func:`nightly_curation_update` instead of maintaining its own
     calendar: no-op (returns None) while the delta tier is small, one
     fold when it isn't. Uncommitted partials never count as deltas
