@@ -1519,11 +1519,12 @@ def make_jpeg_codec():
     verbatim in the oracle SQL). Grayscale, 4:4:4 and 4:2:0 all
     decode; progressive (SOF2) decodes through the multi-scan path
     (round 11 — see ``encode_progressive``); 12-bit precision rides
-    the same paths (round 11); sequential ARITHMETIC coding (SOF9)
-    encodes and decodes through the T.81 QM coder (round 12 — see
-    ``encode_arith``); the remaining processes — progressive
-    arithmetic (SOF10), differential/hierarchical, lossless — raise
-    NotImplementedError; everything
+    the same paths (round 11); sequential (SOF9) AND progressive
+    (SOF10) ARITHMETIC coding encode and decode through the T.81 QM
+    coder (round 12 — see ``encode_arith`` /
+    ``encode_arith_progressive``); the remaining processes —
+    differential/hierarchical, lossless — raise NotImplementedError;
+    everything
     malformed — bad SOI, truncated segments or entropy stream, a
     marker inside the entropy segment, missing quant/Huffman tables,
     invalid Huffman codes, DC category overflow, AC index overrun,
@@ -2293,25 +2294,27 @@ def make_jpeg_codec():
         v += 1
         return -v if sign else v
 
-    def _arith_enc_ac(enc, ac_st, fixed, zzvals, kx) -> None:
-        """Encode one block's AC coefficients (zigzag order, 63
-        entries) per F.1.4.2/F.1.4.4.2: per-index (EOB, zero/nonzero,
-        magnitude>1) bin triples, fixed equiprobable sign bin,
-        magnitude chains at 189 (k<=Kx) / 217 (k>Kx)."""
-        ke = 0
-        for i, v in enumerate(zzvals):
-            if v:
-                ke = i + 1  # 1-based k of the last nonzero
-        k = 1
+    def _arith_enc_ac(enc, ac_st, fixed, vals, kx, ss=1, se=63) -> None:
+        """Encode one block's AC coefficients over the zigzag band
+        [ss, se] per F.1.4.2/F.1.4.4.2 (and G.1.3.2 for progressive
+        first scans, which use the same model band-limited): per-index
+        (EOB, zero/nonzero, magnitude>1) bin triples, fixed
+        equiprobable sign bin, magnitude chains at 189 (k<=Kx) / 217
+        (k>Kx). ``vals`` is zigzag-indexed (vals[k])."""
+        ke = ss - 1
+        for k in range(ss, se + 1):
+            if vals[k]:
+                ke = k  # last nonzero k in the band
+        k = ss
         while k <= ke:
             st = 3 * (k - 1)
             enc.code(ac_st, st, 0)  # not EOB yet
-            while zzvals[k - 1] == 0:
+            while vals[k] == 0:
                 enc.code(ac_st, st + 1, 0)
                 st += 3
                 k += 1
             enc.code(ac_st, st + 1, 1)
-            val = zzvals[k - 1]
+            val = vals[k]
             sign = 1 if val < 0 else 0
             enc.code(fixed, 0, sign)
             v = (-val if sign else val) - 1
@@ -2337,22 +2340,23 @@ def make_jpeg_codec():
                 m >>= 1
                 enc.code(ac_st, st, 1 if (v & m) else 0)
             k += 1
-        if ke < 63:
+        if ke < se:
             enc.code(ac_st, 3 * (ke + 1 - 1), 1)  # EOB decision
 
-    def _arith_dec_ac(dec, ac_st, fixed, kx, prec) -> list:
-        """Decode one block's 63 AC coefficients (mirror of
-        _arith_enc_ac); returns zigzag-ordered values."""
-        zzvals = [0] * 63
-        k = 1
-        while k <= 63:
+    def _arith_dec_ac(dec, ac_st, fixed, kx, prec, ss=1, se=63) -> list:
+        """Decode one block's AC coefficients over the zigzag band
+        [ss, se] (mirror of _arith_enc_ac); returns a zigzag-indexed
+        64-entry list (entries outside the band stay 0)."""
+        vals = [0] * 64
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(ac_st, st):
                 break  # EOB
             while dec.decode(ac_st, st + 1) == 0:
                 st += 3
                 k += 1
-                if k > 63:
+                if k > se:
                     raise ValueError("JPEG arithmetic AC index overrun")
             sign = dec.decode(fixed, 0)
             st += 2
@@ -2375,9 +2379,78 @@ def make_jpeg_codec():
                 if dec.decode(ac_st, st):
                     v |= m
             v += 1
-            zzvals[k - 1] = -v if sign else v
+            vals[k] = -v if sign else v
             k += 1
-        return zzvals
+        return vals
+
+    def _arith_enc_ac_refine(enc, ac_st, fixed, pt, sgn, ss, se) -> None:
+        """Encode one block's AC refinement scan per T.81 G.1.3.3:
+        ``pt[k]`` is the point-transformed magnitude |coef| >> Al at
+        THIS scan's Al (so >1 = previously significant, 1 = newly
+        significant, 0 = still zero), ``sgn[k]`` the coefficient sign.
+        EOB decisions are coded only past the last previously-
+        significant index; previously-significant coefficients
+        contribute one correction bit (their new low magnitude bit),
+        newly-significant ones a zero/nonzero decision + fixed-bin
+        sign. No EOB runs — arithmetic progressive codes the EOB
+        decision per block (that is the model's job, not RLE's)."""
+        ke = ss - 1  # last nonzero (any) in the band
+        kex = ss - 1  # last previously-significant
+        for k in range(ss, se + 1):
+            if pt[k]:
+                ke = k
+                if pt[k] > 1:
+                    kex = k
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            if k > kex:
+                enc.code(ac_st, st, 0)  # not EOB yet
+            while True:
+                t = pt[k]
+                if t > 1:  # previously significant: correction bit
+                    enc.code(ac_st, st + 2, t & 1)
+                    break
+                if t == 1:  # newly significant: decision + sign
+                    enc.code(ac_st, st + 1, 1)
+                    enc.code(fixed, 0, sgn[k])
+                    break
+                enc.code(ac_st, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
+        if ke < se:
+            enc.code(ac_st, 3 * (ke + 1 - 1), 1)  # EOB decision
+
+    def _arith_dec_ac_refine(dec, ac_st, fixed, band, ss, se, al) -> None:
+        """Decode one block's AC refinement scan (mirror of
+        _arith_enc_ac_refine), updating the zigzag coefficient slice
+        ``band`` in place at approximation level ``al``."""
+        p1 = 1 << al
+        kex = ss - 1
+        for k in range(se, ss - 1, -1):
+            if band[k]:
+                kex = k
+                break
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(ac_st, st):
+                break  # EOB
+            while True:
+                v = int(band[k])
+                if v:  # previously significant: correction bit
+                    if dec.decode(ac_st, st + 2):
+                        band[k] = v + (-p1 if v < 0 else p1)
+                    break
+                if dec.decode(ac_st, st + 1):  # newly significant
+                    band[k] = -p1 if dec.decode(fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError("JPEG arithmetic AC index overrun")
+            k += 1
 
     def encode_arith(
         planes,
@@ -2507,14 +2580,169 @@ def make_jpeg_codec():
                                 _ARITH_DC_L,
                                 _ARITH_DC_U,
                             )
-                            zzvals = [
-                                int(q[r, c2]) for (r, c2) in _zz[1:]
-                            ]
+                            vals = [int(q[r, c2]) for (r, c2) in _zz]
+                            vals[0] = 0  # DC coded above
                             _arith_enc_ac(
-                                enc, ac_st, fixed, zzvals, _ARITH_AC_KX
+                                enc, ac_st, fixed, vals, _ARITH_AC_KX
                             )
                 mcu_count += 1
         out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def encode_arith_progressive(planes, sampling, qtab=None) -> bytes:
+        """Progressive ARITHMETIC-coded (SOF10) twin of
+        ``encode_progressive``: the same six-scan spectral-selection +
+        successive-approximation schedule, entropy coded by the QM
+        coder per T.81 G.1.3 — every scan reinitializes the coder AND
+        its statistics areas, the DC refinement bit rides the fixed
+        equiprobable bin, AC first scans use the band-limited
+        sequential model, AC refinement the G.1.3.3
+        history-conditioned model (correction bits per
+        previously-significant coefficient; arithmetic progressive
+        has NO EOB runs — the per-block EOB decision is the model's
+        job, not RLE's). The schedule reconstructs coefficients
+        exactly, so pixels decode bit-identically to the baseline
+        twin."""
+        import numpy as np
+
+        A = np.asarray(_a_rows)
+        if qtab is None:
+            qtab = np.ones((8, 8), dtype=np.int64)
+        qtab = np.asarray(qtab, dtype=np.int64)
+        ncomp = len(planes)
+        hmax = max(hh for hh, vv in sampling)
+        vmax = max(vv for hh, vv in sampling)
+        H, W = planes[0].shape
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+        coefs = []
+        for (hh, vv), plane in zip(sampling, planes):
+            bw, bh = mcux * hh, mcuy * vv
+            padded = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            ph, pw = plane.shape
+            padded[:ph, :pw] = plane
+            if pw < bw * 8:
+                padded[:ph, pw:] = np.asarray(plane)[:, -1:]
+            if ph < bh * 8:
+                padded[ph:, :] = padded[ph - 1 : ph, :]
+            arr = np.zeros((bh, bw, 64), dtype=np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    S = A @ (blk.astype(np.float64) - 128.0) @ A.T
+                    q = np.floor(S / qtab + 0.5).astype(np.int64)
+                    arr[by, bx] = [int(q[r, c]) for (r, c) in _zz]
+            coefs.append(arr)
+        nblocks = [
+            (
+                (-(-(H * vv) // vmax) + 7) // 8,
+                (-(-(W * hh) // hmax) + 7) // 8,
+            )
+            for hh, vv in sampling
+        ]
+
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _segment(
+            0xDB, bytes([0]) + bytes(int(qtab[r][c]) for r, c in _zz)
+        )
+        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xCA, sof)  # SOF10: progressive, arithmetic
+        out += _segment(
+            0xCC,
+            bytes(
+                [
+                    0x00,
+                    (_ARITH_DC_U << 4) | _ARITH_DC_L,
+                    0x10,
+                    _ARITH_AC_KX,
+                ]
+            ),
+        )
+
+        def sos_header(comp_idx, Ss, Se, Ah, Al):
+            s = bytes([len(comp_idx)])
+            for ci in comp_idx:
+                s += bytes([ci + 1, 0x00])
+            s += bytes([Ss, Se, (Ah << 4) | Al])
+            return _segment(0xDA, s)
+
+        def dc_blocks():
+            if ncomp > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci, (hh, vv) in enumerate(sampling):
+                            for by in range(vv):
+                                for bx in range(hh):
+                                    yield ci, my * vv + by, mx * hh + bx
+            else:
+                bh, bw = nblocks[0]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield 0, by, bx
+
+        fixed = bytearray([113])
+
+        # scan 1: DC first, interleaved, Al=1 (arithmetic-shift PT)
+        out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+        enc = _ArithEncoder()
+        dc_st = bytearray(64)
+        dc_ctx = [0] * ncomp
+        pred = [0] * ncomp
+        for ci, by, bx in dc_blocks():
+            v = int(coefs[ci][by, bx, 0]) >> 1
+            diff = v - pred[ci]
+            pred[ci] = v
+            _arith_enc_dc(
+                enc, dc_st, dc_ctx, ci, diff, _ARITH_DC_L, _ARITH_DC_U
+            )
+        out += enc.flush()
+
+        # scans: AC first per component (Al=1, truncate-toward-zero)
+        for ci in range(ncomp):
+            out += sos_header([ci], 1, 63, 0, 1)
+            enc = _ArithEncoder()
+            ac_st = bytearray(256)
+            bh, bw = nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[ci][by, bx]
+                    vals = [0] * 64
+                    for k in range(1, 64):
+                        c0 = int(band[k])
+                        vals[k] = (abs(c0) >> 1) * (1 if c0 >= 0 else -1)
+                    _arith_enc_ac(enc, ac_st, fixed, vals, _ARITH_AC_KX)
+            out += enc.flush()
+
+        # scan: DC refinement (Ah=1 -> Al=0): one fixed-bin bit/block
+        out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+        enc = _ArithEncoder()
+        for ci, by, bx in dc_blocks():
+            enc.code(fixed, 0, int(coefs[ci][by, bx, 0]) & 1)
+        out += enc.flush()
+
+        # scans: AC refinement per component (Ah=1 -> Al=0)
+        for ci in range(ncomp):
+            out += sos_header([ci], 1, 63, 1, 0)
+            enc = _ArithEncoder()
+            ac_st = bytearray(256)
+            bh, bw = nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    band = coefs[ci][by, bx]
+                    pt = [0] * 64
+                    sgn = [0] * 64
+                    for k in range(1, 64):
+                        c0 = int(band[k])
+                        pt[k] = abs(c0)  # Al = 0
+                        sgn[k] = 1 if c0 < 0 else 0
+                    _arith_enc_ac_refine(enc, ac_st, fixed, pt, sgn, 1, 63)
+            out += enc.flush()
+
         out += b"\xff\xd9"
         return bytes(out)
 
@@ -2540,12 +2768,10 @@ def make_jpeg_codec():
 
         if progressive and precision != 8:
             raise ValueError("progressive fixtures are 8-bit")
-        if progressive and arithmetic:
-            raise ValueError(
-                "progressive arithmetic fixtures are not supported"
-            )
         mod = 1 << precision
-        if arithmetic:
+        if progressive and arithmetic:
+            enc = lambda p, s: encode_arith_progressive(p, s)
+        elif arithmetic:
             enc = lambda p, s: encode_arith(p, s, precision=precision)
         elif progressive:
             enc = lambda p, s: encode_progressive(p, s)
@@ -2733,13 +2959,13 @@ def make_jpeg_codec():
                             pred[ci] += _arith_dec_dc(
                                 dec, dc_st, dc_ctx, ci, L, U, prec
                             )
-                            zz_ac = _arith_dec_ac(
+                            vals = _arith_dec_ac(
                                 dec, ac_st, fixed, kx, prec
                             )
                             S = np.zeros((8, 8))
                             S[0, 0] = pred[ci] * q[0, 0]
                             for k in range(1, 64):
-                                v = zz_ac[k - 1]
+                                v = vals[k]
                                 if v:
                                     r, c = _zz[k]
                                     S[r, c] = v * q[r, c]
@@ -2754,6 +2980,142 @@ def make_jpeg_codec():
         if payload[p + 1] != 0xD9:
             raise ValueError("missing JPEG EOI")
         return planes
+
+    def _arith_prog_scan(
+        payload, seg, data_start, sof, dac, prog_state, restart_interval
+    ) -> int:
+        """Decode ONE progressive ARITHMETIC (SOF10) scan's entropy
+        data into the shared coefficient state; returns the offset of
+        the next marker. Scan kinds per T.81 G.1.3: DC first
+        (sequential DC model on the point-transformed diffs), DC
+        refinement (one fixed-bin decision per block), AC first
+        (band-limited sequential AC model), AC refinement (the
+        G.1.3.3 history-conditioned model). Each scan — and each
+        restart interval — reinitializes the decoder and every
+        statistics area."""
+        import numpy as np
+
+        H, W, comps, prec = sof
+        if not prog_state:
+            hmax, vmax, mcux, mcuy, grid, real = _prog_geometry(sof)
+            prog_state.update(
+                hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy,
+                grid=grid, real=real,
+                coefs=[
+                    np.zeros((bh, bw, 64), dtype=np.int64)
+                    for bh, bw in grid
+                ],
+            )
+        ns = seg[0]
+        scomps = []
+        cids = [cid for cid, _, _, _ in comps]
+        for i in range(ns):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            if cs not in cids:
+                raise ValueError(f"component {cs} missing from SOF")
+            scomps.append((cids.index(cs), tt >> 4, tt & 0xF))
+        Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        Ah, Al = ahal >> 4, ahal & 0xF
+        if Ss == 0 and Se != 0:
+            raise ValueError(
+                "invalid progressive spectral selection (DC scan must "
+                "have Se=0; a baseline-shaped 0..63 scan is not a "
+                "valid progressive scan)"
+            )
+        if Ss > 0 and ns != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        if Ss > 0 and (Se > 63 or Ss > Se):
+            raise ValueError("invalid progressive spectral band")
+        coefs = prog_state["coefs"]
+
+        def units():
+            if ns > 1:
+                for my in range(prog_state["mcuy"]):
+                    for mx in range(prog_state["mcux"]):
+                        blocks = []
+                        for ci, td, ta in scomps:
+                            _, hh, vv, _ = comps[ci]
+                            for by in range(vv):
+                                for bx in range(hh):
+                                    blocks.append(
+                                        (ci, my * vv + by, mx * hh + bx)
+                                    )
+                        yield blocks
+            else:
+                ci = scomps[0][0]
+                bh, bw = prog_state["real"][ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield [(ci, by, bx)]
+
+        tabs = {ci: (td, ta) for ci, td, ta in scomps}
+
+        def fresh_stats():
+            return (
+                {ci: 0 for ci, _, _ in scomps},  # dc contexts
+                {td: bytearray(64) for _, td, _ in scomps},
+                {ta: bytearray(256) for _, _, ta in scomps},
+            )
+
+        fixed = bytearray([113])
+        dec = _ArithDecoder(payload, data_start)
+        dc_ctx, dc_sts, ac_sts = fresh_stats()
+        pred = {ci: 0 for ci, _, _ in scomps}
+        count = 0
+        rst_expect = 0
+        for blocks in units():
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                p = (
+                    dec.marker_pos
+                    if dec.marker_pos is not None
+                    else dec.bp
+                )
+                p = _next_marker(payload, p)
+                m = payload[p + 1]
+                if m != 0xD0 + rst_expect:
+                    raise ValueError(
+                        f"expected RST{rst_expect}, got marker {m:02x}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                dc_ctx, dc_sts, ac_sts = fresh_stats()
+                pred = {ci: 0 for ci, _, _ in scomps}
+                dec = _ArithDecoder(payload, p + 2)
+            for ci, by, bx in blocks:
+                band = coefs[ci][by, bx]
+                td, ta = tabs[ci]
+                if Ss == 0:
+                    if Ah == 0:  # DC first
+                        L, U = dac.get(
+                            (0, td), (_ARITH_DC_L, _ARITH_DC_U)
+                        )
+                        pred[ci] += _arith_dec_dc(
+                            dec, dc_sts[td], dc_ctx, ci, L, U, prec
+                        )
+                        band[0] = pred[ci] << Al
+                    else:  # DC refinement: one fixed-bin decision
+                        if dec.decode(fixed, 0):
+                            band[0] = int(band[0]) | (1 << Al)
+                elif Ah == 0:  # AC first
+                    kx = dac.get((1, ta), _ARITH_AC_KX)
+                    vals = _arith_dec_ac(
+                        dec, ac_sts[ta], fixed, kx, prec, ss=Ss, se=Se
+                    )
+                    for k in range(Ss, Se + 1):
+                        if vals[k]:
+                            band[k] = vals[k] << Al
+                else:  # AC refinement
+                    _arith_dec_ac_refine(
+                        dec, ac_sts[ta], fixed, band, Ss, Se, Al
+                    )
+            count += 1
+        p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        return _next_marker(payload, p)
 
     def parse(payload: bytes) -> dict:
         import numpy as np
@@ -2825,8 +3187,9 @@ def make_jpeg_codec():
                         ).items()
                     }
                     i += 17 + nv
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-                # baseline / ext-seq / progressive / ext-seq arithmetic
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                # baseline / ext-seq / progressive / ext-seq arith /
+                # progressive arith
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
                 if prec == 12 and marker == 0xC0:
                     raise ValueError(
@@ -2840,14 +3203,10 @@ def make_jpeg_codec():
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 sof = (H, W, comps, prec)
-                progressive = marker == 0xC2
-                arith = marker == 0xC9
+                progressive = marker in (0xC2, 0xCA)
+                arith = marker in (0xC9, 0xCA)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
                 raise NotImplementedError("non-baseline JPEG DCT process")
-            elif marker == 0xCA:
-                raise NotImplementedError(
-                    "progressive arithmetic-coded JPEG"
-                )
             elif marker in (0xCD, 0xCE):
                 raise NotImplementedError(
                     "differential (hierarchical) arithmetic-coded JPEG"
@@ -2880,16 +3239,27 @@ def make_jpeg_codec():
                     break
                 if sof is None:
                     raise ValueError("JPEG SOS before SOF")
-                pos = _prog_scan(
-                    payload,
-                    seg,
-                    nxt,
-                    sof,
-                    qtabs,
-                    htabs,
-                    prog_state,
-                    restart_interval,
-                )
+                if arith:
+                    pos = _arith_prog_scan(
+                        payload,
+                        seg,
+                        nxt,
+                        sof,
+                        dac,
+                        prog_state,
+                        restart_interval,
+                    )
+                else:
+                    pos = _prog_scan(
+                        payload,
+                        seg,
+                        nxt,
+                        sof,
+                        qtabs,
+                        htabs,
+                        prog_state,
+                        restart_interval,
+                    )
                 scans_done += 1
                 continue
             # APPn / COM / other tables: skip
@@ -3303,7 +3673,14 @@ def make_jpeg_codec():
             raise ValueError("truncated JPEG after progressive scan")
         return p
 
-    return build, parse, encode, encode_progressive, encode_arith
+    return (
+        build,
+        parse,
+        encode,
+        encode_progressive,
+        encode_arith,
+        encode_arith_progressive,
+    )
 
 
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3385,12 +3762,33 @@ def multimodal_jpeg_arith_decode(
     the all-ones quantizer, so the decoded pixels (and the closed-form
     DuckDB oracle) are IDENTICAL to the baseline query's. Arbitrary-
     image arithmetic==baseline equality (the adaptive AC machinery the
-    DC-only fixtures can't reach) is pinned by pytest. Remaining JPEG
-    boundaries are progressive-arithmetic (SOF10) and the
-    differential/hierarchical and lossless processes — loud
-    NotImplementedError, pinned in SURVEY §2.12."""
+    DC-only fixtures can't reach) is pinned by pytest. The progressive
+    arithmetic process (SOF10) has its own registered query
+    (:func:`multimodal_jpeg_prog_arith_decode`); remaining JPEG
+    boundaries are the differential/hierarchical and lossless
+    processes — loud NotImplementedError, pinned in SURVEY §2.12."""
     return _jpeg_decode_query(
         spark, sf_dir, progressive=False, arithmetic=True
+    )
+
+
+def multimodal_jpeg_prog_arith_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive ARITHMETIC-coded JPEG decode (round 12 — the
+    SOF10 process, closing the second half of the arithmetic
+    boundary): the same fixtures as :func:`multimodal_jpeg_decode`,
+    encoded over the classic six-scan progressive schedule with the
+    QM coder per T.81 G.1.3 (per-scan coder + statistics reset,
+    fixed-bin DC refinement, band-limited sequential model for AC
+    first scans, history-conditioned G.1.3.3 refinement — arithmetic
+    progressive has no EOB runs) and decoded through the general
+    multi-scan marker walk. The schedule reconstructs coefficients
+    exactly, so pixels (and the shared closed-form oracle) equal the
+    baseline query's. Remaining JPEG boundaries after this round:
+    only the differential/hierarchical and lossless processes."""
+    return _jpeg_decode_query(
+        spark, sf_dir, progressive=True, arithmetic=True
     )
 
 
@@ -3401,7 +3799,7 @@ def _jpeg_decode_query(
     precision: int = 8,
     arithmetic: bool = False,
 ) -> DataFrame:
-    build, parse, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _ = make_jpeg_codec()
 
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -3474,6 +3872,7 @@ QUERIES = {
     "multimodal_jpeg_progressive_decode": multimodal_jpeg_progressive_decode,
     "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
     "multimodal_jpeg_arith_decode": multimodal_jpeg_arith_decode,
+    "multimodal_jpeg_prog_arith_decode": multimodal_jpeg_prog_arith_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -3847,8 +4246,12 @@ ORACLE["multimodal_jpeg_progressive_decode"] = ORACLE[
 ]
 
 # the QM coder is lossless under the all-ones quantizer, so the
-# arithmetic-coded fixtures decode to the same pixels too
+# arithmetic-coded fixtures decode to the same pixels too — in both
+# the sequential (SOF9) and progressive (SOF10) processes
 ORACLE["multimodal_jpeg_arith_decode"] = ORACLE["multimodal_jpeg_decode"]
+ORACLE["multimodal_jpeg_prog_arith_decode"] = ORACLE[
+    "multimodal_jpeg_decode"
+]
 
 # the 12-bit fixtures use the SAME generating formulas and YCbCr
 # matrix with the sample constants widened: mod 256 -> 4096, chroma

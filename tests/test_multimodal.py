@@ -628,7 +628,7 @@ def test_jpeg_round_trip_exact_blockwise():
         make_jpeg_codec,
     )
 
-    build, parse, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _ = make_jpeg_codec()
     for did in (0, 7, 123):
         bx, by = np.meshgrid(
             np.arange(JPEG_W) // 8, np.arange(JPEG_H) // 8, indexing="xy"
@@ -681,7 +681,7 @@ def test_jpeg_general_ac_path_vs_reference_idct():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, encode, _, _ = make_jpeg_codec()
+    _, parse, encode, _, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
 
@@ -710,7 +710,7 @@ def test_jpeg_zigzag_matches_spec_order():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode, _, _ = make_jpeg_codec()
+    _, _, encode, _, _, _ = make_jpeg_codec()
     qt = np.zeros((8, 8), dtype=np.int64)
     for k, flat in enumerate(JPEG_SPEC_ZIGZAG):
         qt[flat // 8, flat % 8] = k + 1
@@ -729,7 +729,7 @@ def test_jpeg_taxonomy():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, _ = make_jpeg_codec()
+    build, parse, encode, _, _, _ = make_jpeg_codec()
     good = build(3, "gray")
 
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -747,9 +747,11 @@ def test_jpeg_taxonomy():
     # the decoder must reject it loudly, not misdecode it
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xC2))
-    # sequential arithmetic (SOF9) is IMPLEMENTED (round 12); the
-    # remaining arithmetic processes stay loud boundaries
-    with pytest.raises(NotImplementedError, match="progressive arith"):
+    # sequential (SOF9) AND progressive (SOF10) arithmetic are
+    # IMPLEMENTED (round 12) — a baseline stream relabeled SOF10 is
+    # rejected for its baseline-shaped 0..63 scan, not misdecoded;
+    # the differential processes stay loud boundaries
+    with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xCA))
     with pytest.raises(NotImplementedError, match="differential"):
         parse(swap_sof_marker(good, 0xCD))
@@ -816,7 +818,7 @@ def test_jpeg_progressive_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog, _ = make_jpeg_codec()
+    build, parse, encode, encode_prog, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(7)
 
     def check(planes, sampling, qtab=None):
@@ -864,7 +866,7 @@ def test_jpeg_progressive_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -884,7 +886,7 @@ def test_jpeg_progressive_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, encode_prog, _ = make_jpeg_codec()
+    build, parse, _, encode_prog, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(3)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
@@ -918,7 +920,7 @@ def test_jpeg_12bit_extended_sequential():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, _ = make_jpeg_codec()
+    build, parse, encode, _, _, _ = make_jpeg_codec()
 
     # full-range 12-bit constant blocks: exact round trip
     y = np.full((16, 16), 4000, dtype=np.int64)
@@ -995,7 +997,7 @@ def test_jpeg_progressive_ac_refine_zrl_before_correction_bit():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog, _ = make_jpeg_codec()
+    build, parse, encode, encode_prog, _, _ = make_jpeg_codec()
 
     A = np.array(
         [
@@ -1050,7 +1052,7 @@ def test_jpeg_arith_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, encode_arith = make_jpeg_codec()
+    build, parse, encode, _, encode_arith, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
 
     def check(planes, sampling, qtab=None, ri=0, precision=8):
@@ -1116,7 +1118,7 @@ def test_jpeg_arith_compresses_adaptively():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode, _, encode_arith = make_jpeg_codec()
+    _, _, encode, _, encode_arith, _ = make_jpeg_codec()
     xx, yy = np.meshgrid(np.arange(64), np.arange(64))
     smooth = ((xx + yy) // 4 + 64).astype(np.int64)
     q = np.full((8, 8), 16, dtype=np.int64)
@@ -1133,7 +1135,7 @@ def test_jpeg_arith_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -1154,7 +1156,7 @@ def test_jpeg_arith_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, _, _, encode_arith = make_jpeg_codec()
+    _, parse, _, _, encode_arith, _ = make_jpeg_codec()
     rng = np.random.RandomState(3)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     good = encode_arith([y], [(1, 1)])
@@ -1230,3 +1232,147 @@ def test_jpeg_qm_state_table_invariants():
             assert qe > 0x5000, (i, "switch outside equiprobable zone")
     # the fixed bin: equiprobable, self-looping, never switches
     assert tab[113] == (0x5A1D, 113, 113, 0)
+
+
+def test_jpeg_prog_arith_equals_baseline_decode():
+    """The SOF10 progressive-arithmetic encoder/decoder pair
+    reconstructs every image bit-identically to its Huffman baseline
+    twin — the six-scan schedule delivers both approximation levels
+    and the QM coder re-codes them losslessly. Exercises per-scan
+    coder/statistics resets, the fixed-bin DC refinement, the
+    band-limited AC-first model, and the G.1.3.3 refinement model's
+    previously-/newly-significant paths (including the crafted
+    long-zero-run block that caught the Huffman refinement ZRL bug)."""
+    import math
+
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, encode, _, _, eap = make_jpeg_codec()
+    rng = np.random.RandomState(13)
+
+    def check(planes, sampling, qtab=None):
+        base = parse(encode(planes, sampling, qtab=qtab))
+        ab = eap(planes, sampling, qtab=qtab)
+        assert b"\xff\xca" in ab  # really SOF10
+        assert b"\xff\xcc" in ab  # DAC conditioning present
+        prog = parse(ab)
+        for k in ("width", "height"):
+            assert base[k] == prog[k]
+        for k in ("gray", "rgb"):
+            if base[k] is None:
+                assert prog[k] is None
+            else:
+                assert np.array_equal(base[k], prog[k])
+
+    q = np.clip(rng.randint(1, 9, (8, 8)), 1, None)
+    y = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y], [(1, 1)])
+    check([y], [(1, 1)], qtab=q)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    check([y, cb, cr], [(1, 1)] * 3, qtab=q)
+    y2 = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    cb2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cr2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    check([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], qtab=q)
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = ((xx + yy) // 3 + 100).astype(np.int64)
+    check([smooth], [(1, 1)], qtab=np.full((8, 8), 16, dtype=np.int64))
+    y3 = rng.randint(0, 256, (17, 27)).astype(np.int64)
+    cb3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    cr3 = rng.randint(0, 256, (9, 14)).astype(np.int64)
+    check([y3, cb3, cr3], [(2, 2), (1, 1), (1, 1)], qtab=q)
+
+    # the crafted refinement block: an already-significant coefficient
+    # past the 16th zero of a long run before a newly-significant one
+    # (the Huffman refinement desync shape — the arithmetic model has
+    # no ZRLs, but the previously-significant-in-a-zero-run path is
+    # exactly what it must thread correctly)
+    A = np.array(
+        [
+            [
+                0.5
+                * ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
+        ),
+    )
+    want = np.zeros(64, dtype=np.int64)
+    want[18] = 2
+    want[25] = 1
+    S = np.zeros((8, 8))
+    for k, (r, c) in enumerate(zz):
+        S[r, c] = want[k] * 16.0
+    plane = np.rint(A.T @ S @ A + 128.0).astype(np.int64)
+    check([plane], [(1, 1)], qtab=np.full((8, 8), 16, dtype=np.int64))
+
+
+def test_jpeg_prog_arith_fixture_matches_baseline_fixture():
+    """The registered progressive-arithmetic query's fixtures decode
+    to the SAME pixels as the baseline query's, per mode."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _, _, _ = make_jpeg_codec()
+    for did in (0, 3, 17):
+        for mode in ("gray", "c444", "c420"):
+            base = parse(build(did, mode))
+            pa = parse(
+                build(did, mode, progressive=True, arithmetic=True)
+            )
+            for k in ("gray", "rgb"):
+                if base[k] is None:
+                    assert pa[k] is None
+                else:
+                    assert np.array_equal(base[k], pa[k]), (did, mode)
+
+
+def test_jpeg_prog_arith_malformed():
+    """Malformed progressive-arithmetic streams fail loudly: a
+    multi-component AC scan, a baseline-shaped 0..63 scan, and a
+    truncated final scan."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, _, eap = make_jpeg_codec()
+    rng = np.random.RandomState(2)
+    y = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    good = eap([y, cb, cr], [(1, 1)] * 3)
+
+    # find the FIRST AC scan's SOS (ns=1) and patch it to 2 components
+    i = 0
+    while True:
+        i = good.index(b"\xff\xda", i + 1)
+        ns = good[i + 4]
+        if ns == 1:
+            break
+    bad = bytearray(good)
+    # widen the header: easier to corrupt Ss of the DC scan instead —
+    # patch the first (interleaved) scan's Se to 63: baseline-shaped
+    j = good.index(b"\xff\xda")
+    ns0 = good[j + 4]
+    se_off = j + 4 + 1 + 2 * ns0 + 1
+    bad = bytearray(good)
+    bad[se_off] = 63
+    with pytest.raises(ValueError, match="spectral selection"):
+        parse(bytes(bad))
+
+    # truncation inside the last scan's entropy data
+    with pytest.raises(ValueError, match="truncated"):
+        parse(good[:-6])
