@@ -3673,6 +3673,12 @@ def make_jpeg_codec():
             raise ValueError("truncated JPEG after progressive scan")
         return p
 
+    # bin-level test hook: the QM coder classes stay closure-scoped
+    # (module-level names would make every decode closure pickle by
+    # reference and require the package on executor workers — the
+    # documented foreign-cwd hazard), but pytest needs direct access
+    # to drive raw statistics bins
+    parse._qm = (_QM, _ArithEncoder, _ArithDecoder)
     return (
         build,
         parse,

@@ -1376,3 +1376,73 @@ def test_jpeg_prog_arith_malformed():
     # truncation inside the last scan's entropy data
     with pytest.raises(ValueError, match="truncated"):
         parse(good[:-6])
+
+
+def test_qm_coder_bin_level_round_trip_and_adaptation():
+    """Bin-level properties of the QM coder, independent of any JPEG
+    model: (a) ROUND TRIP — arbitrary decision sequences over several
+    adaptive bins (plus the fixed bin) decode back exactly, across a
+    range of biases; (b) ADAPTATION — on an i.i.d. skewed source the
+    adaptive estimator converges and the output lands near the source
+    entropy, which a broken state table or exchange rule cannot do
+    (it would sit near 1 bit/symbol); (c) the fixed bin never adapts
+    and therefore cannot compress an equiprobable source below ~1
+    bit/symbol."""
+    import math
+    import random
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, _, _ = make_jpeg_codec()
+    _QM, Enc, Dec = parse._qm
+
+    def roundtrip(bits, n_bins):
+        enc = Enc()
+        st_e = bytearray(n_bins)
+        for i, b in bits:
+            enc.code(st_e, i, b)
+        data = enc.flush() + b"\xff\xd9"  # marker terminates the feed
+        dec = Dec(data, 0)
+        st_d = bytearray(n_bins)
+        for i, b in bits:
+            assert dec.decode(st_d, i) == b
+        assert st_e == st_d  # estimators marched in lockstep
+        return len(data) - 2
+
+    rng = random.Random(42)
+    # (a) fuzz round trip across biases and interleaved bins
+    for p in (0.5, 0.2, 0.05, 0.9):
+        bits = [
+            (rng.randrange(3), 1 if rng.random() < p else 0)
+            for _ in range(4000)
+        ]
+        roundtrip(bits, 3)
+    # fixed bin (index 113 state) interleaved with adaptive bins
+    enc = Enc()
+    st = bytearray(2)
+    fixed = bytearray([113])
+    seq = [(("a", i % 2), i % 3 == 0) for i in range(2000)]
+    for (kind, i), b in seq:
+        enc.code(st if kind == "a" else fixed, i if kind == "a" else 0, int(b))
+    data = enc.flush() + b"\xff\xd9"
+    dec = Dec(data, 0)
+    st2 = bytearray(2)
+    fixed2 = bytearray([113])
+    for (kind, i), b in seq:
+        got = dec.decode(st2 if kind == "a" else fixed2, i if kind == "a" else 0)
+        assert got == int(b)
+    assert fixed2 == bytearray([113])  # the fixed bin never adapted
+
+    # (b) adaptation: 20k bits at P(1)=0.05 -> H ~= 0.286 bits/bit;
+    # allow generous slack for the estimator's staircase
+    n = 20_000
+    bits = [(0, 1 if rng.random() < 0.05 else 0) for _ in range(n)]
+    out_bits = 8 * roundtrip(bits, 1)
+    h = -(0.05 * math.log2(0.05) + 0.95 * math.log2(0.95))
+    assert out_bits < n * h * 1.35, (out_bits, n * h)
+    assert out_bits > n * h * 0.65, (out_bits, n * h)
+
+    # (c) equiprobable source: no coder can beat ~1 bit/symbol
+    bits = [(0, rng.randrange(2)) for _ in range(n)]
+    out_bits = 8 * roundtrip(bits, 1)
+    assert out_bits > n * 0.95
