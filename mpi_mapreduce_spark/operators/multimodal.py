@@ -1522,9 +1522,11 @@ def make_jpeg_codec():
     the same paths (round 11); sequential (SOF9) AND progressive
     (SOF10) ARITHMETIC coding encode and decode through the T.81 QM
     coder (round 12 — see ``encode_arith`` /
-    ``encode_arith_progressive``); the remaining processes —
-    differential/hierarchical, lossless — raise NotImplementedError;
-    everything
+    ``encode_arith_progressive``); LOSSLESS (SOF3) predictive coding
+    encodes and decodes per Annex H (round 12 — see
+    ``encode_lossless``); the remaining processes —
+    differential/hierarchical, lossless-arithmetic — raise
+    NotImplementedError; everything
     malformed — bad SOI, truncated segments or entropy stream, a
     marker inside the entropy segment, missing quant/Huffman tables,
     invalid Huffman codes, DC category overflow, AC index overrun,
@@ -2590,6 +2592,106 @@ def make_jpeg_codec():
         out += b"\xff\xd9"
         return bytes(out)
 
+    def encode_lossless(
+        planes, sampling, predictor: int = 4, restart_interval: int = 0
+    ) -> bytes:
+        """LOSSLESS (SOF3) encoder — T.81 Annex H predictive coding:
+        no DCT, no quantizer; each sample's difference from its
+        neighborhood predictor (selector 1..7 in the scan header's Ss
+        field) is Huffman coded with the DC category + magnitude-bits
+        mechanism, all arithmetic modulo 65536. Components are
+        emitted as separate NON-interleaved scans (spec-legal for any
+        sampling geometry, and it keeps ragged-MCU bookkeeping out of
+        the hot loop); the decoder also accepts multi-component
+        interleaved scans when every component shares the same
+        sampling. First-sample/first-line/first-column prediction and
+        RSTn resets per H.1.2; decode is bit-exact — the decoder
+        reproduces the input planes sample for sample."""
+        if not 1 <= predictor <= 7:
+            raise ValueError(f"invalid lossless predictor {predictor}")
+        ncomp = len(planes)
+        hmax = max(hh for hh, vv in sampling)
+        vmax = max(vv for hh, vv in sampling)
+        H, W = planes[0].shape
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xC3, sof)  # SOF3: lossless sequential
+        dht = bytes([0x00]) + bytes(_dc_bits) + bytes(_dc_vals)
+        out += _segment(0xC4, dht)
+        if restart_interval:
+            out += _segment(0xDD, struct.pack(">H", restart_interval))
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00, predictor, 0, 0])
+            out += _segment(0xDA, sos)
+            plane = planes[ci]
+            ph, pw = plane.shape
+            wtr = _BitWriter()
+            count = 0
+            rst = 0
+            fresh = True  # start-of-scan / post-restart state
+            for y in range(ph):
+                for x in range(pw):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        wtr.flush()
+                        wtr.out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        fresh = True
+                    px = _lossless_predict(
+                        plane, y, x, predictor, 8, 0, fresh
+                    )
+                    fresh = False
+                    d = (int(plane[y, x]) - px) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                    n = _category(d)
+                    c, ln = _dc_codes[n]
+                    wtr.put(c, ln)
+                    if n:
+                        wtr.put(d if d >= 0 else d + (1 << n) - 1, n)
+                    count += 1
+            wtr.flush()
+            out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def _lossless_predict(plane, y, x, predictor, prec, pt, fresh) -> int:
+        """T.81 H.1.2 neighborhood prediction over RECONSTRUCTED
+        samples (encode and decode share it, so any plane whose
+        earlier samples are already exact yields the same Px):
+        start-of-scan (or post-restart) sample predicts
+        2^(P-Pt-1); the rest of the first line predicts from a
+        (left); the first column predicts from b (above); interior
+        samples use selector 1..7."""
+        if fresh:
+            return 1 << (prec - pt - 1)
+        if y == 0:
+            return int(plane[y, x - 1])
+        if x == 0:
+            return int(plane[y - 1, x])
+        a = int(plane[y, x - 1])
+        b = int(plane[y - 1, x])
+        c = int(plane[y - 1, x - 1])
+        if predictor == 1:
+            return a
+        if predictor == 2:
+            return b
+        if predictor == 3:
+            return c
+        if predictor == 4:
+            return a + b - c
+        if predictor == 5:
+            return a + ((b - c) >> 1)
+        if predictor == 6:
+            return b + ((a - c) >> 1)
+        return (a + b) >> 1  # predictor 7
+
     def encode_arith_progressive(planes, sampling, qtab=None) -> bytes:
         """Progressive ARITHMETIC-coded (SOF10) twin of
         ``encode_progressive``: the same six-scan spectral-selection +
@@ -2752,6 +2854,7 @@ def make_jpeg_codec():
         progressive: bool = False,
         precision: int = 8,
         arithmetic: bool = False,
+        lossless: bool = False,
     ) -> bytes:
         """Oracle fixture: per-8×8-block constant planes (per-MCU
         constant chroma at 4:2:0), one generating formula per plane,
@@ -2769,7 +2872,17 @@ def make_jpeg_codec():
         if progressive and precision != 8:
             raise ValueError("progressive fixtures are 8-bit")
         mod = 1 << precision
-        if progressive and arithmetic:
+        if lossless:
+            if progressive or arithmetic or precision != 8:
+                raise ValueError(
+                    "lossless fixtures are 8-bit Huffman SOF3"
+                )
+            # one predictor per fixture mode so the registered query
+            # exercises the selector space (4 = planar, 7 = average,
+            # 5 = left + half vertical gradient)
+            pred = {"gray": 4, "c444": 7, "c420": 5}.get(mode, 4)
+            enc = lambda p, s: encode_lossless(p, s, predictor=pred)
+        elif progressive and arithmetic:
             enc = lambda p, s: encode_arith_progressive(p, s)
         elif arithmetic:
             enc = lambda p, s: encode_arith(p, s, precision=precision)
@@ -3117,6 +3230,121 @@ def make_jpeg_codec():
         p = dec.marker_pos if dec.marker_pos is not None else dec.bp
         return _next_marker(payload, p)
 
+    def _lossless_scan(
+        payload, seg, data_start, sof, htabs, loss_state, restart_interval
+    ) -> int:
+        """Decode ONE lossless (SOF3) scan — T.81 Annex H: Huffman
+        category + magnitude bits per difference, neighborhood
+        prediction (selector in Ss, 1..7) over reconstructed samples,
+        all arithmetic modulo 65536, point transform honored, RSTn
+        resets the prediction to start-of-scan conditions. Components
+        decode non-interleaved per scan; a multi-component scan is
+        accepted when every component shares the same sampling (one
+        sample per component per MCU)."""
+        import numpy as np
+
+        H, W, comps, prec = sof
+        hmax = max(hh for _, hh, vv, _ in comps)
+        vmax = max(vv for _, hh, vv, _ in comps)
+        planes = loss_state.setdefault("planes", {})
+        ns = seg[0]
+        cids = [cid for cid, _, _, _ in comps]
+        scomps = []
+        for i in range(ns):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            if cs not in cids:
+                raise ValueError(f"component {cs} missing from SOF")
+            scomps.append((cids.index(cs), tt >> 4))
+        pred_sel = seg[1 + 2 * ns]
+        se, ahal = seg[2 + 2 * ns], seg[3 + 2 * ns]
+        pt = ahal & 0xF
+        if not 1 <= pred_sel <= 7:
+            raise ValueError(
+                f"invalid lossless predictor {pred_sel} (Ss must be 1..7)"
+            )
+        if se != 0 or (ahal >> 4) != 0:
+            raise ValueError("invalid lossless scan header (Se/Ah)")
+        if ns > 1 and len(
+            {(comps[ci][1], comps[ci][2]) for ci, _ in scomps}
+        ) != 1:
+            raise NotImplementedError(
+                "interleaved lossless scan with mixed sampling"
+            )
+        dims = {}
+        tabs = {}
+        for ci, td in scomps:
+            _, hh, vv, _ = comps[ci]
+            dims[ci] = (-(-H * vv // vmax), -(-W * hh // hmax))
+            planes[ci] = np.zeros(dims[ci], dtype=np.int64)
+            t = htabs.get((0, td))
+            if t is None:
+                raise ValueError("missing JPEG Huffman table")
+            tabs[ci] = t
+        reader = _BitReader(payload, data_start)
+
+        def mcu_units():
+            if ns == 1:
+                ci = scomps[0][0]
+                h_i, w_i = dims[ci]
+                for y in range(h_i):
+                    for x in range(w_i):
+                        yield ((ci, y, x),)
+            else:
+                h_i, w_i = dims[scomps[0][0]]
+                for y in range(h_i):
+                    for x in range(w_i):
+                        yield tuple((ci, y, x) for ci, _ in scomps)
+
+        fresh = {ci: True for ci, _ in scomps}
+        count = 0
+        rst_expect = 0
+        for unit in mcu_units():
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                m = reader.restart_marker()
+                if m != 0xD0 + rst_expect:
+                    raise ValueError(
+                        f"expected RST{rst_expect}, got marker {m:02x}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                fresh = {ci: True for ci, _ in scomps}
+            for ci, y, x in unit:
+                n = _huff_decode(reader, tabs[ci])
+                if n > 16:
+                    raise ValueError("invalid JPEG lossless category")
+                if n == 16:  # T.81 H.1.2.2: SSSS=16 codes 32768 raw
+                    diff = 32768
+                elif n:
+                    raw = reader.bits(n)
+                    diff = (
+                        raw
+                        if raw >= (1 << (n - 1))
+                        else raw - (1 << n) + 1
+                    )
+                else:
+                    diff = 0
+                plane = planes[ci]
+                px = _lossless_predict(
+                    plane, y, x, pred_sel, prec, pt, fresh[ci]
+                )
+                fresh[ci] = False
+                plane[y, x] = (px + diff) & 0xFFFF
+            count += 1
+        if pt:  # output = reconstructed reduced-precision sample << Pt
+            for ci, _ in scomps:
+                planes[ci] <<= pt
+        p = reader.pos
+        while p + 1 < len(payload) and not (
+            payload[p] == 0xFF and payload[p + 1] != 0x00
+        ):
+            p += 1
+        if p + 1 >= len(payload):
+            raise ValueError("truncated JPEG after lossless scan")
+        return p
+
     def parse(payload: bytes) -> dict:
         import numpy as np
 
@@ -3129,8 +3357,10 @@ def make_jpeg_codec():
         sof = None
         progressive = False
         arith = False
+        lossless = False
         dac: dict = {}  # (class, table) -> conditioning, DAC marker
         prog_state: dict = {}  # geometry + coefficient arrays, lazy
+        loss_state: dict = {}  # per-component sample planes, lazy
         scans_done = 0
         restart_interval = 0
         seg = b""
@@ -3141,8 +3371,8 @@ def make_jpeg_codec():
                 raise ValueError(f"bad JPEG marker byte at offset {pos}")
             marker = payload[pos + 1]
             if marker == 0xD9:
-                if progressive and scans_done:
-                    break  # progressive streams end at EOI
+                if (progressive or lossless) and scans_done:
+                    break  # multi-scan streams end at EOI
                 raise ValueError("EOI before SOS")
             if pos + 4 > len(payload):
                 raise ValueError("truncated JPEG marker stream")
@@ -3187,16 +3417,21 @@ def make_jpeg_codec():
                         ).items()
                     }
                     i += 17 + nv
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-                # baseline / ext-seq / progressive / ext-seq arith /
-                # progressive arith
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+                # baseline / ext-seq / progressive / lossless /
+                # ext-seq arith / progressive arith
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
                 if prec == 12 and marker == 0xC0:
                     raise ValueError(
                         "12-bit precision requires extended-sequential "
                         "(SOF1) or progressive (SOF2), not baseline SOF0"
                     )
-                if prec not in (8, 12):
+                if marker == 0xC3:
+                    if not 2 <= prec <= 16:
+                        raise ValueError(
+                            f"invalid lossless precision {prec}"
+                        )
+                elif prec not in (8, 12):
                     raise NotImplementedError(f"{prec}-bit JPEG precision")
                 comps = []
                 for i in range(nc):
@@ -3205,11 +3440,14 @@ def make_jpeg_codec():
                 sof = (H, W, comps, prec)
                 progressive = marker in (0xC2, 0xCA)
                 arith = marker in (0xC9, 0xCA)
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCF):
-                raise NotImplementedError("non-baseline JPEG DCT process")
-            elif marker in (0xCD, 0xCE):
+                lossless = marker == 0xC3
+            elif marker == 0xCB:
                 raise NotImplementedError(
-                    "differential (hierarchical) arithmetic-coded JPEG"
+                    "lossless arithmetic-coded JPEG (SOF11)"
+                )
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "differential (hierarchical) JPEG process"
                 )
             elif marker == 0xCC:  # DAC: arithmetic conditioning
                 i = 0
@@ -3235,6 +3473,20 @@ def make_jpeg_codec():
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg)
             elif marker == 0xDA:  # SOS — entropy data follows
+                if lossless:
+                    if sof is None:
+                        raise ValueError("JPEG SOS before SOF")
+                    pos = _lossless_scan(
+                        payload,
+                        seg,
+                        nxt,
+                        sof,
+                        htabs,
+                        loss_state,
+                        restart_interval,
+                    )
+                    scans_done += 1
+                    continue
                 if not progressive:
                     break
                 if sof is None:
@@ -3277,6 +3529,17 @@ def make_jpeg_codec():
                 )
         mcux = (W + 8 * hmax - 1) // (8 * hmax)
         mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        if lossless:
+            # all scans decoded: the planes ARE the samples
+            planes = []
+            for ci in range(len(comps)):
+                pl = loss_state.get("planes", {}).get(ci)
+                if pl is None:
+                    raise ValueError(
+                        "lossless frame missing a component scan"
+                    )
+                planes.append(pl.astype(np.float64))
+            return _assemble(np, planes, comps, H, W, hmax, vmax, prec)
         if progressive:
             # all scans decoded: dequantize + de-zigzag + batch IDCT
             planes = []
@@ -3686,6 +3949,7 @@ def make_jpeg_codec():
         encode_progressive,
         encode_arith,
         encode_arith_progressive,
+        encode_lossless,
     )
 
 
@@ -3770,9 +4034,11 @@ def multimodal_jpeg_arith_decode(
     image arithmetic==baseline equality (the adaptive AC machinery the
     DC-only fixtures can't reach) is pinned by pytest. The progressive
     arithmetic process (SOF10) has its own registered query
-    (:func:`multimodal_jpeg_prog_arith_decode`); remaining JPEG
-    boundaries are the differential/hierarchical and lossless
-    processes — loud NotImplementedError, pinned in SURVEY §2.12."""
+    (:func:`multimodal_jpeg_prog_arith_decode`) and the lossless
+    process its own (:func:`multimodal_jpeg_lossless_decode`);
+    remaining JPEG boundaries are the differential/hierarchical
+    processes and lossless-arithmetic (SOF11) — loud
+    NotImplementedError, pinned in SURVEY §2.12."""
     return _jpeg_decode_query(
         spark, sf_dir, progressive=False, arithmetic=True
     )
@@ -3792,10 +4058,31 @@ def multimodal_jpeg_prog_arith_decode(
     multi-scan marker walk. The schedule reconstructs coefficients
     exactly, so pixels (and the shared closed-form oracle) equal the
     baseline query's. Remaining JPEG boundaries after this round:
-    only the differential/hierarchical and lossless processes."""
+    only the differential/hierarchical processes and
+    lossless-arithmetic (SOF11)."""
     return _jpeg_decode_query(
         spark, sf_dir, progressive=True, arithmetic=True
     )
+
+
+def multimodal_jpeg_lossless_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL lossless JPEG decode (round 12 — the SOF3 predictive
+    process, T.81 Annex H): no DCT or quantizer; per-sample
+    differences from a neighborhood predictor (selector 1..7 — the
+    fixtures rotate planar/average/gradient selectors across the
+    gray / 4:4:4 / 4:2:0 variants) Huffman coded with the DC
+    category + magnitude-bits mechanism, arithmetic modulo 65536,
+    point transform honored, per-component non-interleaved scans,
+    RSTn prediction resets. Decode is sample-exact by construction,
+    so the decoded pixels — and the shared closed-form oracle — equal
+    the baseline query's on the blockwise-constant fixtures, while
+    pytest pins exact round-trips of arbitrary random images under
+    every predictor. After this round the only JPEG processes left
+    are lossless-arithmetic (SOF11) and differential/hierarchical —
+    loud NotImplementedError."""
+    return _jpeg_decode_query(spark, sf_dir, progressive=False, lossless=True)
 
 
 def _jpeg_decode_query(
@@ -3804,8 +4091,9 @@ def _jpeg_decode_query(
     progressive: bool,
     precision: int = 8,
     arithmetic: bool = False,
+    lossless: bool = False,
 ) -> DataFrame:
-    build, parse, _, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
 
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
@@ -3829,6 +4117,7 @@ def _jpeg_decode_query(
                             progressive=progressive,
                             precision=precision,
                             arithmetic=arithmetic,
+                            lossless=lossless,
                         )
                     )
                     rgb = img["rgb"]
@@ -3879,6 +4168,7 @@ QUERIES = {
     "multimodal_jpeg12_decode": multimodal_jpeg12_decode,
     "multimodal_jpeg_arith_decode": multimodal_jpeg_arith_decode,
     "multimodal_jpeg_prog_arith_decode": multimodal_jpeg_prog_arith_decode,
+    "multimodal_jpeg_lossless_decode": multimodal_jpeg_lossless_decode,
     "multimodal_audio_decimate": multimodal_audio_decimate,
     "multimodal_pixel_histogram": multimodal_pixel_histogram,
 }
@@ -4258,6 +4548,10 @@ ORACLE["multimodal_jpeg_arith_decode"] = ORACLE["multimodal_jpeg_decode"]
 ORACLE["multimodal_jpeg_prog_arith_decode"] = ORACLE[
     "multimodal_jpeg_decode"
 ]
+
+# lossless decode is sample-exact and the fixtures are the same
+# generating formulas, so the pixels (and the oracle) match too
+ORACLE["multimodal_jpeg_lossless_decode"] = ORACLE["multimodal_jpeg_decode"]
 
 # the 12-bit fixtures use the SAME generating formulas and YCbCr
 # matrix with the sample constants widened: mod 256 -> 4096, chroma

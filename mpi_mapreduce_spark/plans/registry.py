@@ -192,11 +192,12 @@ _ROUND_PRIORITY = [
 # golden-covered trio) / r9:49 / r10:50 / r11:50 / r12:50 — the
 # 208-query registry cannot cycle through a 50-slot window in under
 # ~4.2 rounds, so a strict less-than-4-round bound is structurally
-# unreachable. FIRST IN LINE for the round-13 window: the two
+# unreachable. FIRST IN LINE for the round-13 window: the three
 # round-12 late additions (multimodal_jpeg_arith_decode,
-# multimodal_jpeg_prog_arith_decode — both builder-attested
-# hash-green vs their DuckDB oracles at sf0.001/0.01/0.1 via
-# tools/rehearse.py this round) plus the held-out trio
+# multimodal_jpeg_prog_arith_decode, multimodal_jpeg_lossless_decode
+# — all builder-attested hash-green vs their DuckDB oracles at
+# sf0.001/0.01/0.1 via tools/rehearse.py this round) plus the
+# held-out trio
 # (map1_charclass / map2_letterfreq / map3_synthetic — byte-exact
 # reference goldens in pytest, rehearsed at sf0.01 this round).
 

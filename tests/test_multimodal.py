@@ -628,7 +628,7 @@ def test_jpeg_round_trip_exact_blockwise():
         make_jpeg_codec,
     )
 
-    build, parse, _, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
     for did in (0, 7, 123):
         bx, by = np.meshgrid(
             np.arange(JPEG_W) // 8, np.arange(JPEG_H) // 8, indexing="xy"
@@ -681,7 +681,7 @@ def test_jpeg_general_ac_path_vs_reference_idct():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, encode, _, _, _ = make_jpeg_codec()
+    _, parse, encode, _, _, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
 
@@ -710,7 +710,7 @@ def test_jpeg_zigzag_matches_spec_order():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode, _, _, _ = make_jpeg_codec()
+    _, _, encode, _, _, _, _ = make_jpeg_codec()
     qt = np.zeros((8, 8), dtype=np.int64)
     for k, flat in enumerate(JPEG_SPEC_ZIGZAG):
         qt[flat // 8, flat % 8] = k + 1
@@ -729,7 +729,7 @@ def test_jpeg_taxonomy():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, _, _ = make_jpeg_codec()
+    build, parse, encode, _, _, _, _ = make_jpeg_codec()
     good = build(3, "gray")
 
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -747,16 +747,21 @@ def test_jpeg_taxonomy():
     # the decoder must reject it loudly, not misdecode it
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xC2))
-    # sequential (SOF9) AND progressive (SOF10) arithmetic are
-    # IMPLEMENTED (round 12) — a baseline stream relabeled SOF10 is
-    # rejected for its baseline-shaped 0..63 scan, not misdecoded;
-    # the differential processes stay loud boundaries
+    # sequential (SOF9) / progressive (SOF10) arithmetic AND lossless
+    # (SOF3) are IMPLEMENTED (round 12) — a baseline stream relabeled
+    # to them is rejected for its baseline-shaped scan header, not
+    # misdecoded; the differential processes and lossless-arithmetic
+    # stay loud boundaries
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xCA))
+    with pytest.raises(ValueError, match="predictor"):
+        parse(swap_sof_marker(good, 0xC3))
     with pytest.raises(NotImplementedError, match="differential"):
         parse(swap_sof_marker(good, 0xCD))
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        parse(swap_sof_marker(good, 0xC3))
+    with pytest.raises(NotImplementedError, match="differential"):
+        parse(swap_sof_marker(good, 0xC5))
+    with pytest.raises(NotImplementedError, match="lossless arith"):
+        parse(swap_sof_marker(good, 0xCB))
 
     # 12-bit precision is REAL (round 11) but T.81 forbids it in
     # baseline SOF0 — patching the precision byte of an SOF0 stream
@@ -818,7 +823,7 @@ def test_jpeg_progressive_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog, _, _ = make_jpeg_codec()
+    build, parse, encode, encode_prog, _, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(7)
 
     def check(planes, sampling, qtab=None):
@@ -866,7 +871,7 @@ def test_jpeg_progressive_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -886,7 +891,7 @@ def test_jpeg_progressive_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, encode_prog, _, _ = make_jpeg_codec()
+    build, parse, _, encode_prog, _, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(3)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
@@ -920,7 +925,7 @@ def test_jpeg_12bit_extended_sequential():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, _, _ = make_jpeg_codec()
+    build, parse, encode, _, _, _, _ = make_jpeg_codec()
 
     # full-range 12-bit constant blocks: exact round trip
     y = np.full((16, 16), 4000, dtype=np.int64)
@@ -997,7 +1002,7 @@ def test_jpeg_progressive_ac_refine_zrl_before_correction_bit():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, encode_prog, _, _ = make_jpeg_codec()
+    build, parse, encode, encode_prog, _, _, _ = make_jpeg_codec()
 
     A = np.array(
         [
@@ -1052,7 +1057,7 @@ def test_jpeg_arith_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, encode_arith, _ = make_jpeg_codec()
+    build, parse, encode, _, encode_arith, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(11)
 
     def check(planes, sampling, qtab=None, ri=0, precision=8):
@@ -1118,7 +1123,7 @@ def test_jpeg_arith_compresses_adaptively():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, _, encode, _, encode_arith, _ = make_jpeg_codec()
+    _, _, encode, _, encode_arith, _, _ = make_jpeg_codec()
     xx, yy = np.meshgrid(np.arange(64), np.arange(64))
     smooth = ((xx + yy) // 4 + 64).astype(np.int64)
     q = np.full((8, 8), 16, dtype=np.int64)
@@ -1135,7 +1140,7 @@ def test_jpeg_arith_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -1156,7 +1161,7 @@ def test_jpeg_arith_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, _, _, encode_arith, _ = make_jpeg_codec()
+    _, parse, _, _, encode_arith, _, _ = make_jpeg_codec()
     rng = np.random.RandomState(3)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     good = encode_arith([y], [(1, 1)])
@@ -1249,7 +1254,7 @@ def test_jpeg_prog_arith_equals_baseline_decode():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, encode, _, _, eap = make_jpeg_codec()
+    build, parse, encode, _, _, eap, _ = make_jpeg_codec()
     rng = np.random.RandomState(13)
 
     def check(planes, sampling, qtab=None):
@@ -1325,7 +1330,7 @@ def test_jpeg_prog_arith_fixture_matches_baseline_fixture():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    build, parse, _, _, _, _ = make_jpeg_codec()
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
     for did in (0, 3, 17):
         for mode in ("gray", "c444", "c420"):
             base = parse(build(did, mode))
@@ -1348,7 +1353,7 @@ def test_jpeg_prog_arith_malformed():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, _, _, _, eap = make_jpeg_codec()
+    _, parse, _, _, _, eap, _ = make_jpeg_codec()
     rng = np.random.RandomState(2)
     y = rng.randint(0, 256, (16, 16)).astype(np.int64)
     cb = rng.randint(0, 256, (16, 16)).astype(np.int64)
@@ -1393,7 +1398,7 @@ def test_qm_coder_bin_level_round_trip_and_adaptation():
 
     from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
 
-    _, parse, _, _, _, _ = make_jpeg_codec()
+    _, parse, _, _, _, _, _ = make_jpeg_codec()
     _QM, Enc, Dec = parse._qm
 
     def roundtrip(bits, n_bins):
@@ -1446,3 +1451,105 @@ def test_qm_coder_bin_level_round_trip_and_adaptation():
     bits = [(0, rng.randrange(2)) for _ in range(n)]
     out_bits = 8 * roundtrip(bits, 1)
     assert out_bits > n * 0.95
+
+
+def test_jpeg_lossless_round_trips_exactly():
+    """The SOF3 lossless encoder/decoder pair reproduces arbitrary
+    input planes SAMPLE-EXACTLY under every predictor selector (1..7),
+    including first-line/first-column prediction rules, restart
+    resets, multi-component 4:4:4 frames and 4:2:0 sampling (chroma
+    decoded at its own resolution, replication-upsampled only at
+    output)."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _, _, _, el = make_jpeg_codec()
+    rng = np.random.RandomState(21)
+
+    for pred in range(1, 8):
+        y = rng.randint(0, 256, (13, 19)).astype(np.int64)
+        got = parse(el([y], [(1, 1)], predictor=pred))
+        assert np.array_equal(got["gray"], y), pred
+        # restart interval: prediction resets, still exact
+        got = parse(el([y], [(1, 1)], predictor=pred, restart_interval=7))
+        assert np.array_equal(got["gray"], y), ("rst", pred)
+
+    # 4:4:4 color: exact samples through the shared YCbCr output stage
+    y = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    img = parse(el([y, cb, cr], [(1, 1)] * 3, predictor=4))
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    assert np.array_equal(img["rgb"][:, :, 0], r.astype(np.int64))
+    assert np.array_equal(img["rgb"][:, :, 2], b.astype(np.int64))
+
+    # 4:2:0: chroma half-res planes decode exactly, replicated 2x2
+    y2 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cb2 = rng.randint(0, 256, (8, 8)).astype(np.int64)
+    cr2 = rng.randint(0, 256, (8, 8)).astype(np.int64)
+    img = parse(el([y2, cb2, cr2], [(2, 2), (1, 1), (1, 1)], predictor=7))
+    cbu = np.repeat(np.repeat(cb2, 2, 0), 2, 1)
+    b2 = np.clip(np.floor(y2 + 1.772 * (cbu - 128.0) + 0.5), 0, 255)
+    assert np.array_equal(img["rgb"][:, :, 2], b2.astype(np.int64))
+
+
+def test_jpeg_lossless_fixture_matches_baseline_fixture():
+    """The registered lossless query's fixtures decode to the SAME
+    pixels as the baseline query's (shared closed-form oracle)."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
+    for did in (0, 3, 17):
+        for mode in ("gray", "c444", "c420"):
+            base = parse(build(did, mode))
+            ll = parse(build(did, mode, lossless=True))
+            for k in ("gray", "rgb"):
+                if base[k] is None:
+                    assert ll[k] is None
+                else:
+                    assert np.array_equal(base[k], ll[k]), (did, mode)
+
+
+def test_jpeg_lossless_malformed():
+    """Lossless error taxonomy: invalid predictor selector, invalid
+    Se/Ah, missing component scan, wrong restart id, truncation."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, _, _, el = make_jpeg_codec()
+    rng = np.random.RandomState(4)
+    y = rng.randint(0, 256, (12, 12)).astype(np.int64)
+    good = el([y], [(1, 1)], predictor=3)
+
+    sos = good.index(b"\xff\xda")
+    ns = good[sos + 4]
+    ss_off = sos + 4 + 1 + 2 * ns
+    bad = bytearray(good)
+    bad[ss_off] = 0  # predictor 0 invalid in a lossless scan
+    with pytest.raises(ValueError, match="predictor"):
+        parse(bytes(bad))
+    bad = bytearray(good)
+    bad[ss_off + 1] = 63  # Se must be 0
+    with pytest.raises(ValueError, match="Se/Ah"):
+        parse(bytes(bad))
+
+    # a three-component frame whose stream only carries one scan
+    y3 = rng.randint(0, 256, (8, 8)).astype(np.int64)
+    full = el([y3, y3, y3], [(1, 1)] * 3, predictor=1)
+    second = full.index(b"\xff\xda", full.index(b"\xff\xda") + 2)
+    with pytest.raises(ValueError, match="missing a component scan"):
+        parse(full[:second] + b"\xff\xd9")
+
+    g2 = el([y], [(1, 1)], predictor=1, restart_interval=4)
+    i = g2.index(b"\xff\xd0")
+    with pytest.raises(ValueError, match="expected RST0"):
+        parse(g2[:i] + b"\xff\xd4" + g2[i + 2 :])
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse(good[:-4])
