@@ -116,90 +116,87 @@ def _build() -> None:
 #: the external driver checks only this many queries per round
 DRIVER_CAP = 50
 
-#: Round-12 window (the driver checks the first DRIVER_CAP registered
-#: queries — this list IS that window, asserted in _build).
-#: - late additions from round 11, attest first as promised by the
-#:   r11 window note (7): the substring serving pair, the Matryoshka
-#:   audit, the Kneser-Ney scorer, the source-overlap matrix, and the
-#:   progressive/12-bit JPEG decodes — builder-attested at 3 scales
-#:   last round and judge-verified 7/7 at sf0.01, never
-#:   driver-sampled.
-#: - rotation (43): the round-8 tier (VERDICT r11 item 3) — derived
-#:   by newest-green over CORRECTNESS_r01..r11 (46 queries), minus
-#:   the three held out below.
-#: - held out (3, the 50-slot cap forces it: 7 late + 46 tier = 53):
-#:   map1_charclass / map2_letterfreq / map3_synthetic — chosen
-#:   because they are the only tier members with BYTE-EXACT reference
-#:   golden coverage in pytest (refjob.py end-to-end goldens), an
-#:   independent attestation stronger than the driver's DuckDB hash.
-#:   They are builder-attested this round via tools/rehearse.py at
-#:   sf0.01 and are FIRST IN LINE for the round-13 window.
+#: Round-13 window (VERDICT r12 item 1, followed exactly: the 3
+#: never-driver-sampled r12 late additions + the 3 round-8-stale
+#: byte-exact goldens + 44 of the 49 round-9-tier queries).
+#: - r12 late additions (3): the arithmetic/lossless JPEG decodes —
+#:   builder-attested hash-green at 3 scales last round AND
+#:   judge-verified 3/3 at sf0.01, never driver-sampled.
+#: - golden trio (3): map1/map2/map3 — newest driver row r8; held out
+#:   of the r12 window because their byte-exact refjob goldens are the
+#:   strongest independent attestation in the repo.
+#: - rotation (44): the round-9 tier by newest-green over
+#:   CORRECTNESS_r01..r12, minus the 5 deferred below.
+#: - deferred (5, the 50-slot cap forces it: 3+3+49 = 55):
+#:   distinct_counts / topk_orders / percentile_order_prices /
+#:   text_cms_sketch / text_cms_heavy_hitters — chosen because they
+#:   are the only r9-tier members with direct value-checking pytest
+#:   coverage (tests/test_relational.py, tests/test_sketches.py), an
+#:   independent attestation the other 44 lack. Builder-attested this
+#:   round via tools/rehearse.py at sf0.01 and FIRST IN LINE for the
+#:   round-14 window.
 _ROUND_PRIORITY = [
-    # -- r11 late additions: attest first (7) --
-    "substring_serving_flat",
-    "substring_serving_tiered",
-    "embedding_matryoshka_quality",
-    "text_kn_bigram_score",
-    "text_source_overlap",
-    "multimodal_jpeg_progressive_decode",
-    "multimodal_jpeg12_decode",
-    # -- rotation: newest green row is round 8 (43 of 46) --
-    "ann_int8_topk",
-    "ann_ivf_assign_batch",
-    "ann_ivf_cells",
-    "ann_ivf_centroids",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "customer_name_fuzzy_pairs",
-    "dedup_embedding",
-    "dedup_embedding_auto",
-    "dedup_incremental_embedding_validate",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_ngrams",
-    "dedup_semantic",
-    "dedup_substring_spans",
-    "dedup_substring_stats",
-    "dedup_substring_strip",
-    "dq_skew_report_events",
-    "embedding_bucket_index",
-    "embedding_covariance",
-    "embedding_hard_negatives",
-    "embedding_int8_quantize",
-    "embedding_kmeans",
-    "embedding_pq_codes",
-    "events_quantile_sketch",
-    "events_seasonal_profile",
-    "events_user_value_ewma",
-    "multimodal_audio_decimate",
-    "multimodal_pixel_histogram",
-    "parts_abc_revenue",
-    "q3_shipping_priority",
-    "text_bm25_topk",
-    "text_boilerplate_strip",
-    "text_bpe_encode",
-    "text_bpe_fertility_by_lang",
-    "text_bpe_train_merges",
-    "text_unigram_entropy",
-    "training_dsir_resample",
-    "training_epoch_shard",
-    "training_quality_logreg",
-    "training_shard_manifest",
-    "training_split_cluster_safe",
-    "window_topk_suppliers",
-    "wordcount",
+    # -- r12 late additions: never driver-sampled (3) --
+    "multimodal_jpeg_arith_decode",
+    "multimodal_jpeg_prog_arith_decode",
+    "multimodal_jpeg_lossless_decode",
+    # -- round-8-stale byte-exact golden trio (3) --
+    "map1_charclass",
+    "map2_letterfreq",
+    "map3_synthetic",
+    # -- rotation: newest green row is round 9 (44 of 49) --
+    "ann_lsh_bucket_table",
+    "ann_mmr_topk",
+    "cube_order_stats",
+    "dedup_bloom_filter_table",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_incremental_bloom",
+    "dedup_incremental_screened",
+    "dedup_ngram_jaccard_capped",
+    "dedup_novelty_bloom",
+    "dedup_novelty_score",
+    "events_json_stats",
+    "grouping_sets_pricing",
+    "join_anti_idle_customers",
+    "join_broadcast_part",
+    "join_range_price_band",
+    "join_semi_active_customers",
+    "orders_by_month",
+    "orders_metrics_unpivot",
+    "pivot_linestatus",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_pricing",
+    "setops_customer_cohorts",
+    "sql_customer_max_order",
+    "sql_q4_order_priority",
+    "string_functions_showcase",
+    "window_event_deltas",
+    "window_running_customer_spend",
 ]
-# After round 12 the newest-green histogram is r8:3 (the held-out
-# golden-covered trio) / r9:49 / r10:50 / r11:50 / r12:50 — the
-# 208-query registry cannot cycle through a 50-slot window in under
-# ~4.2 rounds, so a strict less-than-4-round bound is structurally
-# unreachable. FIRST IN LINE for the round-13 window: the three
-# round-12 late additions (multimodal_jpeg_arith_decode,
-# multimodal_jpeg_prog_arith_decode, multimodal_jpeg_lossless_decode
-# — all builder-attested hash-green vs their DuckDB oracles at
-# sf0.001/0.01/0.1 via tools/rehearse.py this round) plus the
-# held-out trio
-# (map1_charclass / map2_letterfreq / map3_synthetic — byte-exact
-# reference goldens in pytest, rehearsed at sf0.01 this round).
+# After round 13 the newest-green histogram should read r9:5 (the
+# deferred pytest-covered five) / r10:50 / r11:50 / r12:50 / r13:50 /
+# plus dedup_incremental_embedding (rows-only r8; its hash-attested
+# validate twin dedup_incremental_embedding_validate was green r12).
+# The 211-query registry cannot cycle through a 50-slot window in
+# under ~4.2 rounds; registry growth is FROZEN this round (VERDICT
+# r12 item 2) except to close the SOF11 JPEG ledger.
 
 
 def _promote(names: list[str]) -> None:
