@@ -3239,8 +3239,11 @@ def make_jpeg_codec():
         all arithmetic modulo 65536, point transform honored, RSTn
         resets the prediction to start-of-scan conditions. Components
         decode non-interleaved per scan; a multi-component scan is
-        accepted when every component shares the same sampling (one
-        sample per component per MCU)."""
+        accepted only when every scan component samples at 1x1 —
+        per T.81 H.2.3 an interleaved MCU carries Hi x Vi samples per
+        component (ABSOLUTE factors, even when uniform), and our
+        one-sample-per-component MCU order is correct exactly for
+        Hi = Vi = 1 (ADVICE r12 low)."""
         import numpy as np
 
         H, W, comps, prec = sof
@@ -3264,11 +3267,14 @@ def make_jpeg_codec():
             )
         if se != 0 or (ahal >> 4) != 0:
             raise ValueError("invalid lossless scan header (Se/Ah)")
-        if ns > 1 and len(
-            {(comps[ci][1], comps[ci][2]) for ci, _ in scomps}
-        ) != 1:
+        if ns > 1 and any(
+            (comps[ci][1], comps[ci][2]) != (1, 1) for ci, _ in scomps
+        ):
+            # T.81 H.2.3: interleaved MCUs hold HixVi samples per
+            # component in raster sub-order — our single-sample MCU
+            # walk would scramble any sampling other than 1x1.
             raise NotImplementedError(
-                "interleaved lossless scan with mixed sampling"
+                "interleaved lossless scan with non-1x1 sampling"
             )
         dims = {}
         tabs = {}

@@ -95,12 +95,26 @@ def hot_key_split_join(
 
     Results are EXACTLY the plain join's for any hot/cold boundary
     (every instance matches the identical right row on exactly one
-    side), so a tie at rank ``hot_k`` can move keys between paths
-    without moving a single output value. When the right side is
+    side) — PROVIDED both paths agree on the boundary. The ``hot``
+    plan is evaluated twice (broadcast for the hot inner join, and
+    again — different projection, so no exchange reuse — for the
+    left_anti key filter), so the rank-``hot_k`` cut MUST be a total
+    order: ``orderBy(desc(hot_by))`` alone is nondeterministic under
+    ties (shuffle fetch order), and a boundary key resolving
+    differently across the two evaluations would be duplicated (in
+    both paths) or dropped (in neither). We therefore break ties on
+    the join keys themselves — ``right`` is an aggregated per-key
+    table, so ``(hot_by DESC, *on)`` is strict and both evaluations
+    pick the identical set (ADVICE r12 high;
+    tests/test_skew.py::test_hot_split_join_tie_boundary_exact).
+    The double evaluation is deliberate: materializing ``hot`` once
+    (localCheckpoint / driver collect) would take an action at plan-
+    construction time, the exact leaked-block pattern the r12 bench
+    autopsy removed (SCALING.md §r12). When the right side is
     broadcastable whole, prefer :func:`salted_broadcast_left`; this
     is for vocabulary-scale right sides (e.g. a 100 TB corpus's
     bigram count table) where only the hot slice fits a broadcast."""
-    hot = right.orderBy(F.desc(hot_by)).limit(hot_k)
+    hot = right.orderBy(F.desc(hot_by), *on).limit(hot_k)
     hot_side = left.join(F.broadcast(hot), on)
     cold = left.join(F.broadcast(hot.select(*on)), on, "left_anti")
     return hot_side.unionByName(cold.join(right, on))

@@ -2548,3 +2548,43 @@ def test_delta_broadcast_size_gate(spark, sf_dir, tmp_path, monkeypatch):
         assert got == flat and got
     finally:
         spark.sql("DROP TABLE IF EXISTS b_gate_base")
+
+
+def test_serving_state_fingerprint_gate(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r12 item 6: the bench adopts on-disk serving state via
+    metadata-only DDL, trusting the layout matches the running code —
+    so the build stamps a schema/content fingerprint sidecar and
+    adoption refuses state whose stamp is missing or mismatched,
+    REBUILDING instead of timing a stale shape."""
+    import json
+    import os
+    import tempfile
+
+    import mpi_mapreduce_spark.operators.dedup as D
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    index_dir, tbl = D._serving_bench_state(spark, sf_dir)
+    fp = os.path.join(index_dir, "_fingerprint.json")
+    with open(fp) as f:
+        assert json.load(f)["fingerprint"] == D._serving_fingerprint()
+    assert D._serving_state_files_ok(spark, index_dir)
+
+    # age the stamp: state "built by" code with a different layout
+    with open(fp, "w") as f:
+        json.dump({"fingerprint": "0" * 64}, f)
+    assert not D._serving_state_files_ok(spark, index_dir)
+
+    # a fresh session (simulated: catalog tables dropped) must NOT
+    # adopt the aged state — the construction rebuilds and re-stamps
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_folded")
+    i2, t2 = D._serving_bench_state(spark, sf_dir)
+    assert (i2, t2) == (index_dir, tbl)
+    assert D._serving_state_ok(spark, index_dir, tbl)
+    with open(fp) as f:  # only the BUILD path rewrites the sidecar
+        assert json.load(f)["fingerprint"] == D._serving_fingerprint()
+    assert D._serving_state_files_ok(spark, index_dir)
+
+    # missing sidecar is equally stale (pre-fingerprint state)
+    os.remove(fp)
+    assert not D._serving_state_files_ok(spark, index_dir)

@@ -1553,3 +1553,109 @@ def test_jpeg_lossless_malformed():
 
     with pytest.raises(ValueError, match="truncated"):
         parse(good[:-4])
+
+
+def test_jpeg_lossless_interleaved_scan_1x1_only():
+    """T.81 H.2.3 interleaved lossless (ADVICE r12 low): an
+    interleaved MCU carries Hi x Vi samples per component using the
+    ABSOLUTE sampling factors — even uniform 2x2 components pack four
+    samples per MCU — so the decoder's one-sample-per-component MCU
+    walk is the spec order exactly when every scan component samples
+    at 1x1. Hand-craft an interleaved 3-component 1x1 scan (must
+    decode sample-exactly, matching the separate-scan encoding of the
+    same planes) and the same stream with uniform 2x2 headers (must
+    refuse loudly, not decode scrambled)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, _, _, el = make_jpeg_codec()
+    rng = np.random.RandomState(77)
+    H, W = 9, 7
+    planes = [
+        rng.randint(0, 256, (H, W)).astype(np.int64) for _ in range(3)
+    ]
+    pred = 4
+
+    def predict(plane, y, x, fresh):
+        if fresh:
+            return 128
+        if y == 0:
+            return int(plane[y, x - 1])
+        if x == 0:
+            return int(plane[y - 1, x])
+        a, b, c = (
+            int(plane[y, x - 1]),
+            int(plane[y - 1, x]),
+            int(plane[y - 1, x - 1]),
+        )
+        return a + b - c  # predictor 4
+
+    # one flat canonical Huffman table: categories 0..16, all 5 bits
+    nsym = 17
+    bits_spec = [0] * 16
+    bits_spec[4] = nsym  # 17 codes of length 5
+    vals = list(range(nsym))
+    codes = {v: (i, 5) for i, v in enumerate(vals)}
+
+    out_bits: list[int] = []
+
+    def put(code, n):
+        for k in range(n - 1, -1, -1):
+            out_bits.append((code >> k) & 1)
+
+    fresh = [True, True, True]
+    for y in range(H):
+        for x in range(W):
+            for ci in range(3):
+                px = predict(planes[ci], y, x, fresh[ci])
+                fresh[ci] = False
+                d = (int(planes[ci][y, x]) - px) & 0xFFFF
+                if d >= 0x8000:
+                    d -= 0x10000
+                n = 0 if d == 0 else abs(d).bit_length()
+                put(*codes[n])
+                if n:
+                    put(d if d >= 0 else d + (1 << n) - 1, n)
+    while len(out_bits) % 8:
+        out_bits.append(1)  # 1-fill padding per F.1.2.3
+    raw = bytes(
+        int("".join(map(str, out_bits[i : i + 8])), 2)
+        for i in range(0, len(out_bits), 8)
+    )
+    entropy = raw.replace(b"\xff", b"\xff\x00")
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    sof = struct.pack(">BHHB", 8, H, W, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling
+    dht = bytes([0x00]) + bytes(bits_spec) + bytes(vals)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, pred, 0, 0])
+    stream = (
+        b"\xff\xd8"
+        + seg(0xC3, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+    got = parse(stream)
+    want = parse(el(planes, [(1, 1)] * 3, predictor=pred))
+    assert np.array_equal(got["rgb"], want["rgb"])
+
+    # identical stream, headers claiming uniform 2x2 sampling: MCUs
+    # would carry 4 samples/component — refuse, don't scramble
+    sof_idx = stream.index(seg(0xC3, sof))
+    bad = bytearray(stream)
+    for k in range(3):
+        bad[sof_idx + 2 + 2 + 6 + 3 * k + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="non-1x1"):
+        parse(bytes(bad))

@@ -136,3 +136,33 @@ def test_lm_scorers_hash_stable_under_hot_split(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hot_split_join_tie_boundary_exact(spark):
+    """ADVICE r12 high: the rank-hot_k cut must be a TOTAL order.
+    orderBy(desc(hot_by)).limit(k) alone is nondeterministic under
+    ties, and hot_key_split_join evaluates the hot plan TWICE
+    (broadcast inner join vs left_anti key filter, different
+    projections — no exchange reuse), so a boundary tie resolving
+    differently across evaluations duplicates a key's rows (both
+    paths) or drops them (neither). Plant a ten-key tie block
+    straddling the hot_k=4 boundary and require exact plain-join
+    equality across repeated executions."""
+    rows = (
+        [("a", "a", i) for i in range(50)]
+        + [("b", "b", i) for i in range(40)]
+        # ten boundary keys, ALL with count 7 — the rank-3..12 tie
+        + [(f"t{j}", "t", i) for j in range(10) for i in range(7)]
+    )
+    left = spark.createDataFrame(
+        rows, "w1 string, w2 string, payload long"
+    ).repartition(16)
+    right = left.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    direct = sorted(map(tuple, left.join(right, ["w1", "w2"]).collect()))
+    for _ in range(3):
+        got = SK.hot_key_split_join(
+            left, right, ["w1", "w2"], hot_by="n12", hot_k=4
+        )
+        rows_got = sorted(map(tuple, got.collect()))
+        assert len(rows_got) == len(direct), "boundary key dropped/duplicated"
+        assert rows_got == direct
