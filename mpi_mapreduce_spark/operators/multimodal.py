@@ -1524,8 +1524,11 @@ def make_jpeg_codec():
     coder (round 12 — see ``encode_arith`` /
     ``encode_arith_progressive``); LOSSLESS (SOF3) predictive coding
     encodes and decodes per Annex H (round 12 — see
-    ``encode_lossless``); the remaining processes —
-    differential/hierarchical, lossless-arithmetic — raise
+    ``encode_lossless``); LOSSLESS ARITHMETIC (SOF11) composes the
+    two — Annex-H prediction entropy-coded by the QM coder under the
+    H.1.2.3 2-D conditioned DC model (round 13 — see
+    ``encode_lossless_arith``); the remaining processes —
+    differential/hierarchical — raise
     NotImplementedError; everything
     malformed — bad SOI, truncated segments or entropy stream, a
     marker inside the entropy segment, missing quant/Huffman tables,
@@ -2296,6 +2299,98 @@ def make_jpeg_codec():
         v += 1
         return -v if sign else v
 
+    # ---- lossless-arithmetic (SOF11) statistical model, T.81 H.1.2 ----
+    # The per-sample difference is coded with the SAME binary decision
+    # procedure as a sequential DC difference (zero? sign? Sz>=1?
+    # magnitude-category chain, magnitude bits), but the conditioning
+    # is TWO-dimensional (H.1.2.3): the context group is selected by
+    # the pair (class(Da), class(Db)) where Da/Db are the differences
+    # previously coded at the left/above neighbor positions, each
+    # classified into the five F.1.4.4.1.4 categories (zero, small+/-,
+    # large+/-) under the DC conditioning bounds L/U; and the
+    # magnitude-category / magnitude-bit bins come in TWO sets,
+    # selected by whether Db falls in a large category. Statistics
+    # layout (ours, compact): 25 context groups x 4 decision bins at
+    # 0..99, set-0 X chain at 100 (M bits +16), set-1 X chain at 132
+    # (M bits +16) -> 164 bins. Missing neighbors (first row/column,
+    # start of scan, post-restart) condition as zero differences.
+    _LL_STATS = 164
+    _LL_X0, _LL_X1, _LL_MOFF = 100, 132, 16
+
+    def _ll_classify(v: int, L: int, U: int) -> int:
+        """F.1.4.4.1.4 five-way difference classification, applied to
+        a stored difference value: the category compares the
+        magnitude's POWER (the MSB of Sz = |v|-1), exactly as the
+        coding procedure computes it."""
+        if v == 0:
+            return 0
+        sz = (v if v > 0 else -v) - 1
+        m = 0 if sz == 0 else 1 << (sz.bit_length() - 1)
+        if m < (1 << L) >> 1:
+            return 0
+        sign = 1 if v < 0 else 0
+        if m > (1 << U) >> 1:
+            return 3 + sign
+        return 1 + sign
+
+    def _arith_enc_diff(enc, st, da, db, diff, L, U) -> None:
+        """Encode one lossless difference under the 2-D conditioned
+        DC model (mirror: _arith_dec_diff)."""
+        ca, cb = _ll_classify(da, L, U), _ll_classify(db, L, U)
+        s0 = 4 * (ca * 5 + cb)
+        if diff == 0:
+            enc.code(st, s0, 0)
+            return
+        enc.code(st, s0, 1)
+        sign = 1 if diff < 0 else 0
+        enc.code(st, s0 + 1, sign)
+        v = (-diff if sign else diff) - 1
+        sx = s0 + 2 + sign
+        m = 0
+        if v:
+            enc.code(st, sx, 1)
+            m = 1
+            sx = _LL_X1 if cb >= 3 else _LL_X0
+            v2 = v
+            while v2 >> 1:
+                v2 >>= 1
+                enc.code(st, sx, 1)
+                m <<= 1
+                sx += 1
+        enc.code(st, sx, 0)
+        sx += _LL_MOFF
+        while m >> 1:
+            m >>= 1
+            enc.code(st, sx, 1 if (v & m) else 0)
+
+    def _arith_dec_diff(dec, st, da, db, L, U) -> int:
+        """Decode one lossless difference (mirror of _arith_enc_diff);
+        magnitudes are mod-65536 signed, so the chain is bounded."""
+        ca, cb = _ll_classify(da, L, U), _ll_classify(db, L, U)
+        s0 = 4 * (ca * 5 + cb)
+        if dec.decode(st, s0) == 0:
+            return 0
+        sign = dec.decode(st, s0 + 1)
+        sx = s0 + 2 + sign
+        m = dec.decode(st, sx)
+        if m:
+            sx = _LL_X1 if cb >= 3 else _LL_X0
+            while dec.decode(st, sx):
+                m <<= 1
+                if m > (1 << 16):
+                    raise ValueError(
+                        "JPEG lossless arithmetic magnitude overflow"
+                    )
+                sx += 1
+        v = m
+        sx += _LL_MOFF
+        while m >> 1:
+            m >>= 1
+            if dec.decode(st, sx):
+                v |= m
+        v += 1
+        return -v if sign else v
+
     def _arith_enc_ac(enc, ac_st, fixed, vals, kx, ss=1, se=63) -> None:
         """Encode one block's AC coefficients over the zigzag band
         [ss, se] per F.1.4.2/F.1.4.4.2 (and G.1.3.2 for progressive
@@ -2603,8 +2698,8 @@ def make_jpeg_codec():
         emitted as separate NON-interleaved scans (spec-legal for any
         sampling geometry, and it keeps ragged-MCU bookkeeping out of
         the hot loop); the decoder also accepts multi-component
-        interleaved scans when every component shares the same
-        sampling. First-sample/first-line/first-column prediction and
+        interleaved scans when every scan component samples at 1x1
+        (T.81 H.2.3). First-sample/first-line/first-column prediction and
         RSTn resets per H.1.2; decode is bit-exact — the decoder
         reproduces the input planes sample for sample."""
         if not 1 <= predictor <= 7:
@@ -2658,6 +2753,82 @@ def make_jpeg_codec():
                     count += 1
             wtr.flush()
             out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def encode_lossless_arith(
+        planes, sampling, predictor: int = 4, restart_interval: int = 0
+    ) -> bytes:
+        """LOSSLESS ARITHMETIC-coded (SOF11) encoder — the Annex-H
+        predictive front end of ``encode_lossless`` (same selectors,
+        first-sample/first-line/first-column rules, mod-65536
+        arithmetic, RSTn resets) with the QM coder replacing Huffman:
+        each difference rides the 2-D conditioned DC decision model
+        (``_arith_enc_diff``, T.81 H.1.2.3 — contexts from the left/
+        above differences, Db-selected magnitude bins), DAC in place
+        of DHT, per-component non-interleaved scans each with a fresh
+        coder and statistics area. A restart flushes and reinitializes
+        the coder, the statistics AND the conditioning history (prior
+        differences re-condition as zero — the same everything-resets
+        reading the SOF9/SOF10 paths use, validated by enc≡dec
+        bit-identity; no external T.81 codec exists in-container).
+        Decode is sample-exact."""
+        import numpy as np
+
+        if not 1 <= predictor <= 7:
+            raise ValueError(f"invalid lossless predictor {predictor}")
+        ncomp = len(planes)
+        H, W = planes[0].shape
+        out = bytearray(b"\xff\xd8")
+        out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        sof = struct.pack(">BHHB", 8, H, W, ncomp)
+        for i, (hh, vv) in enumerate(sampling):
+            sof += bytes([i + 1, (hh << 4) | vv, 0])
+        out += _segment(0xCB, sof)  # SOF11: lossless, arithmetic
+        out += _segment(
+            0xCC, bytes([0x00, (_ARITH_DC_U << 4) | _ARITH_DC_L])
+        )
+        if restart_interval:
+            out += _segment(0xDD, struct.pack(">H", restart_interval))
+        L, U = _ARITH_DC_L, _ARITH_DC_U
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00, predictor, 0, 0])
+            out += _segment(0xDA, sos)
+            plane = planes[ci]
+            ph, pw = plane.shape
+            enc = _ArithEncoder()
+            st = bytearray(_LL_STATS)
+            dplane = np.zeros((ph, pw), dtype=np.int64)
+            count = 0
+            rst = 0
+            fresh = True
+            for y in range(ph):
+                for x in range(pw):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        out += enc.flush()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        enc = _ArithEncoder()
+                        st = bytearray(_LL_STATS)
+                        dplane[:] = 0
+                        fresh = True
+                    px = _lossless_predict(
+                        plane, y, x, predictor, 8, 0, fresh
+                    )
+                    fresh = False
+                    d = (int(plane[y, x]) - px) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                    da = int(dplane[y, x - 1]) if x else 0
+                    db = int(dplane[y - 1, x]) if y else 0
+                    _arith_enc_diff(enc, st, da, db, d, L, U)
+                    dplane[y, x] = d
+                    count += 1
+            out += enc.flush()
         out += b"\xff\xd9"
         return bytes(out)
 
@@ -2873,15 +3044,17 @@ def make_jpeg_codec():
             raise ValueError("progressive fixtures are 8-bit")
         mod = 1 << precision
         if lossless:
-            if progressive or arithmetic or precision != 8:
+            if progressive or precision != 8:
                 raise ValueError(
-                    "lossless fixtures are 8-bit Huffman SOF3"
+                    "lossless fixtures are 8-bit SOF3/SOF11"
                 )
             # one predictor per fixture mode so the registered query
             # exercises the selector space (4 = planar, 7 = average,
-            # 5 = left + half vertical gradient)
+            # 5 = left + half vertical gradient); ``arithmetic``
+            # emits the same planes/predictor as SOF11 (QM coded)
             pred = {"gray": 4, "c444": 7, "c420": 5}.get(mode, 4)
-            enc = lambda p, s: encode_lossless(p, s, predictor=pred)
+            ll = encode_lossless_arith if arithmetic else encode_lossless
+            enc = lambda p, s: ll(p, s, predictor=pred)
         elif progressive and arithmetic:
             enc = lambda p, s: encode_arith_progressive(p, s)
         elif arithmetic:
@@ -3351,6 +3524,124 @@ def make_jpeg_codec():
             raise ValueError("truncated JPEG after lossless scan")
         return p
 
+    def _lossless_arith_scan(
+        payload, seg, data_start, sof, dac, loss_state, restart_interval
+    ) -> int:
+        """Decode ONE lossless ARITHMETIC (SOF11) scan — the QM-coded
+        twin of ``_lossless_scan``: identical Annex-H prediction,
+        point transform, mod-65536 reconstruction, 1x1-only
+        interleave rule and RSTn reset semantics, with each
+        difference decoded by the 2-D conditioned DC model
+        (``_arith_dec_diff``) under the scan components' DAC (or
+        default) DC conditioning. Restart reinitializes the decoder,
+        the statistics areas and the conditioning history."""
+        import numpy as np
+
+        H, W, comps, prec = sof
+        hmax = max(hh for _, hh, vv, _ in comps)
+        vmax = max(vv for _, hh, vv, _ in comps)
+        planes = loss_state.setdefault("planes", {})
+        ns = seg[0]
+        cids = [cid for cid, _, _, _ in comps]
+        scomps = []
+        for i in range(ns):
+            cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+            if cs not in cids:
+                raise ValueError(f"component {cs} missing from SOF")
+            scomps.append((cids.index(cs), tt >> 4))
+        pred_sel = seg[1 + 2 * ns]
+        se, ahal = seg[2 + 2 * ns], seg[3 + 2 * ns]
+        pt = ahal & 0xF
+        if not 1 <= pred_sel <= 7:
+            raise ValueError(
+                f"invalid lossless predictor {pred_sel} (Ss must be 1..7)"
+            )
+        if se != 0 or (ahal >> 4) != 0:
+            raise ValueError("invalid lossless scan header (Se/Ah)")
+        if ns > 1 and any(
+            (comps[ci][1], comps[ci][2]) != (1, 1) for ci, _ in scomps
+        ):
+            raise NotImplementedError(
+                "interleaved lossless scan with non-1x1 sampling"
+            )
+        dims = {}
+        conds = {}
+        stats: dict = {}
+        dplanes = {}
+        for ci, td in scomps:
+            _, hh, vv, _ = comps[ci]
+            dims[ci] = (-(-H * vv // vmax), -(-W * hh // hmax))
+            planes[ci] = np.zeros(dims[ci], dtype=np.int64)
+            dplanes[ci] = np.zeros(dims[ci], dtype=np.int64)
+            conds[ci] = dac.get((0, td), (_ARITH_DC_L, _ARITH_DC_U))
+            if td not in stats:
+                stats[td] = bytearray(_LL_STATS)
+            conds[ci] = (*conds[ci], td)
+
+        def mcu_units():
+            if ns == 1:
+                ci = scomps[0][0]
+                h_i, w_i = dims[ci]
+                for y in range(h_i):
+                    for x in range(w_i):
+                        yield ((ci, y, x),)
+            else:
+                h_i, w_i = dims[scomps[0][0]]
+                for y in range(h_i):
+                    for x in range(w_i):
+                        yield tuple((ci, y, x) for ci, _ in scomps)
+
+        dec = _ArithDecoder(payload, data_start)
+        fresh = {ci: True for ci, _ in scomps}
+        count = 0
+        rst_expect = 0
+        for unit in mcu_units():
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                p = (
+                    dec.marker_pos
+                    if dec.marker_pos is not None
+                    else dec.bp
+                )
+                p = _next_marker(payload, p)
+                m = payload[p + 1]
+                if m != 0xD0 + rst_expect:
+                    raise ValueError(
+                        f"expected RST{rst_expect}, got marker {m:02x}"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                fresh = {ci: True for ci, _ in scomps}
+                for st in stats.values():
+                    st[:] = bytes(len(st))
+                for dp in dplanes.values():
+                    dp[:] = 0
+                dec = _ArithDecoder(payload, p + 2)
+            for ci, y, x in unit:
+                L, U, td = conds[ci]
+                dp = dplanes[ci]
+                da = int(dp[y, x - 1]) if x else 0
+                db = int(dp[y - 1, x]) if y else 0
+                diff = _arith_dec_diff(dec, stats[td], da, db, L, U)
+                dp[y, x] = diff
+                plane = planes[ci]
+                px = _lossless_predict(
+                    plane, y, x, pred_sel, prec, pt, fresh[ci]
+                )
+                fresh[ci] = False
+                plane[y, x] = (px + diff) & 0xFFFF
+            count += 1
+        if pt:  # output = reconstructed reduced-precision sample << Pt
+            for ci, _ in scomps:
+                planes[ci] <<= pt
+        p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        p = _next_marker(payload, p)
+        if p + 1 >= len(payload):
+            raise ValueError("truncated JPEG after lossless scan")
+        return p
+
     def parse(payload: bytes) -> dict:
         import numpy as np
 
@@ -3423,16 +3714,16 @@ def make_jpeg_codec():
                         ).items()
                     }
                     i += 17 + nv
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
                 # baseline / ext-seq / progressive / lossless /
-                # ext-seq arith / progressive arith
+                # ext-seq arith / progressive arith / lossless arith
                 prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
                 if prec == 12 and marker == 0xC0:
                     raise ValueError(
                         "12-bit precision requires extended-sequential "
                         "(SOF1) or progressive (SOF2), not baseline SOF0"
                     )
-                if marker == 0xC3:
+                if marker in (0xC3, 0xCB):
                     if not 2 <= prec <= 16:
                         raise ValueError(
                             f"invalid lossless precision {prec}"
@@ -3445,12 +3736,8 @@ def make_jpeg_codec():
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 sof = (H, W, comps, prec)
                 progressive = marker in (0xC2, 0xCA)
-                arith = marker in (0xC9, 0xCA)
-                lossless = marker == 0xC3
-            elif marker == 0xCB:
-                raise NotImplementedError(
-                    "lossless arithmetic-coded JPEG (SOF11)"
-                )
+                arith = marker in (0xC9, 0xCA, 0xCB)
+                lossless = marker in (0xC3, 0xCB)
             elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     "differential (hierarchical) JPEG process"
@@ -3482,15 +3769,26 @@ def make_jpeg_codec():
                 if lossless:
                     if sof is None:
                         raise ValueError("JPEG SOS before SOF")
-                    pos = _lossless_scan(
-                        payload,
-                        seg,
-                        nxt,
-                        sof,
-                        htabs,
-                        loss_state,
-                        restart_interval,
-                    )
+                    if arith:
+                        pos = _lossless_arith_scan(
+                            payload,
+                            seg,
+                            nxt,
+                            sof,
+                            dac,
+                            loss_state,
+                            restart_interval,
+                        )
+                    else:
+                        pos = _lossless_scan(
+                            payload,
+                            seg,
+                            nxt,
+                            sof,
+                            htabs,
+                            loss_state,
+                            restart_interval,
+                        )
                     scans_done += 1
                     continue
                 if not progressive:
@@ -3948,6 +4246,10 @@ def make_jpeg_codec():
     # documented foreign-cwd hazard), but pytest needs direct access
     # to drive raw statistics bins
     parse._qm = (_QM, _ArithEncoder, _ArithDecoder)
+    # SOF11 encoder hook (same rationale as _qm: the 7-tuple shape is
+    # unpacked at ~20 sites; the lossless-arith encoder rides as an
+    # attribute instead of widening every unpack)
+    parse._encode_lossless_arith = encode_lossless_arith
     return (
         build,
         parse,
@@ -4041,10 +4343,11 @@ def multimodal_jpeg_arith_decode(
     DC-only fixtures can't reach) is pinned by pytest. The progressive
     arithmetic process (SOF10) has its own registered query
     (:func:`multimodal_jpeg_prog_arith_decode`) and the lossless
-    process its own (:func:`multimodal_jpeg_lossless_decode`);
-    remaining JPEG boundaries are the differential/hierarchical
-    processes and lossless-arithmetic (SOF11) — loud
-    NotImplementedError, pinned in SURVEY §2.12."""
+    process its own (:func:`multimodal_jpeg_lossless_decode`,
+    which since round 13 also carries the SOF11 lossless-arithmetic
+    twin); the remaining JPEG boundary is the differential/
+    hierarchical process family — loud NotImplementedError, pinned
+    in SURVEY §2.12."""
     return _jpeg_decode_query(
         spark, sf_dir, progressive=False, arithmetic=True
     )
@@ -4063,9 +4366,8 @@ def multimodal_jpeg_prog_arith_decode(
     progressive has no EOB runs) and decoded through the general
     multi-scan marker walk. The schedule reconstructs coefficients
     exactly, so pixels (and the shared closed-form oracle) equal the
-    baseline query's. Remaining JPEG boundaries after this round:
-    only the differential/hierarchical processes and
-    lossless-arithmetic (SOF11)."""
+    baseline query's. Remaining JPEG boundary after round 13: only
+    the differential/hierarchical processes."""
     return _jpeg_decode_query(
         spark, sf_dir, progressive=True, arithmetic=True
     )
@@ -4081,13 +4383,18 @@ def multimodal_jpeg_lossless_decode(
     gray / 4:4:4 / 4:2:0 variants) Huffman coded with the DC
     category + magnitude-bits mechanism, arithmetic modulo 65536,
     point transform honored, per-component non-interleaved scans,
-    RSTn prediction resets. Decode is sample-exact by construction,
-    so the decoded pixels — and the shared closed-form oracle — equal
-    the baseline query's on the blockwise-constant fixtures, while
-    pytest pins exact round-trips of arbitrary random images under
-    every predictor. After this round the only JPEG processes left
-    are lossless-arithmetic (SOF11) and differential/hierarchical —
-    loud NotImplementedError."""
+    RSTn prediction resets. Round 13 folds the SOF11 process into the
+    same query: each fixture ALSO decodes as a lossless ARITHMETIC
+    stream ('<mode>_a11' variants) — the Annex-H predictor front end
+    with the QM coder's 2-D conditioned DC model (T.81 H.1.2.3)
+    replacing Huffman. Both processes are sample-exact by
+    construction, so the decoded pixels — and the closed-form oracle
+    (baseline rows plus their '_a11' twins) — equal the baseline
+    query's on the blockwise-constant fixtures, while pytest pins
+    exact round-trips of arbitrary random images under every
+    predictor for both coders. The only JPEG processes left are the
+    differential/hierarchical ones — loud NotImplementedError,
+    permanently pinned in SURVEY §2.12."""
     return _jpeg_decode_query(spark, sf_dir, progressive=False, lossless=True)
 
 
@@ -4114,28 +4421,47 @@ def _jpeg_decode_query(
                 "mean_b": [],
                 "top_row_sum": [],
             }
+            # the lossless query carries BOTH entropy coders: each
+            # fixture mode decodes as Huffman SOF3 and as QM-coded
+            # SOF11 ('<mode>_a11'), so the arithmetic process is
+            # driver-attested through the same oracle (round 13 —
+            # the last pure-math JPEG process)
+            coders = (
+                [(False, ""), (True, "_a11")]
+                if lossless
+                else [(arithmetic, "")]
+            )
             for did in pdf["doc_id"]:
                 for mode in ("gray", "c444", "c420"):
-                    img = parse(
-                        build(
-                            int(did),
-                            mode,
-                            progressive=progressive,
-                            precision=precision,
-                            arithmetic=arithmetic,
-                            lossless=lossless,
+                    for arith_c, suffix in coders:
+                        img = parse(
+                            build(
+                                int(did),
+                                mode,
+                                progressive=progressive,
+                                precision=precision,
+                                arithmetic=arith_c,
+                                lossless=lossless,
+                            )
                         )
-                    )
-                    rgb = img["rgb"]
-                    if rgb is None:
-                        rgb = np.repeat(img["gray"][:, :, None], 3, axis=2)
-                    npx = img["width"] * img["height"]
-                    rows["media_id"].append(int(did))
-                    rows["variant"].append(mode)
-                    rows["mean_r"].append(float(np.sum(rgb[:, :, 0])) / npx)
-                    rows["mean_g"].append(float(np.sum(rgb[:, :, 1])) / npx)
-                    rows["mean_b"].append(float(np.sum(rgb[:, :, 2])) / npx)
-                    rows["top_row_sum"].append(int(np.sum(rgb[0])))
+                        rgb = img["rgb"]
+                        if rgb is None:
+                            rgb = np.repeat(
+                                img["gray"][:, :, None], 3, axis=2
+                            )
+                        npx = img["width"] * img["height"]
+                        rows["media_id"].append(int(did))
+                        rows["variant"].append(mode + suffix)
+                        rows["mean_r"].append(
+                            float(np.sum(rgb[:, :, 0])) / npx
+                        )
+                        rows["mean_g"].append(
+                            float(np.sum(rgb[:, :, 1])) / npx
+                        )
+                        rows["mean_b"].append(
+                            float(np.sum(rgb[:, :, 2])) / npx
+                        )
+                        rows["top_row_sum"].append(int(np.sum(rgb[0])))
             yield pd.DataFrame(rows)
 
     d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
@@ -4556,8 +4882,18 @@ ORACLE["multimodal_jpeg_prog_arith_decode"] = ORACLE[
 ]
 
 # lossless decode is sample-exact and the fixtures are the same
-# generating formulas, so the pixels (and the oracle) match too
-ORACLE["multimodal_jpeg_lossless_decode"] = ORACLE["multimodal_jpeg_decode"]
+# generating formulas, so the pixels (and the oracle) match too. The
+# query decodes each fixture under BOTH entropy coders (SOF3 Huffman
+# and, round 13, SOF11 QM arithmetic — also sample-exact), so the
+# oracle doubles every row with the '_a11' variant suffix.
+ORACLE["multimodal_jpeg_lossless_decode"] = f"""
+    WITH base AS ({ORACLE["multimodal_jpeg_decode"]})
+    SELECT * FROM base
+    UNION ALL
+    SELECT media_id, variant || '_a11' AS variant,
+           mean_r, mean_g, mean_b, top_row_sum
+    FROM base
+"""
 
 # the 12-bit fixtures use the SAME generating formulas and YCbCr
 # matrix with the sample constants widened: mod 256 -> 4096, chroma

@@ -747,21 +747,21 @@ def test_jpeg_taxonomy():
     # the decoder must reject it loudly, not misdecode it
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xC2))
-    # sequential (SOF9) / progressive (SOF10) arithmetic AND lossless
-    # (SOF3) are IMPLEMENTED (round 12) — a baseline stream relabeled
-    # to them is rejected for its baseline-shaped scan header, not
-    # misdecoded; the differential processes and lossless-arithmetic
-    # stay loud boundaries
+    # sequential (SOF9) / progressive (SOF10) arithmetic, lossless
+    # (SOF3, round 12) AND lossless-arithmetic (SOF11, round 13) are
+    # IMPLEMENTED — a baseline stream relabeled to them is rejected
+    # for its baseline-shaped scan header, not misdecoded; the
+    # differential processes stay the loud boundary
     with pytest.raises(ValueError, match="spectral selection"):
         parse(swap_sof_marker(good, 0xCA))
     with pytest.raises(ValueError, match="predictor"):
         parse(swap_sof_marker(good, 0xC3))
+    with pytest.raises(ValueError, match="predictor"):
+        parse(swap_sof_marker(good, 0xCB))
     with pytest.raises(NotImplementedError, match="differential"):
         parse(swap_sof_marker(good, 0xCD))
     with pytest.raises(NotImplementedError, match="differential"):
         parse(swap_sof_marker(good, 0xC5))
-    with pytest.raises(NotImplementedError, match="lossless arith"):
-        parse(swap_sof_marker(good, 0xCB))
 
     # 12-bit precision is REAL (round 11) but T.81 forbids it in
     # baseline SOF0 — patching the precision byte of an SOF0 stream
@@ -1659,3 +1659,82 @@ def test_jpeg_lossless_interleaved_scan_1x1_only():
         bad[sof_idx + 2 + 2 + 6 + 3 * k + 1] = 0x22
     with pytest.raises(NotImplementedError, match="non-1x1"):
         parse(bytes(bad))
+
+
+def test_jpeg_lossless_arith_round_trips_exactly():
+    """Round 13 — SOF11: the lossless-ARITHMETIC encoder/decoder pair
+    (Annex-H prediction + the QM coder under the T.81 H.1.2.3 2-D
+    conditioned DC model) reproduces arbitrary input planes
+    SAMPLE-EXACTLY under every predictor selector, with restart
+    resets, multi-component 4:4:4 frames and 4:2:0 sampling — and
+    decodes pixel-identically to the Huffman SOF3 encoding of the
+    same planes (the two processes share the predictive front end)."""
+    import numpy as np
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    _, parse, _, _, _, _, el = make_jpeg_codec()
+    ela = parse._encode_lossless_arith
+    rng = np.random.RandomState(31)
+
+    for pred in range(1, 8):
+        y = rng.randint(0, 256, (13, 19)).astype(np.int64)
+        got = parse(ela([y], [(1, 1)], predictor=pred))
+        assert np.array_equal(got["gray"], y), pred
+        got = parse(ela([y], [(1, 1)], predictor=pred, restart_interval=7))
+        assert np.array_equal(got["gray"], y), ("rst", pred)
+
+    # 4:4:4 and 4:2:0 color: SOF11 == SOF3 pixels on the same planes
+    y2 = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    a = parse(ela([y2, cb, cr], [(1, 1)] * 3, predictor=4))
+    b = parse(el([y2, cb, cr], [(1, 1)] * 3, predictor=4))
+    assert np.array_equal(a["rgb"], b["rgb"])
+    y3 = rng.randint(0, 256, (16, 16)).astype(np.int64)
+    cb3 = rng.randint(0, 256, (8, 8)).astype(np.int64)
+    cr3 = rng.randint(0, 256, (8, 8)).astype(np.int64)
+    a = parse(ela([y3, cb3, cr3], [(2, 2), (1, 1), (1, 1)], predictor=7))
+    b = parse(el([y3, cb3, cr3], [(2, 2), (1, 1), (1, 1)], predictor=7))
+    assert np.array_equal(a["rgb"], b["rgb"])
+
+
+def test_jpeg_lossless_arith_fixture_and_malformed():
+    """The registered query's SOF11 fixtures decode to the SAME
+    pixels as the SOF3 and baseline fixtures (shared closed-form
+    oracle, '_a11' variant rows); malformed SOF11 streams stay loud
+    (bad predictor, wrong restart id, truncation)."""
+    import numpy as np
+    import pytest
+
+    from mpi_mapreduce_spark.operators.multimodal import make_jpeg_codec
+
+    build, parse, _, _, _, _, _ = make_jpeg_codec()
+    for did in (0, 3, 17):
+        for mode in ("gray", "c444", "c420"):
+            base = parse(build(did, mode))
+            a11 = parse(build(did, mode, lossless=True, arithmetic=True))
+            for k in ("gray", "rgb"):
+                if base[k] is None:
+                    assert a11[k] is None
+                else:
+                    assert np.array_equal(base[k], a11[k]), (did, mode)
+
+    ela = parse._encode_lossless_arith
+    rng = np.random.RandomState(8)
+    y = rng.randint(0, 256, (12, 12)).astype(np.int64)
+    good = ela([y], [(1, 1)], predictor=3)
+    sos = good.index(b"\xff\xda")
+    ns = good[sos + 4]
+    bad = bytearray(good)
+    bad[sos + 4 + 1 + 2 * ns] = 0  # predictor 0 invalid
+    with pytest.raises(ValueError, match="predictor"):
+        parse(bytes(bad))
+
+    g2 = ela([y], [(1, 1)], predictor=1, restart_interval=4)
+    i = g2.index(b"\xff\xd0")
+    with pytest.raises(ValueError, match="expected RST0"):
+        parse(g2[:i] + b"\xff\xd4" + g2[i + 2 :])
+
+    with pytest.raises(ValueError, match="truncated|marker"):
+        parse(good[:-4])
