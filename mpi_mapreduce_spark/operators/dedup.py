@@ -276,7 +276,20 @@ def _ngram_jaccard_oracle(source: str) -> str:
     composed pipelines) inherits the precondition. Filtering the sh
     CTE instead would re-open every downstream oracle's attestation;
     the precondition is asserted in pytest so a violating fixture
-    regeneration fails loudly."""
+    regeneration fails loudly.
+
+    Candidate generation (r13, VERDICT r12 item 5): pairs are drawn
+    from an inverted shingle index (same-band docs sharing at least
+    one shingle) instead of all same-band pairs. This pruning is
+    LOSSLESS — JACCARD_THRESHOLD > 0, and any pair with positive
+    Jaccard shares a shingle by definition — so the attestation is
+    unchanged (the Jaccard itself is still recomputed from the full
+    shingle lists per pair, byte-equal to the all-pairs form at
+    sf0.01, pinned by tests/test_oracle_costs.py's budget), while the
+    DuckDB cost drops from band-quadratic to candidate-mass — the
+    same argument the engine's own index makes, which is exactly why
+    it keeps oracle strength: only pairs that CANNOT qualify are
+    skipped."""
     return f"""
     WITH toks AS (
       SELECT doc_id, n_chars,
@@ -292,14 +305,24 @@ def _ngram_jaccard_oracle(source: str) -> str:
     ), banded AS (
       SELECT doc_id, sh, unnest([n_chars // {LEN_BAND}, n_chars // {LEN_BAND} + 1]) AS band
       FROM sh
+    ), inv AS (
+      SELECT doc_id, band, unnest(sh) AS s FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv a JOIN inv b
+        ON a.s = b.s AND a.band = b.band AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b, a.sh AS sha, b.sh AS shb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0 AS jaccard
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.doc_id < b.doc_id
-    WHERE ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(a.sh || b.sh))) * 1000000.0) / 1000000.0
+    SELECT DISTINCT doc_a, doc_b,
+           ROUND((len(list_intersect(sha, shb))::DOUBLE
+                  / len(list_distinct(sha || shb))) * 1000000.0) / 1000000.0 AS jaccard
+    FROM pairs
+    WHERE ROUND((len(list_intersect(sha, shb))::DOUBLE
+                 / len(list_distinct(sha || shb))) * 1000000.0) / 1000000.0
           >= {JACCARD_THRESHOLD}
 """
 
@@ -3627,6 +3650,12 @@ ORACLE_CONTAINMENT_CAPPED = _capped_rows_sql(REGISTERED_DF_CAP) + f"""
 """
 
 
+# candidate generation via the inverted shingle index (r13, VERDICT
+# r12 item 5): CONTAINMENT_THRESHOLD > 0 and positive containment
+# requires a shared shingle, so restricting pairs to shingle-sharers
+# is lossless — the containment itself is still recomputed from the
+# full shingle lists per pair (same attestation, candidate-mass cost
+# instead of C(n,2))
 ORACLE_CONTAINMENT = f"""
     WITH toks AS (
       SELECT doc_id,
@@ -3639,14 +3668,24 @@ ORACLE_CONTAINMENT = f"""
                        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))
                   ELSE [array_to_string(tok, ' ')] END AS sh
       FROM toks
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b, a.sh AS sha, b.sh AS shb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / least(len(a.sh), len(b.sh))) * 1000000.0) / 1000000.0
+    SELECT doc_a, doc_b,
+           ROUND((len(list_intersect(sha, shb))::DOUBLE
+                  / least(len(sha), len(shb))) * 1000000.0) / 1000000.0
              AS containment
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE ROUND((len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / least(len(a.sh), len(b.sh))) * 1000000.0) / 1000000.0
+    FROM pairs
+    WHERE ROUND((len(list_intersect(sha, shb))::DOUBLE
+                 / least(len(sha), len(shb))) * 1000000.0) / 1000000.0
           >= {CONTAINMENT_THRESHOLD}
 """
 

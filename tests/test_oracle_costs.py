@@ -34,39 +34,20 @@ MANIFEST_SF01 = os.path.join(
     os.path.dirname(__file__), "..", "tools", "oracle_costs_sf0.1.json"
 )
 
-#: the documented sf0.1 exclusion convention (SCALING.md): queries
-#: whose DuckDB oracles are PAIRWISE (banded ngram-Jaccard /
-#: containment CTEs — quadratic in candidate mass) or RECURSIVE
-#: (transitive-closure CC, cluster-safe split) are swept at sf0.01
-#: only; running them at 10× the docs would cost hours in DuckDB for
-#: no added attestation (the engine side has its own scale rows).
-#: Pinned EXACTLY so a new query silently skipping the sf0.1 sweep —
-#: or an old one dropping out of it — fails here, not in a stalled
-#: sweep.
-EXCLUDED_SF01 = {
-    "ann_pq_rerank_topk",
-    "dedup_canonical_corpus",
-    "dedup_connected_components",
-    "dedup_containment",
-    "dedup_containment_capped",
-    "dedup_embedding_lsh_validate",
-    # same pairwise cosine CTE as dedup_embedding_lsh_validate,
-    # restricted to batch×corpus pairs (r7 addition)
-    "dedup_incremental_embedding_validate",
-    "dedup_incremental",
-    # shares ORACLE_DEDUP_INCREMENTAL verbatim (the screened pipeline's
-    # contract IS the unscreened semantics) — same quadratic oracle,
-    # same exclusion (r8 late addition)
-    "dedup_incremental_screened",
-    "dedup_incremental_minhash_validate",
-    "dedup_minhash_lsh_validate",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "pipeline_canonical_containment",
-    "pipeline_canonical_minhash_validate",
-    "dedup_simhash_validate",
-    "training_split_cluster_safe",
-}
+#: the sf0.1 exclusion convention (SCALING.md), burned down in r13
+#: (VERDICT r12 item 5) from 17 entries to ZERO: the ngram-Jaccard /
+#: containment oracles now draw candidate pairs from an inverted
+#: shingle index instead of all same-band pairs — a LOSSLESS pruning
+#: (threshold > 0 implies a shared shingle) that keeps attestation
+#: strength while dropping the DuckDB cost from band-quadratic to
+#: candidate mass; every former exclusion was then probed under the
+#: 300 s budget at sf0.1 and re-included (slowest:
+#: pipeline_canonical_containment at 129.7 s on an idle box — the
+#: canonical corpus's uncapped shingle-df candidate mass — then the
+#: CC recursion family at ~2.5 min each). Pinned EXACTLY (now: empty)
+#: so a new query silently skipping the sf0.1 sweep — or an old one
+#: dropping out of it — fails here, not in a stalled sweep.
+EXCLUDED_SF01: set[str] = set()
 
 
 def test_manifest_covers_registry_and_no_oracle_exceeds_budget():
