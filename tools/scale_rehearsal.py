@@ -836,6 +836,12 @@ def time_nightly(
     bad = {k: v for k, v in viol.items() if v != 0}
     print(f"state audit: {audit_wall:.1f} s, violations {bad or 'NONE'}")
     spark.stop()
+    # the scratch root is ~5 GB/M-docs of staged batches + index state;
+    # leaked roots from repeated runs filled the disk in round 13 (the
+    # 10M run died on ENOSPC against ~70 GB of prior rounds' leftovers).
+    # Keep only on explicit request for post-mortem inspection.
+    if not os.environ.get("NIGHTLY_KEEP_STATE"):
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def time_cms(scratch: str, widths: list[int]) -> None:
