@@ -759,6 +759,33 @@ def time_nightly(
     root = tempfile.mkdtemp(prefix="nightly100k_")
     batch_dir = os.path.join(root, "batch")
     state_dir = os.path.join(root, "state")
+    try:
+        _time_nightly_run(spark, docs, vecs, root, batch_dir, state_dir,
+                          compact)
+    finally:
+        spark.stop()
+        # the scratch root is ~4 GB/M-docs of staged batches + index
+        # state; leaked roots from repeated runs filled the disk in
+        # round 13 TWICE — once from success-path leaks across rounds,
+        # once from a failure-path leak (a 42 GB root from an ENOSPC'd
+        # run starved the next one). Cleanup must be unconditional.
+        if not os.environ.get("NIGHTLY_KEEP_STATE"):
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _time_nightly_run(
+    spark, docs, vecs, root: str, batch_dir: str, state_dir: str,
+    compact: bool,
+) -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mpi_mapreduce_spark.operators.nightly import (
+        curation_state_audit,
+        nightly_curation_update,
+    )
 
     def stage(night: str, ddf, vdf):
         for sub, df in (("docs", ddf), ("vecs", vdf)):
@@ -835,13 +862,6 @@ def time_nightly(
     }
     bad = {k: v for k, v in viol.items() if v != 0}
     print(f"state audit: {audit_wall:.1f} s, violations {bad or 'NONE'}")
-    spark.stop()
-    # the scratch root is ~5 GB/M-docs of staged batches + index state;
-    # leaked roots from repeated runs filled the disk in round 13 (the
-    # 10M run died on ENOSPC against ~70 GB of prior rounds' leftovers).
-    # Keep only on explicit request for post-mortem inspection.
-    if not os.environ.get("NIGHTLY_KEEP_STATE"):
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def time_cms(scratch: str, widths: list[int]) -> None:
