@@ -193,15 +193,20 @@ def ngram_jaccard_pairs(
     (the persistable shingle INDEX — at 100 TB a pipeline materializes
     it once and feeds every inverted-index stage from it; see
     pipeline_canonical_containment)."""
-    bands = docs.select(
-        "doc_id", (F.col("n_chars") / LEN_BAND).cast("long").alias("band")
-    )
-    srows = _cap_hot_shingles(
-        (srows if srows is not None else shingle_rows(docs)).join(
-            bands, "doc_id"
-        ),
-        max_shingle_df,
-    )
+    if srows is not None and "band" in srows.columns:
+        # caller persisted the index WITH its band column (the
+        # pipeline_canonical_containment shape) — joining bands here
+        # would re-derive the canonicalized docs frame per stage
+        banded = srows
+    else:
+        bands = docs.select(
+            "doc_id",
+            (F.col("n_chars") / LEN_BAND).cast("long").alias("band"),
+        )
+        banded = (
+            srows if srows is not None else shingle_rows(docs)
+        ).join(bands, "doc_id")
+    srows = _cap_hot_shingles(banded, max_shingle_df)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), "s"
@@ -3026,8 +3031,10 @@ def semantic_dedup_flags(
     (re-run k-means within it) exactly like the LSH bucket cap."""
     from mpi_mapreduce_spark.operators.similarity import kmeans_assignments
 
-    assigned = kmeans_assignments(emb).select("vec_id", "cluster")
-    data = assigned.join(emb, "vec_id")
+    # keep_vec carries v on the assignment row — no corpus self-join
+    data = kmeans_assignments(emb, keep_vec=True).select(
+        "vec_id", "v", "cluster"
+    )
     raw_cut = threshold  # comparisons use the quantized dots directly
 
     def _prune(key, pdf):
@@ -3160,7 +3167,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     The one genuinely iterative algorithm in the engine — a loop the
     optimizer can't express declaratively. Each round: every vertex
     takes min(own label, neighbors' labels); converged when no label
-    changes (O(diameter) rounds; near-dup clusters are shallow).
+    changes (O(diameter) rounds; near-dup clusters are shallow —
+    measured 2 rounds on the sf0.1 fixture, so a path-halving pointer
+    hop per round was tried in r13 and REVERTED: it cannot reduce a
+    2-round loop, and its extra label self-join cost ~0.3 s/round).
 
     Iterative-Spark hygiene, which IS the 100 TB design: labels are
     localCheckpoint'ed each round (eager) to truncate lineage —
@@ -3178,10 +3188,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     ).localCheckpoint()
+    # init labels stay LAZY over the checkpointed sym: round 1's two
+    # references re-derive the (tiny) distinct inside one job via
+    # exchange reuse, which beats paying a separate materialization
+    # action just to snapshot id==comp (one fewer serial job; rounds
+    # 2+ read the round-1 checkpoint, so nothing compounds)
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nb_min = (
@@ -3189,6 +3203,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("comp").alias("nb_comp"))
         )
+        # Carry the convergence flag INSIDE the checkpointed frame:
+        # the per-round changed-test is then a shuffle-free scan of
+        # the already-materialized rows instead of a second join job
+        # against the previous round's labels (one join + exchange
+        # fewer per round; same labels, same fixpoint).
         new_labels = (
             labels.join(nb_min, labels["id"] == nb_min["src"], "left")
             .select(
@@ -3196,16 +3215,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.least(
                     F.col("comp"), F.coalesce("nb_comp", "comp")
                 ).alias("comp"),
+                (F.coalesce("nb_comp", "comp") < F.col("comp")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "comp")
@@ -3380,7 +3397,21 @@ def pipeline_canonical_containment(
     from pyspark import StorageLevel
 
     canon0 = exact_canonical_docs(_docs(spark, sf_dir))
-    srows = shingle_rows(canon0).persist(StorageLevel.DISK_ONLY)
+    # the index carries its length band: ngram_jaccard_pairs then
+    # never re-derives the exact-collapse aggregate just to join
+    # bands back on (the band is 8 bytes/row in a DISK_ONLY artifact;
+    # containment ignores the extra column)
+    srows = (
+        shingle_rows(canon0)
+        .join(
+            canon0.select(
+                "doc_id",
+                (F.col("n_chars") / LEN_BAND).cast("long").alias("band"),
+            ),
+            "doc_id",
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
     comp = connected_components(
         ngram_jaccard_pairs(canon0, srows=srows).select("doc_a", "doc_b")
     )

@@ -10,13 +10,16 @@ map/reduce tasks, a query set is a tiny dimension the engine
 broadcasts (reference main.cpp:84-95's fixed task dispatch → a fixed
 query workload here).
 
-Scale shape (100 TB corpus, q queries): the postings frame is pruned
-to the query vocabulary FIRST (broadcast semi-join on term — postings
-for non-query terms never shuffle), document frequency and the scored
-rows derive from that pruned frame, and only per-doc length (one
-linear groupBy reused across every query) touches the full corpus.
-Top-k per query is a window over the q-partitioned score frame —
-q is small, each partition holds only that query's matching docs.
+Scale shape (100 TB corpus, q queries): postings are pruned to the
+query vocabulary INSIDE the scan stage (a literal IN-list filter
+before any aggregate — non-query terms never reach a shuffle, let
+alone an aggregate), per-doc length is computed per row as the token
+count (no corpus-wide tf table, no dl re-join), document frequency
+and the scored rows derive from the pruned postings, and corpus
+stats (N, avgdl) are one linear no-shuffle pass to a broadcast
+1-row frame. Top-k per query is a window over the q-partitioned
+score frame — q is small, each partition holds only that query's
+matching docs.
 
 All arithmetic follows the engine's exactness discipline: per-row
 scores are quantized (scale 6) before the order-independent
@@ -74,31 +77,48 @@ def bm25_topk(
     and pass-through idf themselves.
     """
     spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        sorted(
-            {
-                (qid, t)
-                for qid, qtext in queries
-                for t in qtext.lower().split()
-                if t
-            }
-        ),
-        "query_id long, term string",
+    qrows = sorted(
+        {
+            (qid, t)
+            for qid, qtext in queries
+            for t in qtext.lower().split()
+            if t
+        }
     )
-    terms = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    vocab_terms = sorted({t for _, t in qrows})
+    # Per-doc length dl = Σ_term tf = the doc's token count, so it is
+    # computable per ROW as size(tokens) — no full-vocabulary tf
+    # aggregate, no corpus-wide (doc_id, term) shuffle, no dl join.
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    # corpus stats (N over docs with >= 1 token, avgdl): ONE linear
+    # no-shuffle pass to a 1-row aggregate — previously derived from
+    # the full tf table (explode + corpus-wide two-key aggregate).
+    stats = (
+        toks.select(F.size("tok").alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count("*").alias("n_docs"),
+            ex.quantized_avg("dl", 6).alias("avgdl"),
+        )
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # per-doc length: the only full-corpus aggregate (linear, one
-    # groupBy on the partitioning the tf agg already produced)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        ex.quantized_avg("dl", 6).alias("avgdl"),
+    # Postings pruned to the query vocabulary BEFORE the aggregate
+    # (guide §2.3: filter/aggregate before you shuffle): the literal
+    # IN-list filter runs inside the scan stage, so only matching
+    # postings ever reach a shuffle — at 100 TB the difference between
+    # shuffling the whole inverted index and shuffling q posting
+    # lists. dl rides along as a grouping key (functionally dependent
+    # on doc_id), eliminating the old corpus-wide dl re-join.
+    tfq = (
+        toks.select(
+            "doc_id",
+            F.size("tok").alias("dl"),
+            F.explode("tok").alias("term"),
+        )
+        .where(F.col("term").isin(vocab_terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
     )
-    # prune postings to the query vocabulary before anything else
-    vocab = qterms.select("term").distinct()
-    tfq = tf.join(F.broadcast(vocab), "term")
     dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
     idf = ex.quantize(
         F.log(
@@ -118,8 +138,7 @@ def bm25_topk(
     )
     scored = (
         tfq.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
-        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

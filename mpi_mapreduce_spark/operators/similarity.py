@@ -1741,10 +1741,16 @@ def _assign_struct(vec_col: F.Column, cents: list[list[float]]) -> F.Column:
 
 
 def kmeans_assignments(
-    emb: DataFrame, k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster, cosine) after ``rounds`` deterministic Lloyd
     assignment rounds over a normalized ``(vec_id, v)`` frame.
+    ``keep_vec=True`` additionally carries ``v`` through the final
+    assignment projection, so downstream per-cluster work (SemDeDup's
+    prune) gets the vector WITHOUT a corpus self-join on vec_id.
 
     - init: the vectors of the k lowest vec_ids (k-row bounded
       collect; reproducible at any parallelism — no RNG);
@@ -1764,11 +1770,13 @@ def kmeans_assignments(
 
     cents = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
     for _ in range(rounds - 1):
-        assigned = emb.select(
-            "vec_id", _assign_struct(F.col("v"), cents).alias("a")
-        ).select("vec_id", F.col("a.cluster").alias("cluster"))
-        comp = assigned.join(emb, "vec_id").select(
-            "cluster", F.posexplode("v").alias("i", "x")
+        # the vector rides the assignment projection — the update
+        # aggregate needs (cluster, v) and both live on the same row,
+        # so there is no self-join back onto emb (previously two
+        # exchanges + a sort-merge join per round just to re-attach v)
+        comp = emb.select(
+            _assign_struct(F.col("v"), cents)["cluster"].alias("cluster"),
+            F.posexplode("v").alias("i", "x"),
         )
         mrows = (
             comp.groupBy("cluster", "i")
@@ -1789,9 +1797,14 @@ def kmeans_assignments(
             else:
                 new_cents.append(prev)
         cents = new_cents
-    out = emb.select("vec_id", _assign_struct(F.col("v"), cents).alias("a"))
+    out = emb.select(
+        "vec_id",
+        *(["v"] if keep_vec else []),
+        _assign_struct(F.col("v"), cents).alias("a"),
+    )
     return out.select(
         "vec_id",
+        *(["v"] if keep_vec else []),
         F.col("a.cluster").alias("cluster"),
         F.col("a.cosine").alias("cosine"),
     )
@@ -1957,6 +1970,14 @@ def pq_codebooks(raw: DataFrame) -> list[list[list[float]]]:
         ]
         for mi in range(PQ_M)
     ]
+    # Shape note (r13 A/B at sf0.1, warm session): fusing the code
+    # lookup into the component explode (element_at into a codes array
+    # carried through the Generate) measured 2.29 s vs 0.83 s for THIS
+    # split shape — the code explode is only PQ_M rows/vec, so AQE
+    # broadcast-joins it locally and the 64n-row component branch
+    # never crosses the Python boundary or carries the array; at scale
+    # both sides are corpus-shaped and AQE correctly falls back to a
+    # co-keyed shuffle (no hint on purpose). Keep the split.
     cm = raw.select(
         "vec_id", F.posexplode(_pq_codes(cents)(F.col("e"))).alias("m", "code")
     )
@@ -2111,8 +2132,11 @@ def pq_rerank_topk(
         .where(F.col("arank") <= shortlist)
         .select("query_id", "vec_id")
     )
+    # the shortlist is bounded (n_queries · shortlist rows) — broadcast
+    # it so the full-vector corpus is probed in place, never shuffled
+    # on vec_id
     rescored = (
-        short.join(raw, "vec_id")
+        F.broadcast(short).join(raw, "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",

@@ -475,20 +475,26 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Packing partitions by (split, shard): bins never span splits, and
     the window state stays bounded per shard exactly as in
-    training_pack_sequences."""
-    from mpi_mapreduce_spark.operators.textops import text_quality_score
+    training_pack_sequences.
+
+    Composition shape (r13): the quality score is a pure per-row
+    projection, so it is computed INLINE on the scan row instead of
+    joined back on doc_id (the join shuffled the corpus twice for a
+    stateless flag), and the keep-first exact dedup is the grouped
+    min-struct collapse of dedup.exact_canonical_docs (map-side
+    combine collapses replicas before the exchange) rather than a
+    window over raw text. Same kept set, same canonical docs, same
+    summary."""
+    from mpi_mapreduce_spark.operators.dedup import exact_canonical_docs
+    from mpi_mapreduce_spark.operators.textops import quality_score_frame
 
     docs = _docs(spark, sf_dir)
-    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
-    kept = docs.join(quality, "doc_id").where(
-        F.col("quality") >= CURATE_QUALITY_MIN
+    kept = (
+        quality_score_frame(docs, passthrough=["text"])
+        .where(F.col("quality") >= CURATE_QUALITY_MIN)
+        .select("doc_id", "text")
     )
-    dw = W.partitionBy("text").orderBy("doc_id")
-    deduped = (
-        kept.withColumn("rn", F.row_number().over(dw))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    deduped = exact_canonical_docs(kept)
     t = with_split(deduped).select(
         "doc_id",
         "split",
@@ -950,12 +956,19 @@ def hashed_bucket_rows(
     the logistic-regression quality classifier. The bucket of each
     DISTINCT word comes from the engine's cross-engine polynomial
     char hash mod ``n_buckets`` (vocabulary-sized work, joined back;
-    the corpus itself is scanned once)."""
-    from mpi_mapreduce_spark.operators.dedup import token_rows
+    the corpus itself is scanned once).
 
-    toks = token_rows(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    Token occurrences come straight off the scan (explode of the
+    split, ``source`` carried through the projection) — featurization
+    is position-free, so the positional token_rows shape it previously
+    reused paid a per-doc window shuffle plus a doc_id join just to
+    re-attach ``source``, both of which this plan simply doesn't
+    have."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
     vocab = toks.select(F.col("tok").alias("w")).distinct()
     chars = vocab.select(
         "w", F.posexplode(F.split("w", "")).alias("i", "ch")
@@ -1282,11 +1295,24 @@ def _logreg_fit(
                 - F.col("y")
             ).alias("err"),
         )
+        # ONE driver round-trip per GD round: the bias gradient rides
+        # the same grouped aggregate as the weight gradients under the
+        # sentinel bucket -1 (a unionByName of per-row contributions —
+        # err rows count 1 each, exactly the old separate err agg), so
+        # the round costs one job instead of two and err's upstream
+        # aggregate is shared via exchange reuse instead of recomputed.
+        # Same quantized sums -> bit-identical model.
         g = (
             counts.join(err, "doc_id")
             .select(
                 "bucket",
                 ex.quantize(F.col("cnt") * F.col("err"), 6).alias("c"),
+            )
+            .unionByName(
+                err.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.col("err").alias("c"),
+                )
             )
             .groupBy("bucket")
             .agg(
@@ -1295,17 +1321,14 @@ def _logreg_fit(
                 ).alias("g")
             )
         )
-        grads = {r.bucket: r.g for r in g.collect()}
-        bg_row = err.agg(
-            ex.quantize(
-                ex.quantized_sum("err", 6) / F.lit(n_docs), 6
-            ).alias("bg")
-        ).collect()[0]
+        rows = g.collect()
+        grads = {r.bucket: r.g for r in rows if r.bucket >= 0}
+        bg = next((r.g for r in rows if r.bucket == -1), 0.0)
         # learning rate 1: plain subtraction of quantized values —
         # bit-reproducible, never re-rounded driver-side
         for b in range(n_buckets):
             weights[b] = weights[b] - grads.get(b, 0.0)
-        bias = bias - bg_row.bg
+        bias = bias - bg
 
     return weights, bias, counts, y
 
