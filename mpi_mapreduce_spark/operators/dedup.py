@@ -3178,16 +3178,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     planning long chains; the convergence test is a count() action per
     round (at scale: check every k rounds to save jobs). Each round is
     one shuffle on vertex id; edges stay partitioned by src."""
-    # materialize the symmetrized edge list ONCE — without this every
-    # round re-executes the upstream pair query (e.g. the whole
-    # ngram-Jaccard join): measured 13s -> ~4s at sf0.1
-    sym = edges.select(
+    # materialize the edge list ONCE — without this every round
+    # re-executes the upstream pair query (e.g. the whole
+    # ngram-Jaccard join): measured 13s -> ~4s at sf0.1. Checkpoint
+    # BEFORE symmetrizing: a union of two projections of the lazy
+    # pair frame executes the pair query once PER BRANCH (exchange
+    # reuse does not span the union here), so checkpointing the union
+    # paid the heavy join twice; the symmetrizing union over the
+    # materialized rows is narrow and free to re-derive per round.
+    e = edges.select("doc_a", "doc_b").localCheckpoint()
+    sym = e.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
-        edges.select(
+        e.select(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
-    ).localCheckpoint()
+    )
     # init labels stay LAZY over the checkpointed sym: round 1's two
     # references re-derive the (tiny) distinct inside one job via
     # exchange reuse, which beats paying a separate materialization
@@ -3262,11 +3268,17 @@ def _collapsed_component_frames(
         F.min("doc_id").over(w).alias("rep"),
         F.count(F.lit(1)).over(w).alias("grp_n"),
     )
+    # Materialize the collapsed corpus once (construction-eager, like
+    # the CC loop's own checkpoints): the pair query references it
+    # from four branches (shingles a/b, bands, sizes), and exchange
+    # reuse does NOT collapse the replica-window + semi-join subtree
+    # across them — measured 5.2 s lazy vs 4.6 s checkpointed for the
+    # canon0 pair stage at sf0.1 (warm).
     canon0 = docs.join(
         rr.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint()
     comp_c = connected_components(
         ngram_jaccard_pairs(canon0).select("doc_a", "doc_b")
     ).select(F.col("doc_id").alias("rep"), "comp")
