@@ -3515,39 +3515,56 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
     gram starts at and ``glen`` its token length (= n, except the
     whole-doc gram of a doc shorter than n tokens).
 
-    Same codegen'd row-shaped plan as :func:`shingle_rows` (posexplode
-    → one window of lag/leads → concat), generalized to any n and
-    keeping positions so callers can map grams back onto token spans
-    (boilerplate stripping, span removal). ``q`` is a re-rank of the
-    raw split positions (empties dropped), computed by the SAME window
-    spec as the leads — one WindowExec, no second sort. Token-less
-    docs contribute nothing."""
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p0", "tok"),
-    ).where(F.col("tok") != "")
-    w = W.partitionBy("doc_id").orderBy("p0")
-    t = tok.select(
-        "doc_id",
-        (F.row_number().over(w) - 1).alias("q"),
-        "tok",
-        F.lag("tok", 1).over(w).alias("prev"),
-        *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)],
+    Derivation is ARRAY-shaped (r13): grams come straight off the
+    filtered token array via transform-over-sequence (q is the
+    sequence index, the gram is n element_ats concatenated), so the
+    derivation needs NO shuffle at all — the r12 window form
+    (posexplode → per-doc row_number/lag/leads) paid an exchange +
+    sort on doc_id before a single gram existed. Measured at sf0.1 /
+    SPAN_N=8: 1.27 s vs 1.93 s warm for the full-gram stage,
+    byte-identical output (pinned in tests/test_r13_optimizations.py).
+    The interpreted-HOF cost is per GRAM and small (n element_ats +
+    one concat); the r5 ~2 ms/row figure that ruled HOFs out for
+    word_shingles was for nested transform+array_distinct over whole
+    docs, not this flat shape. Downstream windows re-establish the
+    doc_id partitioning where they need it — same number of exchanges
+    end-to-end, one fewer sort. Token-less docs contribute nothing."""
+    tok = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
     )
-    gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-    full = t.where(F.col(f"t{n-1}").isNotNull()).select(
-        "doc_id", "q", F.lit(n).cast("long").alias("glen"), gram.alias("s")
+    d = docs.select("doc_id", tok.alias("tok"))
+    gram = lambda i: F.concat_ws(  # noqa: E731 — tiny expr builder
+        " ", *[F.element_at("tok", i + F.lit(j)) for j in range(1, n + 1)]
+    )
+    full = (
+        d.where(F.size("tok") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tok") - n),
+                    lambda i: F.struct(
+                        i.cast("int").alias("q"), gram(i).alias("s")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.q").alias("q"),
+            F.lit(n).cast("long").alias("glen"),
+            F.col("g.s").alias("s"),
+        )
     )
     # doc shorter than n tokens: its whole token string is the single
-    # gram (concat_ws skips the null leads); glen = token count
-    glen_short = F.lit(1) + sum(
-        F.when(F.col(f"t{j}").isNotNull(), 1).otherwise(0)
-        for j in range(1, n)
-    )
-    short = t.where(
-        F.col("prev").isNull() & F.col(f"t{n-1}").isNull()
+    # gram at q=0; glen = token count
+    short = d.where(
+        (F.size("tok") > 0) & (F.size("tok") < n)
     ).select(
-        "doc_id", "q", glen_short.cast("long").alias("glen"), gram.alias("s")
+        "doc_id",
+        F.lit(0).alias("q"),
+        F.size("tok").cast("long").alias("glen"),
+        F.array_join("tok", " ").alias("s"),
     )
     return full.unionByName(short)
 

@@ -82,6 +82,60 @@ def test_banded_srows_shortcut_matches_band_join(spark):
     assert _rows(via_shortcut) == _rows(via_join)
 
 
+def test_array_positional_grams_match_window_form(spark):
+    """positional_ngram_rows derives grams off the token array
+    (transform over sequence, no shuffle); output must equal the r12
+    posexplode+window formulation row for row — including the
+    whole-doc short gram (n=40 forces most docs through that
+    branch)."""
+    from pyspark.sql import Window as W
+
+    from mpi_mapreduce_spark.operators.dedup import positional_ngram_rows
+
+    docs = _docs(spark)
+
+    def window_rows(n):
+        tok = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias(
+                "p0", "tok"
+            ),
+        ).where(F.col("tok") != "")
+        w = W.partitionBy("doc_id").orderBy("p0")
+        t = tok.select(
+            "doc_id",
+            (F.row_number().over(w) - 1).alias("q"),
+            "tok",
+            F.lag("tok", 1).over(w).alias("prev"),
+            *[F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)],
+        )
+        gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+        full = t.where(F.col(f"t{n-1}").isNotNull()).select(
+            "doc_id",
+            "q",
+            F.lit(n).cast("long").alias("glen"),
+            gram.alias("s"),
+        )
+        glen_short = F.lit(1) + sum(
+            F.when(F.col(f"t{j}").isNotNull(), 1).otherwise(0)
+            for j in range(1, n)
+        )
+        short = t.where(
+            F.col("prev").isNull() & F.col(f"t{n-1}").isNull()
+        ).select(
+            "doc_id",
+            "q",
+            glen_short.cast("long").alias("glen"),
+            gram.alias("s"),
+        )
+        return full.unionByName(short)
+
+    for n in (3, 8, 40):
+        assert _rows(positional_ngram_rows(docs, n)) == _rows(
+            window_rows(n)
+        ), f"n={n}"
+
+
 def test_logreg_fused_bias_gradient_matches_two_pass_model(spark):
     """_logreg_fit folds the bias gradient into the weight-gradient
     aggregate under sentinel bucket -1; the trained model must equal
