@@ -3515,45 +3515,40 @@ def positional_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
     gram starts at and ``glen`` its token length (= n, except the
     whole-doc gram of a doc shorter than n tokens).
 
-    Derivation is ARRAY-shaped (r13): grams come straight off the
-    filtered token array via transform-over-sequence (q is the
-    sequence index, the gram is n element_ats concatenated), so the
-    derivation needs NO shuffle at all — the r12 window form
-    (posexplode → per-doc row_number/lag/leads) paid an exchange +
-    sort on doc_id before a single gram existed. Measured at sf0.1 /
-    SPAN_N=8: 1.27 s vs 1.93 s warm for the full-gram stage,
-    byte-identical output (pinned in tests/test_r13_optimizations.py).
-    The interpreted-HOF cost is per GRAM and small (n element_ats +
-    one concat); the r5 ~2 ms/row figure that ruled HOFs out for
-    word_shingles was for nested transform+array_distinct over whole
-    docs, not this flat shape. Downstream windows re-establish the
-    doc_id partitioning where they need it — same number of exchanges
-    end-to-end, one fewer sort. Token-less docs contribute nothing."""
+    Derivation stays shuffle-free like the r13 array form (no
+    exchange + per-doc sort before a single gram exists, unlike the
+    r12 posexplode→window lag/leads shape), but the per-gram work is
+    CODEGEN'D (r14): the start offsets are a plain
+    posexplode(sequence(0, size-n)) Generate — which participates in
+    whole-stage codegen — and the gram string is
+    array_join(slice(tok, q+1, n)) computed as ordinary expressions
+    in the same codegen stage. The r13 transform-over-sequence HOF
+    built the same rows but evaluated the lambda (n element_ats +
+    concat per gram) INTERPRETED, which the driver's r13 bench
+    caught: dedup_substring_spans 2.73→4.20 s. r14 A/B at sf0.1,
+    full-query min-of-3 (/tmp/ab_spans.py, cold-ish session):
+    array-HOF grams 1.82 s vs posexplode+slice 1.13 s on the spans
+    query (both under the window-dup-filter tail), byte-identical
+    output (pinned in tests/test_r13_optimizations.py and the
+    property tests). Token-less docs contribute nothing."""
     tok = F.filter(
         F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
     )
     d = docs.select("doc_id", tok.alias("tok"))
-    gram = lambda i: F.concat_ws(  # noqa: E731 — tiny expr builder
-        " ", *[F.element_at("tok", i + F.lit(j)) for j in range(1, n + 1)]
-    )
     full = (
         d.where(F.size("tok") >= n)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("tok") - n),
-                    lambda i: F.struct(
-                        i.cast("int").alias("q"), gram(i).alias("s")
-                    ),
-                )
-            ).alias("g"),
+            "tok",
+            F.explode(F.sequence(F.lit(0), F.size("tok") - n)).alias("qq"),
         )
         .select(
             "doc_id",
-            F.col("g.q").alias("q"),
+            F.col("qq").cast("int").alias("q"),
             F.lit(n).cast("long").alias("glen"),
-            F.col("g.s").alias("s"),
+            F.array_join(
+                F.slice("tok", F.col("qq") + 1, n), " "
+            ).alias("s"),
         )
     )
     # doc shorter than n tokens: its whole token string is the single
@@ -3874,60 +3869,44 @@ def duplicated_span_rows(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     suffix array, and interval merging recovers maximality.
 
     Plan — linear end to end, no pairwise term anywhere (contrast with
-    the inverted-index JOIN in containment_pairs: here the duplicated
-    gram SET is joined back to occurrences 1:1, so a hot gram
-    amplifies linearly, never df²):
-    positional gram rows (one window pass, codegen'd) → gram document
-    frequency over distinct (gram, doc) with map-side combine →
-    semi-join occurrences against the df ≥ 2 vocabulary (shuffle on
-    the gram string; at 100 TB the key becomes xxhash64(s) — 8-byte
-    shuffle rows — at the cost of the DuckDB-checkable property) →
-    per-doc gaps-and-islands merge of the fixed-length intervals
-    [q, q+n-1] (equal lengths ⇒ a lag() suffices, no prefix-max) →
-    grouped min/max per island. Both window passes share one
-    partitioning (doc_id), which Catalyst reuses.
+    the inverted-index JOIN in containment_pairs: here a hot gram
+    amplifies linearly, never df²): positional gram rows (shuffle-free,
+    codegen'd) → ONE window pass over partitionBy(s) computing
+    min/max(doc_id) per gram — "df ≥ 2 over distinct docs" is exactly
+    min(doc_id) ≠ max(doc_id), so the duplicated-gram filter needs
+    neither the distinct+groupBy aggregate nor the join back onto
+    occurrences (shuffle on the gram string; at 100 TB the key becomes
+    xxhash64(s) — 8-byte shuffle rows — at the cost of the
+    DuckDB-checkable property) → per-doc gaps-and-islands merge of the
+    fixed-length intervals [q, q+n-1] (equal lengths ⇒ a lag()
+    suffices, no prefix-max) → grouped min/max per island.
+
+    The r13 shape evaluated the gram subtree TWICE — once under the
+    distinct+groupBy building the df ≥ 2 vocabulary and once as the
+    join probe (no exchange under either branch after the array
+    rewrite ⇒ no exchange reuse to share the scan) — which the
+    driver's r13 bench caught (dedup_substring_spans 2.73→4.20 s).
+    r14 A/B at sf0.1, full query, min-of-3: distinct+join 3.95 s vs
+    window-min/max 1.82 s over identical gram rows (/tmp/ab_spans.py,
+    byte-identical output; the window variant evaluates the gram
+    subtree exactly once).
 
     Docs shorter than ``n`` tokens cannot contain an ``n``-token span
     and are excluded by construction (``glen == n`` filters the
     whole-doc short gram positional_ngram_rows emits)."""
     occ = positional_ngram_rows(docs, n).where(F.col("glen") == n)
-    dup = (
-        occ.select("s", "doc_id")
-        .distinct()
-        .groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= 2)
-        .select("s")
+    ws = W.partitionBy("s")
+    starts = (
+        occ.select(
+            "doc_id",
+            "q",
+            F.min("doc_id").over(ws).alias("lo"),
+            F.max("doc_id").over(ws).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .select("doc_id", "q")
     )
-    starts = occ.join(dup, "s").select("doc_id", "q")
-    w = W.partitionBy("doc_id").orderBy("q")
-    # interval [q, q+n-1] merges with its predecessor when the start
-    # gap is ≤ n (overlap or exact adjacency → consecutive covered
-    # token positions); first row's NULL lag falls to the ELSE branch
-    flagged = starts.select(
-        "doc_id",
-        "q",
-        F.when(F.col("q") - F.lag("q", 1).over(w) <= n, 0)
-        .otherwise(1)
-        .alias("brk"),
-    )
-    isl = flagged.select(
-        "doc_id",
-        "q",
-        F.sum("brk")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("island"),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("q").cast("long").alias("span_start"),
-        (F.max("q") + F.lit(n) - 1).cast("long").alias("span_end"),
-    )
-    return spans.select(
-        "doc_id",
-        "span_start",
-        "span_end",
-        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-    )
+    return _spans_from_starts(starts, n)
 
 
 def substring_dup_stats(docs: DataFrame, n: int = SPAN_N) -> DataFrame:

@@ -84,10 +84,10 @@ def test_banded_srows_shortcut_matches_band_join(spark):
 
 def test_array_positional_grams_match_window_form(spark):
     """positional_ngram_rows derives grams off the token array
-    (transform over sequence, no shuffle); output must equal the r12
-    posexplode+window formulation row for row — including the
-    whole-doc short gram (n=40 forces most docs through that
-    branch)."""
+    (r14: posexplode(sequence) + codegen slice/array_join, still no
+    shuffle); output must equal the r12 posexplode+window formulation
+    row for row — including the whole-doc short gram (n=40 forces
+    most docs through that branch)."""
     from pyspark.sql import Window as W
 
     from mpi_mapreduce_spark.operators.dedup import positional_ngram_rows

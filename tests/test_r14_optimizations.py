@@ -1,0 +1,51 @@
+"""Focused pins for the round-14 optimization restructures: each test
+asserts the NEW plan shape computes byte-identical results to the
+semantics it replaced (the bench-visible speedups are measured in
+OPTIMIZATION_r14.md; these keep the rewrites honest under refactors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    from mpi_mapreduce_spark.datamodel import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_window_minmax_dup_filter_matches_distinct_join(spark):
+    """duplicated_span_rows filters duplicated grams with ONE window
+    pass over partitionBy(s) — min(doc_id) != max(doc_id) — instead
+    of the r13 distinct+groupBy df>=2 vocabulary joined back onto
+    occurrences. The two predicates are equivalent (>=2 distinct docs
+    iff min != max), so the span output must match row for row."""
+    from mpi_mapreduce_spark.operators.dedup import (
+        SPAN_N,
+        _spans_from_starts,
+        duplicated_span_rows,
+        positional_ngram_rows,
+    )
+
+    docs = _docs(spark)
+    occ = positional_ngram_rows(docs, SPAN_N).where(
+        F.col("glen") == SPAN_N
+    )
+    dup = (
+        occ.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("s")
+    )
+    starts = occ.join(dup, "s").select("doc_id", "q")
+    via_join = _spans_from_starts(starts, SPAN_N)
+    assert _rows(duplicated_span_rows(docs, SPAN_N)) == _rows(via_join)
