@@ -3268,19 +3268,41 @@ def _collapsed_component_frames(
         F.min("doc_id").over(w).alias("rep"),
         F.count(F.lit(1)).over(w).alias("grp_n"),
     )
-    # Materialize the collapsed corpus once (construction-eager, like
-    # the CC loop's own checkpoints): the pair query references it
-    # from four branches (shingles a/b, bands, sizes), and exchange
-    # reuse does NOT collapse the replica-window + semi-join subtree
-    # across them — measured 5.2 s lazy vs 4.6 s checkpointed for the
-    # canon0 pair stage at sf0.1 (warm).
+    # r14 (VERDICT r13 item 4): materialize the banded SHINGLE INDEX,
+    # not the collapsed corpus. The r13 canon0 localCheckpoint fixed
+    # the per-branch re-derivation but paid row-based LogicalRDD scans
+    # under every pair-query branch (~2× a vectorized scan, the
+    # documented residual); a columnar persist of canon0 measured even
+    # worse (7.4 s vs 6.3 s ckpt — the cache write isn't free and the
+    # shingle explode still runs per branch). Persisting the banded
+    # srows instead — the same artifact shape
+    # pipeline_canonical_containment already persists — makes every
+    # pair-query branch (a/b sides, sizes) read the index once and
+    # leaves canon0 fully lazy (its replica-window + semi-join subtree
+    # runs exactly once, inside the index build). A/B at sf0.1, full
+    # dedup_canonical_corpus, min-of-3 (/tmp/ab_canon.py):
+    # ckpt 6.33 s / canon0-persist 7.41 s / lazy+srows-persist 4.06 s;
+    # MEMORY_AND_DISK beat DISK_ONLY 4.48 vs 5.08 (tiny index at
+    # sf0.1 — at 100 TB this artifact is a real table, same story as
+    # the pipeline's DISK_ONLY note).
     canon0 = docs.join(
         rr.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
         "left_semi",
-    ).localCheckpoint()
+    )
+    srows = (
+        shingle_rows(canon0)
+        .join(
+            canon0.select(
+                "doc_id",
+                (F.col("n_chars") / LEN_BAND).cast("long").alias("band"),
+            ),
+            "doc_id",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comp_c = connected_components(
-        ngram_jaccard_pairs(canon0).select("doc_a", "doc_b")
+        ngram_jaccard_pairs(canon0, srows=srows).select("doc_a", "doc_b")
     ).select(F.col("doc_id").alias("rep"), "comp")
     return rr, comp_c
 
