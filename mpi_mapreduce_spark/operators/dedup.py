@@ -1548,17 +1548,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact blocked op modulo LSH recall (pinned ≈ 1.0 in tests).
     Rows-only with the driver (xxhash64 signatures aren't SQL).
 
-    The verify step computes Jaccard from shingle ROWS, not arrays:
-    |A∩B| is a pair-join + count on (doc, shingle), |A∪B| =
-    |A|+|B|-|A∩B|. All equi-joins on compact keys — at scale the
-    candidate set is tiny relative to the corpus, so the semi-joined
-    shingle rows stay small.
+    The verify step (r14) gathers each doc's distinct shingle set
+    into one array row and computes |A∩B| as an exact set
+    intersection per CANDIDATE pair (array_intersect), |A∪B| =
+    |A|+|B|-|A∩B| — the candidate set is tiny relative to the corpus
+    at any scale, so the per-pair work is bounded while the old
+    row-fanout join grew with Σ_cands |A|.
 
-    srows feeds four consumers (signatures, sizes, and both sides of
-    the verify join) — persisted (MEMORY_AND_DISK) so the token
-    window runs once, not four times; ~25% off the whole op at sf0.1,
-    and the same call a production LSH pipeline makes (Spark ML's
-    approxSimilarityJoin persists its transformed inputs too)."""
+    srows feeds three consumers (signatures and the gathered verify
+    table twice) — persisted (MEMORY_AND_DISK) so the token window
+    runs once; the same call a production LSH pipeline makes (Spark
+    ML's approxSimilarityJoin persists its transformed inputs too)."""
     return minhash_jaccard_pairs(_docs(spark, sf_dir))
 
 
@@ -1629,22 +1629,42 @@ def minhash_jaccard_pairs(
     if srows is None:
         srows = shingle_rows(docs).persist()
     cands = _minhash_candidates(srows, n_hashes, n_bands)
-    sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ra = srows.select(F.col("doc_id").alias("doc_a"), "s")
-    rb = srows.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cands.join(ra, "doc_a")
-        .join(rb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
+    # r14 exact-verify via the cogrouped BLOCK-GATHER shape (VERDICT
+    # r13 item 5; the pattern proven on the embedding rescore): each
+    # doc's distinct shingle set is gathered into ONE array row —
+    # same groupBy(doc_id) shuffle the old sizes aggregate already
+    # paid, just with the set riding along — and |A∩B| is an exact
+    # set intersection computed per CANDIDATE PAIR (array_intersect
+    # over distinct string arrays; srows is distinct by construction).
+    # The r13 shape fanned every candidate through its doc_a shingle
+    # rows and re-joined on (doc_b, s): a Σ_cands |A| intermediate,
+    # two extra shuffles, and a pair-grouped aggregate, all replaced
+    # by two joins of the bounded candidate set against the gathered
+    # table. A/B at sf0.1, full query, warm shared index, min-of-3:
+    # 2.18 s → 1.72 s (/tmp/ab_minhash.py, identical 256 pairs); the
+    # interpreted intersect runs once per candidate, and at 100 TB
+    # the candidate set is tiny relative to the corpus while the fat
+    # fan-out grew with Σ|A|. Zero-intersection candidates still get
+    # a jaccard row (inner joins always match: every candidate doc
+    # has shingles), preserving the old coalesce(ni, 0) semantics.
+    docsets = srows.groupBy("doc_id").agg(
+        F.collect_list("s").alias("arr"),
+        F.count("*").alias("n"),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    ni = F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
     return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -49,3 +49,53 @@ def test_window_minmax_dup_filter_matches_distinct_join(spark):
     starts = occ.join(dup, "s").select("doc_id", "q")
     via_join = _spans_from_starts(starts, SPAN_N)
     assert _rows(duplicated_span_rows(docs, SPAN_N)) == _rows(via_join)
+
+
+def test_minhash_gathered_verify_matches_row_fanout(spark):
+    """minhash_jaccard_pairs verifies candidates against per-doc
+    gathered shingle ARRAYS (array_intersect per candidate pair)
+    instead of the r13 row-fanout join through (doc_b, s). Exact set
+    semantics must match: same pairs, same quantized jaccard."""
+    from mpi_mapreduce_spark.functions import exact as ex
+    from mpi_mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_candidates,
+        minhash_jaccard_pairs,
+        shingle_rows,
+    )
+
+    docs = _docs(spark)
+    srows = shingle_rows(docs)
+    cands = _minhash_candidates(srows)
+    sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ra = srows.select(F.col("doc_id").alias("doc_a"), "s")
+    rb = srows.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(ra, "doc_a")
+        .join(rb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+    fanout = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ex.quantize(
+                ni / (F.col("na") + F.col("nb") - ni), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    assert _rows(minhash_jaccard_pairs(docs, srows=srows)) == _rows(
+        fanout
+    )
