@@ -2180,10 +2180,24 @@ def embedding_band_rows(
     # fixture's threshold-hugging cosine distribution is ~all pairs
     # (see the banding-math comment above: that part is
     # information-theoretic, not a plan artifact).
+    #
+    # The count is EXPLICIT (r14, guide §2.1/§2.5): a column-only
+    # repartition is an AQE-optimizable hint, and because the banded
+    # rows are tiny (n·bands skinny rows) AQE coalesced the exchange
+    # to ONE partition — which then serialized the 6M-row bucket
+    # join + partial distinct DOWNSTREAM of it onto one core (the
+    # partition count of a stage is fixed by its input exchange, and
+    # AQE only sees the small input bytes, not the quadratic explode
+    # it feeds). Pinning to defaultParallelism (cluster core count;
+    # scale-adaptive, not a local constant) keeps the explode
+    # parallel: full dedup_embedding_lsh at sf0.1 4.16 s → 2.84 s
+    # min-of-3, candidate-distinct stage 3.18 s → 1.15 s.
     return emb.select(
         "vec_id",
         F.posexplode(_band_buckets(F.col("v"))).alias("band", "bucket"),
-    ).repartition("vec_id")
+    ).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
 
 
 def embedding_lsh_candidates(
