@@ -193,6 +193,7 @@ def ngram_jaccard_pairs(
     (the persistable shingle INDEX — at 100 TB a pipeline materializes
     it once and feeds every inverted-index stage from it; see
     pipeline_canonical_containment)."""
+    raw_path = srows is None
     if srows is not None and "band" in srows.columns:
         # caller persisted the index WITH its band column (the
         # pipeline_canonical_containment shape) — joining bands here
@@ -206,6 +207,25 @@ def ngram_jaccard_pairs(
         banded = (
             srows if srows is not None else shingle_rows(docs)
         ).join(bands, "doc_id")
+    if raw_path:
+        # Explicit s-partitioning ahead of the self-join (r14, guide
+        # §2.1/§2.5): the shingle rows are small, so AQE coalesced the
+        # join's exchange to 1-3 partitions — serializing the Σ_s df²
+        # pair explode that happens DOWNSTREAM of it (AQE sizes the
+        # exchange by its input bytes; it cannot see the quadratic
+        # fan-out). A user-specified repartition pins the width, the
+        # df-cap window and both join sides reuse the one exchange,
+        # and the count scales with the cluster (defaultParallelism),
+        # not a local constant. A/B at sf0.1, full
+        # dedup_ngram_jaccard, min-of-3: 3.62 s → 2.62 s (every rep
+        # improved), identical pairs. RAW PATH ONLY: callers feeding
+        # a persisted index (pipeline_canonical_containment, the CC
+        # family) measured SLOWER with the pin (2.9 → 6.2 s pipeline)
+        # — their collapsed corpora have small pair volume, and the
+        # pinned 32-wide stage tree loses to AQE's coalesced plan.
+        banded = banded.repartition(
+            banded.sparkSession.sparkContext.defaultParallelism, "s"
+        )
     srows = _cap_hot_shingles(banded, max_shingle_df)
     sizes = srows.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = srows.select(
@@ -3647,6 +3667,14 @@ def containment_pairs(
     (the shared shingle-index artifact; ``docs`` itself is then only
     documentation of provenance — every downstream frame derives from
     the rows)."""
+    # NOTE (r14, measured): an explicit s-repartition ahead of the
+    # self-join (the ngram_jaccard_pairs raw-path fix) was tried here
+    # and REVERTED — the registered containment query got SLOWER
+    # (1.59 → 2.28 s at sf0.1): its pair volume is too small for the
+    # pinned 32-wide stage tree to beat AQE's coalesced few-task plan,
+    # and the pipeline/CC callers feed a persisted index whose
+    # consumers AQE already sizes well (pipeline_canonical_containment
+    # regressed 2.9 → 6.2 s with the repartition applied here).
     srows = _cap_hot_shingles(
         srows if srows is not None else shingle_rows(docs), max_shingle_df
     )
