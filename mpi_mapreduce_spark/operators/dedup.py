@@ -192,7 +192,13 @@ def ngram_jaccard_pairs(
     ``srows``: optionally pass precomputed shingle rows for ``docs``
     (the persistable shingle INDEX — at 100 TB a pipeline materializes
     it once and feeds every inverted-index stage from it; see
-    pipeline_canonical_containment)."""
+    pipeline_canonical_containment). CONTRACT (ADVICE r13): if the
+    frame carries a ``band`` column it is used AS-IS and ``docs`` is
+    never consulted for bands — the caller must have derived it as
+    ``floor(n_chars / LEN_BAND)`` over the SAME docs frame (the shape
+    pipeline_canonical_containment persists); a band computed with a
+    different width or against a different corpus silently changes
+    the candidate set."""
     raw_path = srows is None
     if srows is not None and "band" in srows.columns:
         # caller persisted the index WITH its band column (the

@@ -109,15 +109,29 @@ def bm25_topk(
     # shuffling the whole inverted index and shuffling q posting
     # lists. dl rides along as a grouping key (functionally dependent
     # on doc_id), eliminating the old corpus-wide dl re-join.
-    tfq = (
-        toks.select(
-            "doc_id",
-            F.size("tok").alias("dl"),
-            F.explode("tok").alias("term"),
+    exploded = toks.select(
+        "doc_id",
+        F.size("tok").alias("dl"),
+        F.explode("tok").alias("term"),
+    )
+    # ADVICE r13: the literal IN-list is ideal for the small fixed
+    # QUERY_SET (planned into the scan stage), but this is a public
+    # API taking arbitrary queries — a huge vocabulary would bloat the
+    # plan/codegen, and an empty one must error, not silently match
+    # nothing. Past the threshold, prune with a broadcast semi-join on
+    # term instead (same rows, scales with any query set).
+    if not vocab_terms:
+        raise ValueError("queries contain no terms")
+    if len(vocab_terms) <= 256:
+        pruned = exploded.where(F.col("term").isin(vocab_terms))
+    else:
+        pruned = exploded.join(
+            F.broadcast(qterms.select("term").distinct()),
+            "term",
+            "left_semi",
         )
-        .where(F.col("term").isin(vocab_terms))
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").alias("tf"))
+    tfq = pruned.groupBy("doc_id", "term", "dl").agg(
+        F.count("*").alias("tf")
     )
     dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
     idf = ex.quantize(

@@ -1044,6 +1044,17 @@ def bpe_train_merges(
         rep_expr = F.replace(
             rep_expr, F.lit(f" {pair} "), F.lit(f" {lhs + rhs} ")
         )
+        # ADVICE r13: the replace chain nests one level per round, so
+        # a caller passing large ``rounds`` (public parameter) would
+        # grow expression depth linearly into codegen/analysis limits
+        # the old per-round checkpoint form never hit. Re-materialize
+        # every 32 rounds to bound the depth while keeping the
+        # one-job-per-round win at the default 5.
+        if r % 32 == 0:
+            words = words.select(
+                rep_expr.alias("rep"), "freq"
+            ).localCheckpoint()
+            rep_expr = F.col("rep")
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, pair_freq long",

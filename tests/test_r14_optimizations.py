@@ -51,6 +51,35 @@ def test_window_minmax_dup_filter_matches_distinct_join(spark):
     assert _rows(duplicated_span_rows(docs, SPAN_N)) == _rows(via_join)
 
 
+def test_bm25_large_vocab_falls_back_to_semi_join(spark):
+    """ADVICE r13: bm25_topk embeds small query vocabularies as a
+    literal IN-list but must fall back to a broadcast semi-join past
+    256 distinct terms (plan-size guard) with identical results, and
+    must raise on an empty query set instead of silently returning
+    nothing."""
+    import pytest
+
+    from mpi_mapreduce_spark.operators.retrieval import (
+        QUERY_SET,
+        bm25_topk,
+    )
+
+    docs = _docs(spark)
+    small = _rows(bm25_topk(docs, QUERY_SET))
+    # pad the query set with unmatchable terms to cross the threshold;
+    # extra no-hit terms contribute no postings, so top-k is unchanged
+    padded = QUERY_SET + [
+        (900 + i, f"zzqx{i}a zzqx{i}b") for i in range(200)
+    ]
+    big = bm25_topk(docs, padded)
+    big_rows = [
+        t for t in _rows(big) if t[0] in {q for q, _ in QUERY_SET}
+    ]
+    assert big_rows == small
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [(1, "  ")])
+
+
 def test_minhash_gathered_verify_matches_row_fanout(spark):
     """minhash_jaccard_pairs verifies candidates against per-doc
     gathered shingle ARRAYS (array_intersect per candidate pair)
