@@ -1158,25 +1158,124 @@ def quality_logreg_scores(
     DSIR's closed-form likelihood ratio (same feature space, shared
     :func:`hashed_bucket_rows`).
 
-    Distributed-training shape (the k-means pattern, similarity.py):
-    the MODEL (n_buckets weights + bias) is a bounded driver collect
-    re-broadcast each round; the DATA is never collected. Per round:
-    one broadcast join + per-doc quantized-sum for logits (linear),
-    one grouped quantized-sum for gradients (map-side combine,
-    n_buckets result rows). Total: rounds + 1 linear passes.
+    Distributed-training shape (r14): the GD loop is UNROLLED INTO
+    THE PLAN — the model lives in a (bucket, wgt) frame (bias under
+    sentinel bucket -1, the r13 fused-gradient convention), each
+    round's weight update is a left join of the gradient aggregate
+    back onto the weight frame, and the corpus size rides a 1-row
+    aggregate — so the whole train-plus-score query is ONE action
+    with zero driver round-trips (the r13 shape paid a
+    localCheckpoint job, a count() job, and one collect per round at
+    CONSTRUCTION time: 25 driver jobs / 3.85 s of the query's 3.99 s
+    at sf0.1; this shape benches 3.46 → 1.82 s min-of-3, bit-equal
+    output, /tmp/ab_logreg.py). Round 1 exploits w₀ = 0: every logit
+    is exactly 0.0, so err₁ = 0.5 - y without touching counts
+    (quantize(σ(0)) = 0.5 bit-for-bit). The feature matrix is
+    persisted (five consumers across the rounds); the deployable
+    frozen-model path (:func:`logreg_model`) keeps the driver-side
+    collect loop — a bounded model fetch is its entire purpose.
 
     Exactness discipline (what makes 2 training rounds hash-match a
     DuckDB oracle bit for bit): every per-row contribution is
     quantized (scale 6) before its order-independent quantized_sum;
     probabilities come from exp() on identical quantized logits; the
     learning rate is exactly 1 so weight updates are single IEEE
-    subtractions of already-quantized values — the driver-side Python
-    arithmetic (negate/subtract, never re-round) is reproducible in
-    SQL with the same ops."""
-    weights, bias, counts, y = _logreg_fit(
-        docs, target_source, n_buckets, rounds
+    subtractions of already-quantized values — the in-plan double
+    arithmetic (negate/subtract, never re-round) is the same IEEE op
+    sequence the r13 driver-side Python performed (equivalence pinned
+    in tests/test_r14_optimizations.py)."""
+    spark = docs.sparkSession
+    tb = hashed_bucket_rows(docs, n_buckets)
+    counts = (
+        tb.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
-    final = _logreg_logits(counts, y, weights, bias)
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("source") == target_source, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+
+    def logits_frame(w: DataFrame) -> DataFrame:
+        contrib = ex.quantize(F.col("cnt") * F.col("wgt"), 6)
+        s = (
+            counts.join(
+                F.broadcast(w.where(F.col("bucket") >= 0)), "bucket"
+            )
+            .select("doc_id", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(ex.quantized_sum("c", 6).alias("s"))
+        )
+        bias = F.broadcast(
+            w.where(F.col("bucket") == -1).select(
+                F.col("wgt").alias("bias")
+            )
+        )
+        return (
+            y.join(s, "doc_id", "left")
+            .crossJoin(bias)
+            .select(
+                "doc_id",
+                "y",
+                (F.coalesce("s", F.lit(0.0)) + F.col("bias")).alias(
+                    "logit"
+                ),
+            )
+        )
+
+    def grad_frame(err: DataFrame) -> DataFrame:
+        return (
+            counts.join(err, "doc_id")
+            .select(
+                "bucket",
+                ex.quantize(F.col("cnt") * F.col("err"), 6).alias("c"),
+            )
+            .unionByName(
+                err.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.col("err").alias("c"),
+                )
+            )
+            .groupBy("bucket")
+            .agg(ex.quantized_sum("c", 6).alias("cs"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "bucket",
+                ex.quantize(
+                    ex.quantize(F.col("cs"), 6) / F.col("n"), 6
+                ).alias("g"),
+            )
+        )
+
+    w = spark.range(-1, n_buckets).select(
+        F.col("id").alias("bucket"), F.lit(0.0).alias("wgt")
+    )
+    for r in range(rounds):
+        if r == 0:
+            err = y.select(
+                "doc_id", (F.lit(0.5) - F.col("y")).alias("err")
+            )
+        else:
+            err = logits_frame(w).select(
+                "doc_id",
+                (
+                    ex.quantize(
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("logit"))),
+                        6,
+                    )
+                    - F.col("y")
+                ).alias("err"),
+            )
+        g = grad_frame(err)
+        w = w.join(g, "bucket", "left").select(
+            "bucket",
+            (F.col("wgt") - F.coalesce("g", F.lit(0.0))).alias("wgt"),
+        )
+    final = logits_frame(w)
     logit_q = ex.quantize(F.col("logit"), 6)
     return final.select(
         "doc_id",

@@ -80,6 +80,39 @@ def test_bm25_large_vocab_falls_back_to_semi_join(spark):
         bm25_topk(docs, [(1, "  ")])
 
 
+def test_declarative_logreg_matches_driver_loop_model(spark):
+    """quality_logreg_scores unrolls the GD loop into one declarative
+    plan (weights in a bucket frame, bias under sentinel -1, n_docs a
+    1-row aggregate, round-1 err = 0.5 - y off the known-zero init).
+    Scores must be bit-equal to the driver-loop model from
+    _logreg_fit applied through _logreg_logits (the r13 shape)."""
+    from mpi_mapreduce_spark.operators.training import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+        QL_ROUNDS,
+        _logreg_fit,
+        _logreg_logits,
+        quality_logreg_scores,
+    )
+    from mpi_mapreduce_spark.functions import exact as ex
+
+    docs = _docs(spark)
+    weights, bias, counts, y = _logreg_fit(
+        docs, DSIR_TARGET_SOURCE, DSIR_BUCKETS, QL_ROUNDS
+    )
+    final = _logreg_logits(counts, y, weights, bias)
+    logit_q = ex.quantize(F.col("logit"), 6)
+    loop_scores = final.select(
+        "doc_id",
+        logit_q.alias("logit"),
+        ex.quantize(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_q)), 6
+        ).alias("prob"),
+        (logit_q > 0).alias("keep"),
+    )
+    assert _rows(quality_logreg_scores(docs)) == _rows(loop_scores)
+
+
 def test_minhash_gathered_verify_matches_row_fanout(spark):
     """minhash_jaccard_pairs verifies candidates against per-doc
     gathered shingle ARRAYS (array_intersect per candidate pair)
