@@ -19,6 +19,16 @@ plus ~30% headroom). The 1-second absolute floor still covers
 sub-second queries, which remain mostly jitter. A genuine plan
 regression is an order of magnitude, not 2x.
 
+Reference policy (round 14, VERDICT r13 item 2): manifest entries are
+per-query MEDIANS over full bench runs of the CURRENT code
+(tools/gen_bench_manifest.py), not all-time minima — the r13 manifest
+min-merged a single-best outlier and this gate then fired on a loaded
+box for a query whose standalone wall was fine. Two standing rules:
+(1) regenerate with gen_bench_manifest.py from >= 2 fresh full runs,
+never by hand-min-merging; (2) a commit touching an operator
+INVALIDATES its entry — re-measure before tightening, and never
+tighten in the same commit window as an unbenched code change.
+
 Opt out with SPARK_GRAFT_SKIP_BENCH_BUDGET=1 (e.g. while another
 Spark job owns the box — the walls would measure the neighbor).
 """
